@@ -1,0 +1,91 @@
+"""Data model of the engine: the edge/metadata schemas and the state lifecycle.
+
+Mirrors the reference's fixed primitive type surface
+(``src/main/thrift/Flockdb.thrift:37-51``, DDL ``shards/SqlShard.scala:56-79``)
+and the 4-state lifecycle with conflict-priority ordinals
+(``src/main/scala/com/twitter/flockdb/State.scala:24-36``).
+
+The whole engine is schema-rigid: one StructType for edges, one for metadata.
+"""
+
+from __future__ import annotations
+
+import enum
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class State(enum.IntEnum):
+    """Edge / vertex lifecycle state.
+
+    Wire ids per ``State.scala:24-36``: Normal=0, Removed=1, Archived=2,
+    Negative=3.  Conflict priority (who wins an equal-timestamp merge) is a
+    DIFFERENT ordering: Normal(0) < Negative(1) < Archived(2) < Removed(3).
+    """
+
+    NORMAL = 0
+    REMOVED = 1
+    ARCHIVED = 2
+    NEGATIVE = 3
+
+    @property
+    def priority(self) -> int:
+        return STATE_PRIORITY[int(self)]
+
+
+#: conflict priority by state id — Normal < Negative < Archived < Removed
+STATE_PRIORITY = {0: 0, 3: 1, 2: 2, 1: 3}
+
+#: All states; the default read filter of the reference is {Normal}.
+ALL_STATES = (0, 1, 2, 3)
+DEFAULT_STATES = (State.NORMAL,)
+
+
+def state_priority(col: Column | str) -> Column:
+    """Conflict-priority expression: (4 - state) % 4.
+
+    Closed form of the {0:0, 3:1, 2:2, 1:3} table (``State.scala:24-36``) —
+    stays in whole-stage codegen instead of a CASE chain or a python UDF.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(F.lit(4) - c, F.lit(4))
+
+
+#: Same expression in ANSI SQL (valid in both Spark SQL and DuckDB).
+STATE_PRIORITY_SQL = "((4 - {col}) % 4)"
+
+
+EDGE_SCHEMA = T.StructType(
+    [
+        T.StructField("graph_id", T.IntegerType(), False),
+        T.StructField("source_id", T.LongType(), False),
+        T.StructField("destination_id", T.LongType(), False),
+        # ordered-uuid style sort key: millis << 20 | 20 low bits
+        # (UuidGenerator.scala:26-39)
+        T.StructField("position", T.LongType(), False),
+        # epoch seconds; the last-writer-wins conflict key
+        T.StructField("updated_at", T.LongType(), False),
+        T.StructField("count", T.IntegerType(), False),
+        T.StructField("state", T.IntegerType(), False),
+    ]
+)
+
+METADATA_SCHEMA = T.StructType(
+    [
+        T.StructField("graph_id", T.IntegerType(), False),
+        T.StructField("source_id", T.LongType(), False),
+        # edges whose state equals the vertex state (SqlShard.scala:499)
+        T.StructField("count", T.IntegerType(), False),
+        T.StructField("state", T.IntegerType(), False),
+        T.StructField("updated_at", T.LongType(), False),
+    ]
+)
+
+EDGE_COLUMNS = [f.name for f in EDGE_SCHEMA.fields]
+METADATA_COLUMNS = [f.name for f in METADATA_SCHEMA.fields]
+
+#: position = millis << 20 | low-20-bits  (UuidGenerator.scala:26-39); we use a
+#: deterministic key-derived low word instead of random bits so tests can hash.
+POSITION_SHIFT = 1 << 20
