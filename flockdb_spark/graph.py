@@ -1,0 +1,94 @@
+"""EdgeStore — the engine's handle on a graph dataset.
+
+Replaces the reference's shard/forwarding layer (``ForwardingManager.scala:24-38``):
+instead of a hash ring of MySQL shards with two mirrored tables per graph
+(forward/backward, ``doc/blog.md:90-93``), one columnar edges DataFrame serves
+both directions; Catalyst prunes partitions/files on whichever key the query
+filters.  At cluster scale the layout (partition by graph_id, bucket/sort by
+source_id, position) plays the role of the reference's two MySQL indexes
+(``shards/SqlShard.scala:64-67``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schema import EDGE_COLUMNS
+from .sources.edges import build_edges, build_metadata
+
+
+@dataclass
+class EdgeStore:
+    spark: SparkSession
+    edges: DataFrame
+    metadata: DataFrame
+
+    @classmethod
+    def from_sf_dir(cls, spark: SparkSession, sf_dir: str, cache: bool = False) -> "EdgeStore":
+        edges = build_edges(spark, sf_dir)
+        if cache:
+            edges = edges.cache()
+        return cls(spark, edges, build_metadata(spark, sf_dir, edges))
+
+    @classmethod
+    def from_edges(cls, spark: SparkSession, edges: DataFrame, metadata: DataFrame | None = None) -> "EdgeStore":
+        if metadata is None:
+            metadata = edges.groupBy("graph_id", "source_id").agg(
+                F.count(F.when(F.col("state") == 0, 1)).cast("int").alias("count"),
+                F.lit(0).cast("int").alias("state"),
+                F.max("updated_at").alias("updated_at"),
+            )
+        return cls(spark, edges, metadata)
+
+    # -- direction views ----------------------------------------------------
+
+    def graph(self, graph_id: int) -> DataFrame:
+        return self.edges.where(F.col("graph_id") == graph_id)
+
+    def forward(self, graph_id: int, source_id: int, states: tuple[int, ...] = (0,)) -> DataFrame:
+        """Edges out of a vertex (R5, ``queries/SimpleQuery.scala:23-47``)."""
+        return self.graph(graph_id).where(
+            (F.col("source_id") == source_id) & F.col("state").isin(list(states))
+        )
+
+    def backward(self, graph_id: int, destination_id: int, states: tuple[int, ...] = (0,)) -> DataFrame:
+        """Edges into a vertex — the reference's mirrored `-graph_id` table
+        (``ForwardingManager.scala:35-37``) collapses to a filter here."""
+        return self.graph(graph_id).where(
+            (F.col("destination_id") == destination_id) & F.col("state").isin(list(states))
+        )
+
+    # -- persistence --------------------------------------------------------
+
+    def write_optimized(self, path: str, buckets: int = 0, table: str | None = None) -> None:
+        """Persist the edge table in the layout that replaces the reference's
+        two MySQL indexes (``SqlShard.scala:64-67``, §4 of SURVEY.md):
+
+        - partitioned by graph_id → partition pruning ≙ per-graph tables
+        - sorted within files by (source_id, position) → parquet min/max
+          row-group skipping ≙ the PRIMARY (source_id, state, position) index
+        - optional bucketing by source_id (saveAsTable) → shuffle-free
+          co-located joins on source_id at cluster scale
+        """
+        df = self.edges.repartition("graph_id", "source_id").sortWithinPartitions(
+            "source_id", "position"
+        )
+        if buckets and table:
+            (
+                df.write.mode("overwrite")
+                .partitionBy("graph_id")
+                .bucketBy(buckets, "source_id")
+                .sortBy("source_id", "position")
+                .option("path", path)
+                .saveAsTable(table)
+            )
+        else:
+            df.select(*EDGE_COLUMNS).write.mode("overwrite").partitionBy("graph_id").parquet(path)
+
+    @classmethod
+    def read_optimized(cls, spark: SparkSession, path: str) -> "EdgeStore":
+        edges = spark.read.parquet(path).select(*EDGE_COLUMNS)
+        return cls.from_edges(spark, edges)

@@ -1,0 +1,225 @@
+"""Write/merge operators — the heart of FlockDB's semantics.
+
+W2 temporal last-writer-wins merge (``shards/SqlShard.scala:432-500``): on
+conflict for (graph, source, destination) the newer ``updated_at`` wins; on
+equal timestamps the higher-priority state wins (Removed > Archived > Negative
+> Normal, ``Edge.scala:61-68``).  This one rule makes the write stream
+idempotent and commutative (``doc/blog.md:67-75``), which is exactly why a
+batch/streaming engine can apply it without ordering guarantees.
+
+Implemented with ``max_by(struct(row), struct(updated_at, priority, position))``
+— a hash aggregation with map-side partial combine, which at 100 TB beats a
+window (`row_number`) formulation: one shuffle of pre-combined partial maxima
+instead of a full sort of every partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schema import EDGE_COLUMNS, METADATA_COLUMNS, state_priority
+
+_EDGE_KEY = ["graph_id", "source_id", "destination_id"]
+
+
+def temporal_merge(existing: DataFrame, writes: DataFrame) -> DataFrame:
+    """Merge a batch of edge writes into an edge table (W2).
+
+    Both inputs carry the full edge schema.  The result keeps, per
+    (graph, source, destination), the row with the greatest
+    (updated_at, state_priority, position) — deterministic, idempotent,
+    commutative (``SqlShard.scala:432-500``; tie rule ``Edge.scala:61-68``).
+    """
+    unioned = existing.select(*EDGE_COLUMNS).unionByName(writes.select(*EDGE_COLUMNS))
+    payload = [c for c in EDGE_COLUMNS if c not in _EDGE_KEY]
+    winner = F.max_by(
+        F.struct(*payload),
+        F.struct(
+            F.col("updated_at"),
+            state_priority("state"),
+            F.col("position"),
+        ),
+    ).alias("_w")
+    return (
+        unioned.groupBy(*_EDGE_KEY)
+        .agg(winner)
+        .select(*_EDGE_KEY, *[F.col(f"_w.{c}").alias(c) for c in payload])
+        .select(*EDGE_COLUMNS)
+    )
+
+
+def metadata_merge(existing: DataFrame, writes: DataFrame) -> DataFrame:
+    """W7 — same LWW rule applied to per-vertex metadata
+    (``SqlShard.scala:646-697``; equal-time → higher-priority state wins)."""
+    key = ["graph_id", "source_id"]
+    unioned = existing.select(*METADATA_COLUMNS).unionByName(writes.select(*METADATA_COLUMNS))
+    payload = [c for c in METADATA_COLUMNS if c not in key]
+    winner = F.max_by(
+        F.struct(*payload),
+        F.struct(F.col("updated_at"), state_priority("state")),
+    ).alias("_w")
+    return (
+        unioned.groupBy(*key)
+        .agg(winner)
+        .select(*key, *[F.col(f"_w.{c}").alias(c) for c in payload])
+        .select(*METADATA_COLUMNS)
+    )
+
+
+def resolve_writes(writes: DataFrame, metadata: DataFrame) -> DataFrame:
+    """W1 effective-state resolution (``jobs/single/Single.scala:95-122``).
+
+    A single-edge write lands with state = max-by-priority of (forward vertex
+    state, backward vertex state, preferred state) — an Archived user forces
+    incoming adds to Archived (``Single.scala:106``).  Expressed as two
+    broadcast-able joins against the metadata table plus a ``greatest`` over
+    priorities; the priority↔state mapping (4-s)%4 is an involution, so the
+    inverse is the same formula.
+    """
+    fwd = metadata.select(
+        F.col("graph_id").alias("_fg"),
+        F.col("source_id").alias("_fv"),
+        state_priority("state").alias("_fwd_prio"),
+    )
+    bwd = metadata.select(
+        F.col("graph_id").alias("_bg"),
+        F.col("source_id").alias("_bv"),
+        state_priority("state").alias("_bwd_prio"),
+    )
+    out = (
+        writes.join(
+            F.broadcast(fwd),
+            on=(F.col("graph_id") == F.col("_fg")) & (F.col("source_id") == F.col("_fv")),
+            how="left",
+        )
+        .drop("_fg", "_fv")
+        .join(
+            F.broadcast(bwd),
+            on=(F.col("graph_id") == F.col("_bg")) & (F.col("destination_id") == F.col("_bv")),
+            how="left",
+        )
+        .drop("_bg", "_bv")
+    )
+    eff_prio = F.greatest(
+        state_priority("state"),
+        F.coalesce(F.col("_fwd_prio"), F.lit(0)),
+        F.coalesce(F.col("_bwd_prio"), F.lit(0)),
+    )
+    return out.withColumn(
+        "state", F.pmod(F.lit(4) - eff_prio, F.lit(4)).cast("int")
+    ).select(*EDGE_COLUMNS)
+
+
+def derive_metadata(edges: DataFrame, old_metadata: DataFrame | None = None) -> DataFrame:
+    """W6 — recompute maintained per-vertex counts after a merge batch.
+
+    The reference updates counts transactionally per write
+    (``SqlShard.scala:499,510-513``); at batch granularity a grouped
+    re-aggregation of the touched vertices is cheaper and exact.  ``count``
+    counts only edges whose state equals the vertex state
+    (``SqlShard.scala:499``) — here vertices are Normal unless an op archived
+    them, in which case ``old_metadata`` supplies the vertex state.
+    """
+    agg = edges.groupBy("graph_id", "source_id").agg(
+        F.count(F.when(F.col("state") == 0, 1)).cast("int").alias("_n_normal"),
+        F.max("updated_at").alias("_max_ts"),
+    )
+    if old_metadata is None:
+        return agg.select(
+            "graph_id",
+            "source_id",
+            F.col("_n_normal").alias("count"),
+            F.lit(0).cast("int").alias("state"),
+            F.col("_max_ts").alias("updated_at"),
+        )
+    md = old_metadata.select(
+        "graph_id", "source_id", F.col("state").alias("_v_state"), F.col("updated_at").alias("_v_ts")
+    )
+    counts = edges.join(md, on=["graph_id", "source_id"], how="left").groupBy(
+        "graph_id", "source_id"
+    ).agg(
+        F.count(
+            F.when(F.col("state") == F.coalesce(F.col("_v_state"), F.lit(0)), 1)
+        ).cast("int").alias("count"),
+        F.coalesce(F.first("_v_state"), F.lit(0)).cast("int").alias("state"),
+        F.greatest(F.max("updated_at"), F.coalesce(F.first("_v_ts"), F.lit(0))).alias("updated_at"),
+    )
+    return counts.select(*METADATA_COLUMNS)
+
+
+def apply_oplog(
+    edges: DataFrame,
+    metadata: DataFrame,
+    ops: DataFrame,
+    resolve_with_metadata: bool = False,
+) -> tuple[DataFrame, DataFrame]:
+    """Replay a batch of write operations (W1 single + W3 mass-action).
+
+    ``ops`` schema: (op_state INT — the preferred state of the op: 0=add,
+    1=remove, 2=archive, 3=negate; graph_id, source_id, destination_id
+    NULLABLE, position, updated_at).  NULL destination = wildcard mass-action
+    (``queries/ExecuteCompiler.scala:86-99``): the op applies to every
+    not-Removed edge of the vertex (``jobs/multi/Multi.scala:101-137``) and to
+    the vertex metadata itself.  The reference fans a Multi out into queued
+    per-edge Single jobs, 500 at a time; here it is one join + one merge.
+
+    Returns (merged_edges, merged_metadata).
+    """
+    single = ops.where(F.col("destination_id").isNotNull()).select(
+        "graph_id",
+        "source_id",
+        "destination_id",
+        F.col("position").cast("long").alias("position"),
+        F.col("updated_at").cast("long").alias("updated_at"),
+        F.lit(0).cast("int").alias("count"),
+        F.col("op_state").cast("int").alias("state"),
+    )
+
+    mass = ops.where(F.col("destination_id").isNull()).select(
+        F.col("graph_id").alias("_m_graph"),
+        F.col("source_id").alias("_m_source"),
+        F.col("op_state").cast("int").alias("_m_state"),
+        F.col("updated_at").cast("long").alias("_m_ts"),
+    )
+    # W3: expand each mass op against the vertex's current not-Removed edges
+    # (selectIncludingArchived, SqlShard.scala:246-250) — position unchanged,
+    # state/updated_at from the op.
+    mass_writes = (
+        edges.where(F.col("state") != 1)
+        .join(
+            F.broadcast(mass),
+            on=(F.col("graph_id") == F.col("_m_graph"))
+            & (F.col("source_id") == F.col("_m_source")),
+            how="inner",
+        )
+        .select(
+            "graph_id",
+            "source_id",
+            "destination_id",
+            "position",
+            F.col("_m_ts").alias("updated_at"),
+            F.lit(0).cast("int").alias("count"),
+            F.col("_m_state").alias("state"),
+        )
+    )
+
+    # Multi updates the vertex state FIRST, then fans out edge writes
+    # (Multi.scala:101-110) — so the metadata merge happens before single-edge
+    # resolution, and the mass-action edge writes carry the op state as-is.
+    md_writes = mass.select(
+        F.col("_m_graph").alias("graph_id"),
+        F.col("_m_source").alias("source_id"),
+        F.lit(0).cast("int").alias("count"),
+        F.col("_m_state").alias("state"),
+        F.col("_m_ts").alias("updated_at"),
+    )
+    merged_md = metadata_merge(metadata, md_writes.select(*METADATA_COLUMNS))
+
+    if resolve_with_metadata:
+        single = resolve_writes(single, merged_md)
+    writes = single.unionByName(mass_writes).select(*EDGE_COLUMNS)
+    merged_edges = temporal_merge(edges, writes)
+
+    merged_md = derive_metadata(merged_edges, merged_md)
+    return merged_edges, merged_md

@@ -1,0 +1,133 @@
+"""The public API facade — the 9 Thrift methods of the reference service
+(``src/main/thrift/Flockdb.thrift:138-167``), re-expressed over DataFrames.
+
+contains / get / get_metadata / contains_metadata / count2 / count /
+select2 / select_edges / execute  (count and select are the deprecated pair).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .graph import EdgeStore
+from .operators.algebra import QueryNode, Simple, Term, WhereIn
+from .operators.counts import size_estimate
+from .operators.merge import apply_oplog
+from .operators.paging import CURSOR_START, Cursor, Page, paginate
+from .plans.compiler import (
+    ExecuteOperation,
+    SelectOperation,
+    compile_execute,
+    compile_select,
+)
+from .schema import State
+
+
+@dataclass
+class SelectQuery:
+    """One select2 request: an RPN program + a page spec (Flockdb.thrift:85-88)."""
+
+    operations: list[SelectOperation]
+    page_count: int = 20
+    cursor: Cursor | str = CURSOR_START
+
+
+class FlockService:
+    """Stateful facade over an EdgeStore.  Reads are pure; ``execute``
+    replaces the store's DataFrames with the merged result (the reference ack's
+    writes into a queue and applies them asynchronously, ``doc/blog.md:67-75``;
+    batch Spark applies them synchronously per call)."""
+
+    def __init__(self, store: EdgeStore):
+        self.store = store
+
+    # -- point reads (EdgesService.scala:42-84) -----------------------------
+
+    def get(self, source_id: int, graph_id: int, destination_id: int):
+        """R1 (``EdgesService.scala:62-72``)."""
+        rows = (
+            self.store.graph(graph_id)
+            .where(
+                (F.col("source_id") == source_id)
+                & (F.col("destination_id") == destination_id)
+            )
+            .limit(1)
+            .collect()
+        )
+        return rows[0] if rows else None
+
+    def contains(self, source_id: int, graph_id: int, destination_id: int) -> bool:
+        """R2 — exists in state Normal or Negative (``EdgesService.scala:51-60``)."""
+        row = self.get(source_id, graph_id, destination_id)
+        return row is not None and row["state"] in (int(State.NORMAL), int(State.NEGATIVE))
+
+    def get_metadata(self, source_id: int, graph_id: int):
+        """R3 (``EdgesService.scala:74-84``)."""
+        rows = (
+            self.store.metadata.where(
+                (F.col("graph_id") == graph_id) & (F.col("source_id") == source_id)
+            )
+            .limit(1)
+            .collect()
+        )
+        return rows[0] if rows else None
+
+    def contains_metadata(self, source_id: int, graph_id: int) -> bool:
+        return self.get_metadata(source_id, graph_id) is not None
+
+    # -- compound reads (EdgesService.scala:86-119) -------------------------
+
+    def select2(self, queries: list[SelectQuery]) -> list[Page]:
+        """R14/R18 — N independent compound paged queries
+        (``EdgesService.scala:86-100``).  Each compiles to one Catalyst plan;
+        compound results page by destination id, the reference's canonical
+        set-op order (``shards/SqlShard.scala:240-244``)."""
+        out = []
+        for q in queries:
+            tree = compile_select(q.operations)
+            ids = tree.ids(self.store)
+            # set-op results are id-ordered; reuse id as the sort key
+            df = ids.select(F.col("id").alias("_sort"), F.col("id").alias("_id"))
+            out.append(paginate(df, "_sort", "_id", q.page_count, q.cursor))
+        return out
+
+    def select_edges(
+        self,
+        source_id: int,
+        graph_id: int,
+        states: tuple[int, ...] = (0,),
+        destination_ids: tuple[int, ...] | None = None,
+        count: int = 20,
+        cursor: Cursor | str = CURSOR_START,
+    ) -> Page:
+        """R8/R10 — single-term full-edge page (``EdgesService.scala:102-119``;
+        no compound support, ``Flockdb.thrift:158-160``)."""
+        term = Term(graph_id, source_id, True, states)
+        node = WhereIn(term, destination_ids) if destination_ids else Simple(term)
+        return paginate(node.edges(self.store), "position", "destination_id", count, cursor)
+
+    # -- estimates (EdgesService.scala:131-140) -----------------------------
+
+    def count2(self, programs: list[list[SelectOperation]]) -> list[int]:
+        return [size_estimate(self.store, compile_select(p)) for p in programs]
+
+    count = count2  # deprecated alias (Flockdb.thrift:165)
+
+    # -- writes (EdgesService.scala:121-129) --------------------------------
+
+    def execute(self, operations: list[ExecuteOperation], at: int | None = None) -> None:
+        now = at if at is not None else int(time.time())
+        ops_df = compile_execute(self.store.spark, operations, now)
+        edges, metadata = apply_oplog(
+            self.store.edges, self.store.metadata, ops_df, resolve_with_metadata=True
+        )
+        # Materialize the merged batch and truncate lineage — the batch
+        # equivalent of the reference committing each write to storage.  In a
+        # cluster deployment this is a write to the edge table (Delta/parquet);
+        # locally a checkpoint keeps repeated executes from stacking plans.
+        self.store.edges = edges.localCheckpoint(eager=True)
+        self.store.metadata = metadata.localCheckpoint(eager=True)
