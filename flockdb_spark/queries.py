@@ -1,0 +1,743 @@
+"""The declared correctness query set (SURVEY.md §2.e, Q1–Q21).
+
+Each query exists twice: a Spark callable ``(spark, sf_dir) -> DataFrame``
+exercising the engine's operators, and a DuckDB oracle SQL string over the same
+parquet tables.  The driver hash-compares the two at sf0.01; ``tools/check.py``
+replicates that locally.  Column names/types are aligned on both sides.
+
+Fixed parameters (FIXTURES.md §5) are computed inside each query (CTE on the
+oracle side, a collected lookup on the Spark side) so they are deterministic at
+every scale factor.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .graph import EdgeStore
+from .operators.algebra import Difference, Intersection, Simple, Term, Union, WhereIn
+from .operators.counts import size_estimate
+from .operators.merge import apply_oplog, metadata_merge, temporal_merge
+from .operators.paging import paginate_all
+from .plans.compiler import (
+    QueryTerm,
+    SelectOperation,
+    SelectOperationType,
+)
+from .schema import EDGE_COLUMNS, EDGE_SCHEMA, METADATA_SCHEMA
+from .sources.edges import _read, build_edges, with_fixture_ctes
+
+# supplier pairs for the set-op queries (graph 3 is the only graph whose
+# destinations are shared between sources); suppliers 1..5 exist at every sf
+PAIRS = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 3)]
+
+_STORES: dict[str, EdgeStore] = {}
+_PARAMS: dict[str, dict] = {}
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def store_for(spark: SparkSession, sf_dir: str) -> EdgeStore:
+    st = _STORES.get(sf_dir)
+    if st is None:
+        st = EdgeStore.from_sf_dir(spark, sf_dir, cache=True)
+        st.metadata = st.metadata.cache()
+        _STORES[sf_dir] = st
+    return st
+
+
+def params_for(spark: SparkSession, sf_dir: str) -> dict:
+    """Collected fixed parameters (FIXTURES.md §5), cached per sf_dir."""
+    p = _PARAMS.get(sf_dir)
+    if p is None:
+        orders = _read(spark, sf_dir, "orders")
+        src10 = [
+            r["source_id"]
+            for r in orders.groupBy(F.col("o_custkey").alias("source_id"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") >= 3)
+            .orderBy("source_id")
+            .limit(10)
+            .collect()
+        ]
+        st = store_for(spark, sf_dir)
+        first = src10[0]
+        true10 = [
+            r["destination_id"]
+            for r in st.graph(1)
+            .where(F.col("source_id") == first)
+            .orderBy("destination_id")
+            .limit(10)
+            .collect()
+        ]
+        p = {"src10": src10, "src5": sorted(src10)[:5], "first": first, "true10": true10}
+        _PARAMS[sf_dir] = p
+    return p
+
+
+def _src10_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ids = params_for(spark, sf_dir)["src10"]
+    return spark.createDataFrame([(int(i),) for i in ids], "source_id long")
+
+
+# ---------------------------------------------------------------------------
+# Q1 — point edge lookup (R1, EdgesService.scala:62-72)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q01_point_lookup",
+    with_fixture_ctes("""
+SELECT e.graph_id, e.source_id, e.destination_id, e.position, e.updated_at, e."count", e.state
+FROM edges e
+JOIN (
+  SELECT source_id, min(destination_id) AS destination_id
+  FROM edges WHERE graph_id = 1 AND source_id IN (SELECT source_id FROM src10)
+  GROUP BY source_id
+) p USING (source_id, destination_id)
+WHERE e.graph_id = 1
+"""),
+)
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = store_for(spark, sf_dir)
+    g1 = st.graph(1)
+    p = (
+        g1.join(F.broadcast(_src10_df(spark, sf_dir)), "source_id", "left_semi")
+        .groupBy("source_id")
+        .agg(F.min("destination_id").alias("destination_id"))
+    )
+    return g1.join(F.broadcast(p), ["source_id", "destination_id"], "inner").select(*EDGE_COLUMNS)
+
+
+# ---------------------------------------------------------------------------
+# Q2 — contains: exists in state Normal|Negative (R2, EdgesService.scala:51-60)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q02_contains",
+    with_fixture_ctes("""
+SELECT p.source_id, p.destination_id,
+       coalesce(e.state IN (0, 3), FALSE) AS is_contained
+FROM (
+  SELECT source_id, min(destination_id) AS destination_id
+  FROM edges WHERE graph_id = 1 AND source_id IN (SELECT source_id FROM src10)
+  GROUP BY source_id
+  UNION ALL
+  SELECT source_id, -source_id - 1 AS destination_id FROM src10
+) p
+LEFT JOIN (SELECT * FROM edges WHERE graph_id = 1) e USING (source_id, destination_id)
+"""),
+)
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = store_for(spark, sf_dir)
+    g1 = st.graph(1)
+    src10 = _src10_df(spark, sf_dir)
+    present = (
+        g1.join(F.broadcast(src10), "source_id", "left_semi")
+        .groupBy("source_id")
+        .agg(F.min("destination_id").alias("destination_id"))
+    )
+    absent = src10.select("source_id", (-F.col("source_id") - 1).alias("destination_id"))
+    probes = present.unionByName(absent)
+    e = g1.select("source_id", "destination_id", "state")
+    return (
+        probes.join(e, ["source_id", "destination_id"], "left")
+        .select(
+            "source_id",
+            "destination_id",
+            F.coalesce(F.col("state").isin(0, 3), F.lit(False)).alias("is_contained"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q3 — vertex metadata lookup (R3, EdgesService.scala:74-84)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q03_metadata",
+    with_fixture_ctes("""
+SELECT graph_id, source_id, "count", state, updated_at
+FROM metadata WHERE source_id IN (SELECT source_id FROM src10)
+"""),
+)
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = store_for(spark, sf_dir)
+    return st.metadata.join(
+        F.broadcast(_src10_df(spark, sf_dir)), "source_id", "left_semi"
+    ).select("graph_id", "source_id", "count", "state", "updated_at")
+
+
+# ---------------------------------------------------------------------------
+# Q4 — degree counts per state (R4/W6, SqlShard.scala:175-188)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q04_degree_counts",
+    with_fixture_ctes("""
+SELECT source_id, state, count(*) AS n
+FROM edges
+WHERE graph_id = 1 AND source_id IN (
+  SELECT DISTINCT source_id FROM edges WHERE graph_id = 1 ORDER BY source_id LIMIT 100
+)
+GROUP BY source_id, state
+"""),
+)
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = store_for(spark, sf_dir)
+    g1 = st.graph(1)
+    smallest = g1.select("source_id").distinct().orderBy("source_id").limit(100)
+    return (
+        g1.join(F.broadcast(smallest), "source_id", "left_semi")
+        .groupBy("source_id", "state")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q5 — wildcard adjacency scan, Normal state (R5/R6, SimpleQuery.scala:23-47)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q05_wildcard",
+    with_fixture_ctes("""
+SELECT source_id, destination_id, position
+FROM edges
+WHERE graph_id = 1 AND state = 0 AND source_id IN (SELECT source_id FROM src10)
+"""),
+)
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = store_for(spark, sf_dir)
+    return (
+        st.graph(1)
+        .where(F.col("state") == 0)
+        .join(F.broadcast(_src10_df(spark, sf_dir)), "source_id", "left_semi")
+        .select("source_id", "destination_id", "position")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q6 — keyset pages of 3 with cursors until exhausted (R6/R15,
+# ResultWindow.scala:34-104).  The Spark side drives the REAL paginate loop;
+# the oracle reproduces the page assignment with a window.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q06_keyset_pages",
+    with_fixture_ctes("""
+SELECT source_id, destination_id, position,
+       CAST((row_number() OVER (
+         PARTITION BY source_id ORDER BY position DESC, destination_id DESC
+       ) - 1) // 3 AS INTEGER) AS page_idx
+FROM edges
+WHERE graph_id = 1 AND state = 0 AND source_id IN (SELECT source_id FROM src10)
+"""),
+)
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = store_for(spark, sf_dir)
+    rows = []
+    for src in params_for(spark, sf_dir)["src10"]:
+        df = st.forward(1, src, (0,))
+        for idx, page in enumerate(paginate_all(df, "position", "destination_id", 3)):
+            for pos, dest in page.rows:
+                rows.append((int(src), int(dest), int(pos), idx))
+    return spark.createDataFrame(
+        rows, "source_id long, destination_id long, position long, page_idx int"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — scan ordered by destination_id (R7, SqlShard.scala:240-244)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q07_by_destination",
+    with_fixture_ctes("""
+SELECT source_id, destination_id,
+       CAST(row_number() OVER (PARTITION BY source_id ORDER BY destination_id DESC) AS INTEGER) AS rn
+FROM edges
+WHERE graph_id = 1 AND state = 0 AND source_id IN (SELECT source_id FROM src10)
+"""),
+)
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = store_for(spark, sf_dir)
+    w = Window.partitionBy("source_id").orderBy(F.desc("destination_id"))
+    return (
+        st.graph(1)
+        .where(F.col("state") == 0)
+        .join(F.broadcast(_src10_df(spark, sf_dir)), "source_id", "left_semi")
+        .select(
+            "source_id",
+            "destination_id",
+            F.row_number().over(w).cast("int").alias("rn"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — backward direction (ForwardingManager.scala:35-37): who points at a
+# fixed destination set; graph 3 (supplier→part), ten smallest parts
+# ---------------------------------------------------------------------------
+
+@query(
+    "q08_backward",
+    with_fixture_ctes("""
+SELECT destination_id, source_id, position
+FROM edges
+WHERE graph_id = 3 AND state = 0 AND destination_id IN (
+  SELECT DISTINCT destination_id FROM edges WHERE graph_id = 3 ORDER BY destination_id LIMIT 10
+)
+"""),
+)
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = store_for(spark, sf_dir)
+    g3 = st.graph(3)
+    dst10 = g3.select("destination_id").distinct().orderBy("destination_id").limit(10)
+    return (
+        g3.where(F.col("state") == 0)
+        .join(F.broadcast(dst10), "destination_id", "left_semi")
+        .select("destination_id", "source_id", "position")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — WhereIn: IN-list semi-join (R9, WhereInQuery.scala:24-47); candidate
+# list = the first source's 10 smallest true destinations + 10 absent ids
+# ---------------------------------------------------------------------------
+
+@query(
+    "q09_where_in",
+    with_fixture_ctes("""
+SELECT destination_id AS id
+FROM edges
+WHERE graph_id = 1 AND state = 0
+  AND source_id = (SELECT min(source_id) FROM src10)
+  AND destination_id IN (
+    SELECT destination_id FROM (
+      SELECT destination_id FROM edges
+      WHERE graph_id = 1 AND source_id = (SELECT min(source_id) FROM src10)
+      ORDER BY destination_id LIMIT 10)
+    UNION ALL
+    SELECT * FROM (VALUES (-1),(-2),(-3),(-4),(-5),(-6),(-7),(-8),(-9),(-10)) v(destination_id)
+  )
+"""),
+)
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = store_for(spark, sf_dir)
+    p = params_for(spark, sf_dir)
+    candidates = tuple(p["true10"]) + tuple(range(-1, -11, -1))
+    node = WhereIn(Term(1, p["first"], True, (0,)), candidates)
+    return node.ids(st)
+
+
+# ---------------------------------------------------------------------------
+# Q10 — intersection of supplier pairs (R11, IntersectionQuery.scala:23-76)
+# ---------------------------------------------------------------------------
+
+def _pair_filter_sql(a_col: str = "a.source_id", b_col: str = "b.source_id") -> str:
+    return " OR ".join(f"({a_col} = {a} AND {b_col} = {b})" for a, b in PAIRS)
+
+
+@query(
+    "q10_intersection",
+    with_fixture_ctes(f"""
+SELECT a.source_id AS a, b.source_id AS b, a.destination_id AS id
+FROM (SELECT * FROM edges WHERE graph_id = 3 AND state = 0) a
+JOIN (SELECT * FROM edges WHERE graph_id = 3 AND state = 0) b
+  ON a.destination_id = b.destination_id
+WHERE {_pair_filter_sql()}
+"""),
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = store_for(spark, sf_dir)
+    out = None
+    for a, b in PAIRS:
+        node = Intersection(Simple(Term(3, a, True, (0,))), Simple(Term(3, b, True, (0,))))
+        part = node.ids(st).select(
+            F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"), "id"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Q11 — union of supplier pairs (R12, UnionQuery.scala:22-49)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q11_union",
+    with_fixture_ctes(f"""
+SELECT DISTINCT p.a, p.b, e.destination_id AS id
+FROM (VALUES {", ".join(f"({a}, {b})" for a, b in PAIRS)}) p(a, b)
+JOIN (SELECT * FROM edges WHERE graph_id = 3 AND state = 0) e
+  ON e.source_id = p.a OR e.source_id = p.b
+"""),
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = store_for(spark, sf_dir)
+    out = None
+    for a, b in PAIRS:
+        node = Union(Simple(Term(3, a, True, (0,))), Simple(Term(3, b, True, (0,))))
+        part = node.ids(st).select(
+            F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"), "id"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Q12 — difference A − B (R13, DifferenceQuery.scala)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q12_difference",
+    with_fixture_ctes(f"""
+SELECT p.a, p.b, e.destination_id AS id
+FROM (VALUES {", ".join(f"({a}, {b})" for a, b in PAIRS)}) p(a, b)
+JOIN (SELECT * FROM edges WHERE graph_id = 3 AND state = 0) e ON e.source_id = p.a
+WHERE NOT EXISTS (
+  SELECT 1 FROM edges x
+  WHERE x.graph_id = 3 AND x.state = 0 AND x.source_id = p.b
+    AND x.destination_id = e.destination_id
+)
+"""),
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = store_for(spark, sf_dir)
+    out = None
+    for a, b in PAIRS:
+        node = Difference(Simple(Term(3, a, True, (0,))), Simple(Term(3, b, True, (0,))))
+        part = node.ids(st).select(
+            F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"), "id"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Q13 — nested compound trees via the RPN compiler (R14,
+# SelectCompiler.scala:44-77): (s1 ∩ s2) ∪ s3 and (s1 ∪ s2) − s3
+# ---------------------------------------------------------------------------
+
+@query(
+    "q13_nested",
+    with_fixture_ctes(
+        """
+SELECT 'i_u' AS expr, id FROM ((SELECT id FROM s1 INTERSECT SELECT id FROM s2) UNION SELECT id FROM s3)
+UNION ALL
+SELECT 'u_d' AS expr, id FROM ((SELECT id FROM s1 UNION SELECT id FROM s2) EXCEPT SELECT id FROM s3)
+""",
+        "s1 AS (SELECT destination_id AS id FROM edges WHERE graph_id=3 AND state=0 AND source_id=1)",
+        "s2 AS (SELECT destination_id AS id FROM edges WHERE graph_id=3 AND state=0 AND source_id=2)",
+        "s3 AS (SELECT destination_id AS id FROM edges WHERE graph_id=3 AND state=0 AND source_id=3)",
+    ),
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .plans.compiler import compile_select
+
+    st = store_for(spark, sf_dir)
+    t = lambda s: SelectOperation(  # noqa: E731
+        SelectOperationType.SIMPLE_QUERY, QueryTerm(s, 3, True, None, (0,))
+    )
+    prog_iu = [t(1), t(2), SelectOperation(SelectOperationType.INTERSECTION),
+               t(3), SelectOperation(SelectOperationType.UNION)]
+    prog_ud = [t(1), t(2), SelectOperation(SelectOperationType.UNION),
+               t(3), SelectOperation(SelectOperationType.DIFFERENCE)]
+    a = compile_select(prog_iu).ids(st).select(F.lit("i_u").alias("expr"), "id")
+    b = compile_select(prog_ud).ids(st).select(F.lit("u_d").alias("expr"), "id")
+    return a.unionByName(b)
+
+
+# ---------------------------------------------------------------------------
+# Q14 — selectEdges full-row page + intersectEdges id-list (R8/R10,
+# EdgesService.scala:102-119, SqlShard.scala:337-349)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q14_select_edges",
+    with_fixture_ctes("""
+SELECT graph_id, source_id, destination_id, position, updated_at, "count", state
+FROM edges
+WHERE graph_id = 1 AND state = 0
+  AND source_id = (SELECT min(source_id) FROM src10)
+  AND destination_id IN (
+    SELECT destination_id FROM edges
+    WHERE graph_id = 1 AND source_id = (SELECT min(source_id) FROM src10)
+    ORDER BY destination_id LIMIT 10)
+"""),
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = store_for(spark, sf_dir)
+    p = params_for(spark, sf_dir)
+    node = WhereIn(Term(1, p["first"], True, (0,)), tuple(p["true10"]))
+    return node.edges(st).select(*EDGE_COLUMNS)
+
+
+# ---------------------------------------------------------------------------
+# Q15 — wildcard incl. archived: state != Removed (R17, SqlShard.scala:246-250)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q15_incl_archived",
+    with_fixture_ctes("""
+SELECT source_id, destination_id, state
+FROM edges
+WHERE graph_id = 1 AND state <> 1 AND source_id IN (SELECT source_id FROM src10)
+"""),
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = store_for(spark, sf_dir)
+    return (
+        st.graph(1)
+        .where(F.col("state") != 1)
+        .join(F.broadcast(_src10_df(spark, sf_dir)), "source_id", "left_semi")
+        .select("source_id", "destination_id", "state")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — multi-state filters: {Removed, Archived} on g1, {Negative} on g2
+# ---------------------------------------------------------------------------
+
+@query(
+    "q16_state_filters",
+    with_fixture_ctes("""
+SELECT graph_id, source_id, destination_id, state
+FROM edges
+WHERE (graph_id = 1 AND state IN (1, 2) AND source_id IN (SELECT source_id FROM src10))
+   OR (graph_id = 2 AND state = 3 AND source_id < 10)
+"""),
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = store_for(spark, sf_dir)
+    a = (
+        st.graph(1)
+        .where(F.col("state").isin(1, 2))
+        .join(F.broadcast(_src10_df(spark, sf_dir)), "source_id", "left_semi")
+    )
+    b = st.graph(2).where((F.col("state") == 3) & (F.col("source_id") < 10))
+    return a.unionByName(b).select("graph_id", "source_id", "destination_id", "state")
+
+
+# ---------------------------------------------------------------------------
+# Q17 — op-log replay through the W2 temporal merge (SqlShard.scala:432-500).
+# The op-log is derived from events: dense (src,dst) collisions, out-of-order
+# and equal timestamps with different states — the SqlShardSpec conflict
+# matrix (unit/SqlShardSpec.scala:323-410) at data scale.
+# ---------------------------------------------------------------------------
+
+_Q17_OPS_CTE = """
+ops AS (
+  SELECT CAST(event_id % 4 AS INTEGER) AS op_state,
+         user_id % 8 AS source_id,
+         event_id % 32 AS destination_id,
+         event_id AS position,
+         1800000000 + event_id % 16 AS updated_at
+  FROM events
+)
+""".strip()
+
+
+@query(
+    "q17_oplog_replay",
+    with_fixture_ctes("""
+SELECT CAST(1 AS INTEGER) AS graph_id, source_id, destination_id, position,
+       updated_at, CAST(0 AS INTEGER) AS "count", op_state AS state
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY source_id, destination_id
+    ORDER BY updated_at DESC, ((4 - op_state) % 4) DESC, position DESC
+  ) AS rn
+  FROM ops
+) t WHERE rn = 1
+""", _Q17_OPS_CTE),
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    ops = events.select(
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("op_state"),
+        F.lit(1).cast("int").alias("graph_id"),
+        F.pmod(F.col("user_id"), F.lit(8)).alias("source_id"),
+        F.pmod(F.col("event_id"), F.lit(32)).alias("destination_id"),
+        F.col("event_id").alias("position"),
+        (F.lit(1800000000) + F.pmod(F.col("event_id"), F.lit(16))).alias("updated_at"),
+    )
+    empty_edges = spark.createDataFrame([], EDGE_SCHEMA)
+    empty_md = spark.createDataFrame([], METADATA_SCHEMA)
+    merged, _ = apply_oplog(empty_edges, empty_md, ops)
+    return merged.select(*EDGE_COLUMNS)
+
+
+# ---------------------------------------------------------------------------
+# Q18 — mass-archive then re-add-all (W3, Multi.scala:101-137; mirrors
+# integration/EdgesSpec.scala:95-125).  Archive every src10 vertex, then
+# re-add the 5 smallest; the oracle reproduces the state machine with CASE
+# (valid because the op timestamps are newer than all data timestamps).
+# ---------------------------------------------------------------------------
+
+@query(
+    "q18_mass_action",
+    with_fixture_ctes("""
+SELECT graph_id, source_id, destination_id, position,
+       CASE WHEN state <> 1 AND source_id IN (SELECT source_id FROM src10 ORDER BY source_id LIMIT 5)
+              THEN 3100000000
+            WHEN state <> 1 AND source_id IN (SELECT source_id FROM src10)
+              THEN 3000000000
+            ELSE updated_at END AS updated_at,
+       "count",
+       CAST(CASE WHEN state <> 1 AND source_id IN (SELECT source_id FROM src10 ORDER BY source_id LIMIT 5)
+              THEN 0
+            WHEN state <> 1 AND source_id IN (SELECT source_id FROM src10)
+              THEN 2
+            ELSE state END AS INTEGER) AS state
+FROM edges
+WHERE graph_id = 1 AND source_id IN (SELECT source_id FROM src10)
+"""),
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = store_for(spark, sf_dir)
+    p = params_for(spark, sf_dir)
+    g1 = st.graph(1)
+    md = st.metadata.where(F.col("graph_id") == 1)
+
+    def mass_ops(sources: list[int], op_state: int, ts: int) -> DataFrame:
+        return spark.createDataFrame(
+            [(op_state, 1, int(s), None, 0, ts) for s in sources],
+            "op_state int, graph_id int, source_id long, destination_id long, position long, updated_at long",
+        )
+
+    e1, m1 = apply_oplog(g1, md, mass_ops(p["src10"], 2, 3_000_000_000))
+    e2, _ = apply_oplog(e1, m1, mass_ops(p["src5"], 0, 3_100_000_000))
+    return e2.join(F.broadcast(_src10_df(spark, sf_dir)), "source_id", "left_semi").select(
+        *EDGE_COLUMNS
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — metadata LWW merge from an op log (W7, SqlShard.scala:646-697;
+# mirrors unit/SqlShardSpec.scala:563-646)
+# ---------------------------------------------------------------------------
+
+_Q19_OPS_CTE = """
+mops AS (
+  SELECT CAST(event_id % 4 AS INTEGER) AS op_state,
+         user_id AS source_id,
+         1900000000 + event_id % 8 AS updated_at
+  FROM events
+)
+""".strip()
+
+
+@query(
+    "q19_metadata_merge",
+    with_fixture_ctes("""
+SELECT CAST(2 AS INTEGER) AS graph_id, source_id, CAST(0 AS INTEGER) AS "count",
+       op_state AS state, updated_at
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY source_id
+    ORDER BY updated_at DESC, ((4 - op_state) % 4) DESC
+  ) AS rn
+  FROM mops
+) t WHERE rn = 1
+""", _Q19_OPS_CTE),
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _read(spark, sf_dir, "events")
+    writes = events.select(
+        F.lit(2).cast("int").alias("graph_id"),
+        F.col("user_id").alias("source_id"),
+        F.lit(0).cast("int").alias("count"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("state"),
+        (F.lit(1900000000) + F.pmod(F.col("event_id"), F.lit(8))).alias("updated_at"),
+    )
+    empty_md = spark.createDataFrame([], METADATA_SCHEMA)
+    return metadata_merge(empty_md, writes)
+
+
+# ---------------------------------------------------------------------------
+# Q20 — reconcile two diverged replicas (W11, jobs/Copy.scala:65-129):
+# copy A is missing destination_id % 97 == 0 rows, copy B holds stale
+# (day-older, Normal-state) versions of destination_id % 101 == 0 rows
+# ---------------------------------------------------------------------------
+
+@query(
+    "q20_reconcile",
+    with_fixture_ctes("""
+SELECT graph_id, source_id, destination_id, position,
+       CASE WHEN destination_id % 97 = 0 AND destination_id % 101 = 0
+            THEN updated_at - 86400 ELSE updated_at END AS updated_at,
+       "count",
+       CAST(CASE WHEN destination_id % 97 = 0 AND destination_id % 101 = 0
+            THEN 0 ELSE state END AS INTEGER) AS state
+FROM edges WHERE graph_id = 1
+"""),
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.reconcile import reconcile
+
+    st = store_for(spark, sf_dir)
+    g1 = st.graph(1)
+    copy_a = g1.where(F.pmod(F.col("destination_id"), F.lit(97)) != 0)
+    copy_b = g1.withColumn(
+        "updated_at",
+        F.when(
+            F.pmod(F.col("destination_id"), F.lit(101)) == 0,
+            F.col("updated_at") - 86400,
+        ).otherwise(F.col("updated_at")),
+    ).withColumn(
+        "state",
+        F.when(F.pmod(F.col("destination_id"), F.lit(101)) == 0, F.lit(0))
+        .otherwise(F.col("state"))
+        .cast("int"),
+    )
+    return reconcile(copy_a, copy_b).select(*EDGE_COLUMNS)
+
+
+# ---------------------------------------------------------------------------
+# Q21 — count2 closed-form estimates (§3.3; IntersectionQuery.scala:24-28,
+# UnionQuery.scala:23, DifferenceQuery.scala:25)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q21_count_estimates",
+    with_fixture_ctes(f"""
+SELECT p.a, p.b,
+       CAST(floor(least(ma."count", mb."count") * 0.1) AS BIGINT) AS est_intersection,
+       CAST(greatest(ma."count", mb."count") AS BIGINT) AS est_union,
+       CAST(ma."count" AS BIGINT) AS est_difference
+FROM (VALUES {", ".join(f"({a}, {b})" for a, b in PAIRS)}) p(a, b)
+JOIN metadata ma ON ma.graph_id = 3 AND ma.source_id = p.a
+JOIN metadata mb ON mb.graph_id = 3 AND mb.source_id = p.b
+"""),
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = store_for(spark, sf_dir)
+    rows = []
+    for a, b in PAIRS:
+        sa, sb = Simple(Term(3, a, True, (0,))), Simple(Term(3, b, True, (0,)))
+        rows.append(
+            (
+                a,
+                b,
+                size_estimate(st, Intersection(sa, sb)),
+                size_estimate(st, Union(sa, sb)),
+                size_estimate(st, Difference(sa, sb)),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "a long, b long, est_intersection long, est_union long, est_difference long"
+    )
