@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from flockdb_spark import queries as _q  # noqa: E402
+from flockdb_spark import queries_ext as _qx  # noqa: E402,F401  (registers x-series)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,187 @@
+"""Deduplication operators for a large-scale training-data pipeline.
+
+Four tiers, cheapest → smartest:
+
+- exact: hash-groupBy on content — one shuffle, the 100 TB first pass
+- n-gram Jaccard: exact set similarity over word shingles (explode →
+  self-join on shingle → count / union) — quadratic only within shingle
+  buckets, which is what makes it feasible at scale
+- MinHash + LSH: per-doc signature via k independent xxhash64 permutations,
+  banded into buckets; candidate pairs only within buckets — the sub-quadratic
+  scale path (xxhash64 is JVM-side and vectorized; no Python in the loop)
+- SimHash: 64-bit near-dup signature from word hashes; Hamming buckets
+
+All are DataFrame compositions — no UDFs, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: per distinct content keep the smallest id and
+    the duplicate count.  One hash aggregation — the always-first pass."""
+    return df.groupBy(F.col(text_col)).agg(
+        F.min(id_col).alias("kept_doc_id"),
+        F.count(F.lit(1)).cast("long").alias("dup_count"),
+    ).select("kept_doc_id", "dup_count")
+
+
+def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    w = tokens(text_col)
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))  # sequence() would run backwards
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, threshold: float = 0.2, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs (a < b).
+
+    |A∩B| from a self-join on shingle; |A∪B| = |A|+|B|−|A∩B|.  The join is
+    keyed on the shingle, so cost scales with shingle-bucket sizes, not the
+    full cross product.  Jaccard is emitted in exact integer micro-units
+    (inter*1e6 // union) to stay engine-portable.
+    """
+    sh = word_shingles(df, n, text_col, id_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("n_b"))
+    out = (
+        inter.join(sa, "a")
+        .join(sb, "b")
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        .withColumn(
+            "jaccard_micro",
+            F.expr("(n_inter * 1000000) div n_union"),
+        )
+        .where(F.col("jaccard_micro") >= int(threshold * 1_000_000))
+    )
+    return out.select("a", "b", "n_inter", "n_union", "jaccard_micro")
+
+
+# -- MinHash + LSH (scale path; xxhash64 — Spark-native, no oracle twin) -----
+
+def minhash_signatures(
+    df: DataFrame, num_hashes: int = 32, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, sig: array<long>) — element i is min over shingles of
+    xxhash64(shingle, seed=i).  One explode + one groupBy."""
+    sh = word_shingles(df, n, text_col, id_col)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs sharing any band bucket.
+
+    rows = num_hashes/bands; P(candidate) ≈ 1-(1-j^rows)^bands.  The band
+    bucket join replaces the quadratic pair enumeration — this is the piece
+    that survives 100 TB.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(*[F.col("sig")[bi * rows + r] for r in range(rows)]).alias(
+                            "bucket"
+                        ),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.select(F.col("doc_id").alias("a"), "band", "bucket")
+    b = banded.select(F.col("doc_id").alias("b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def minhash_estimate_jaccard(df: DataFrame, pairs: DataFrame, num_hashes: int = 32, **kw) -> DataFrame:
+    """Estimated Jaccard for candidate pairs = fraction of matching signature
+    positions."""
+    sig = minhash_signatures(df, num_hashes, **kw)
+    sa = sig.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
+    return (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .withColumn(
+            "est_jaccard",
+            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
+            / F.lit(num_hashes),
+        )
+        .select("a", "b", "est_jaccard")
+    )
+
+
+# -- SimHash -----------------------------------------------------------------
+
+def simhash(df: DataFrame, bits: int = 48, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, simhash) — classic Charikar simhash over word hashes: bit p of
+    the signature is the sign of Σ_words (±1 by bit p of xxhash64(word)).
+
+    One projection over the token array — per-bit aggregates are plain column
+    expressions (bit positions are Python ints, so the whole thing stays in
+    codegen); no shuffle, no UDF.  48 bits keeps 1<<p in signed-long range.
+    """
+    w = F.array_distinct(tokens(text_col))
+    hashes = F.transform(w, lambda t: F.xxhash64(t))
+
+    def bit_vote(p: int):
+        # closure (not a default arg: pyspark counts lambda params strictly)
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, p).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    sig = F.lit(0).cast("long")
+    for p in range(bits):
+        s_p = F.aggregate(hashes, F.lit(0), bit_vote(p))
+        sig = sig.bitwiseOR(
+            F.when(s_p > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
+    return df.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))

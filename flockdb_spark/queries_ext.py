@@ -1,0 +1,325 @@
+"""LLM-data-pipeline extension queries (x-series) — dedup, similarity search,
+text analysis, multimodal plumbing, graph analytics.
+
+Beyond the reference's own operator surface (SURVEY.md §2.d notes these have
+no FlockDB counterpart); designed for 100 TB corpora: hash-groupBy exact
+dedup, shingle-bucket Jaccard, MinHash-LSH banding, quantized-integer vector
+math (exact + order-independent on any engine), integer PageRank.
+
+Queries using xxhash64 (minhash/simhash/LSH) have no DuckDB twin — the driver
+records the weaker rows-only check for them; everything else hash-matches.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions import analytics, dedup, multimodal, similarity, text
+from .queries import query, store_for
+from .sources.edges import _read, with_fixture_ctes
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+# words → trigram list, shared by the jaccard oracle
+_W = "string_split(text, ' ')"
+_TRIGRAMS = (
+    f"list_transform(range(1, length({_W}) - 1), "
+    f"i -> concat_ws(' ', {_W}[i], {_W}[i+1], {_W}[i+2]))"
+)
+
+
+def _docs_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _read(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+
+
+# ---------------------------------------------------------------------------
+# x01 — exact dedup: hash-groupBy on content
+# ---------------------------------------------------------------------------
+
+@query(
+    "x01_dedup_exact",
+    """
+SELECT min(doc_id) AS kept_doc_id, CAST(count(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY text
+""",
+)
+def x01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# x02 — exact word-trigram Jaccard near-dup pairs (shingle-bucket join)
+# ---------------------------------------------------------------------------
+
+@query(
+    "x02_ngram_jaccard",
+    f"""
+WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+sh AS (
+  SELECT doc_id, unnest(list_distinct({_TRIGRAMS})) AS shingle FROM sub
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT a, b, n_inter, sa.n_sh + sb.n_sh - n_inter AS n_union,
+       (n_inter * 1000000) // (sa.n_sh + sb.n_sh - n_inter) AS jaccard_micro
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE (n_inter * 1000000) // (sa.n_sh + sb.n_sh - n_inter) >= 20000
+""",
+)
+def x02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs_subset(spark, sf_dir), threshold=0.02)
+
+
+# ---------------------------------------------------------------------------
+# x03/x04 — MinHash-LSH candidates + SimHash signatures (xxhash64-based:
+# Spark-native scale path; rows-only check, no DuckDB twin)
+# ---------------------------------------------------------------------------
+
+@query("x03_minhash_lsh")
+def x03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sub = _docs_subset(spark, sf_dir)
+    pairs = dedup.minhash_lsh_candidates(sub, num_hashes=32, bands=8)
+    return dedup.minhash_estimate_jaccard(sub, pairs, num_hashes=32)
+
+
+@query("x04_simhash")
+def x04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_docs_subset(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# x05 — brute-force cosine top-k (quantized-integer dot: engine-exact)
+# ---------------------------------------------------------------------------
+
+_QUANT = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000))"
+
+
+@query(
+    "x05_ann_topk",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, {_QUANT} AS qv FROM embeddings
+  WHERE vec_id IN ({", ".join(map(str, ANN_QUERY_IDS))})
+),
+c AS (SELECT vec_id AS neighbor_id, {_QUANT} AS ev FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(list_dot_product(qv, ev) AS BIGINT) AS dot_micro2
+  FROM q, c WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, dot_micro2,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY dot_micro2 DESC, neighbor_id ASC
+       ) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 10
+""",
+)
+def x05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(emb, ANN_QUERY_IDS, k=10)
+
+
+# ---------------------------------------------------------------------------
+# x06 — LSH-bucketed ANN (hash-derived hyperplanes; rows-only check)
+# ---------------------------------------------------------------------------
+
+@query("x06_lsh_ann")
+def x06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_topk(emb, ANN_QUERY_IDS, k=10, planes=6)
+
+
+# ---------------------------------------------------------------------------
+# x07 — embedding-cosine near-duplicate pairs (exact quadratic baseline)
+# ---------------------------------------------------------------------------
+
+@query(
+    "x07_embedding_neardup",
+    f"""
+WITH v AS (SELECT vec_id, {_QUANT} AS qv FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot_micro2
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) >= 450000000000
+""",
+)
+def x07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.neardup_pairs(emb, threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# x08 — quality features (integer micro-ratios — no float rounding hazards)
+# ---------------------------------------------------------------------------
+
+@query(
+    "x08_quality",
+    f"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars_m,
+       CAST(length({_W}) AS BIGINT) AS n_tokens,
+       CAST(length(list_distinct({_W})) AS BIGINT) AS n_distinct,
+       ((length(text) - length({_W}) + 1) * 1000000) // length({_W}) AS avg_token_len_micro,
+       (length(list_filter({_W}, w -> w IN ('the','a','of','and','to'))) * 1000000)
+         // length({_W}) AS stop_ratio_micro
+FROM documents
+""",
+)
+def x08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    w = text.tokens("text")
+    stop = F.size(F.filter(w, lambda x: x.isin(*text.STOPWORDS)))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_m"),
+        F.size(w).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
+        F.expr("((length(text) - size(split(text, ' ')) + 1) * 1000000) div size(split(text, ' '))").alias("avg_token_len_micro"),
+        (stop.cast("long") * 1_000_000 / F.size(w)).cast("long").alias("stop_ratio_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x09 — token counting (whitespace + BPE-ish estimator)
+# ---------------------------------------------------------------------------
+
+@query(
+    "x09_token_count",
+    f"""
+SELECT doc_id,
+       CAST(length({_W}) AS BIGINT) AS n_tokens,
+       CAST(length({_W}) + list_sum(list_transform({_W},
+         w -> CASE WHEN length(w) > 4 THEN (length(w) - 1) // 4 ELSE 0 END)) AS BIGINT) AS n_bpe_ish
+FROM documents
+""",
+)
+def x09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").cast("long").alias("n_tokens"),
+        text.bpe_ish_token_count("text").cast("long").alias("n_bpe_ish"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x10 — language-ID heuristic
+# ---------------------------------------------------------------------------
+
+@query(
+    "x10_lang_id",
+    f"""
+WITH h AS (
+  SELECT doc_id, lang AS labeled_lang,
+         {text.lang_hits_sql("text", "en")} AS hits_en,
+         {text.lang_hits_sql("text", "de")} AS hits_de,
+         {text.lang_hits_sql("text", "es")} AS hits_es,
+         {text.lang_hits_sql("text", "fr")} AS hits_fr
+  FROM documents
+)
+SELECT *, CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+               WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+               WHEN hits_es >= hits_fr THEN 'es'
+               ELSE 'fr' END AS pred_lang
+FROM h
+""",
+)
+def x10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_id(_read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# x11 — document fingerprint (polynomial rolling hash)
+# ---------------------------------------------------------------------------
+
+@query(
+    "x11_fingerprint",
+    f"""
+SELECT doc_id, {text.FINGERPRINT_SQL.format(col="text")} AS fp
+FROM documents
+""",
+)
+def x11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# x12 — multimodal feature extraction (binary blobs → Arrow-batched
+# mapInPandas with a stubbed decode; oracle mirrors the stub arithmetic)
+# ---------------------------------------------------------------------------
+
+@query(
+    "x12_multimodal",
+    """
+SELECT doc_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       CAST((strlen(text) % 64 + 1) * 16 AS BIGINT) AS width,
+       CAST((strlen(text) % 48 + 1) * 16 AS BIGINT) AS height,
+       CAST(strlen(text) % 7 + 1 AS BIGINT) AS frames
+FROM documents
+""",
+)
+def x12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.attach_blobs(_read(spark, sf_dir, "documents"))
+    return multimodal.extract_features(media)
+
+
+# ---------------------------------------------------------------------------
+# x13/x14 — graph analytics over the edge table
+# ---------------------------------------------------------------------------
+
+@query(
+    "x13_degree_dist",
+    with_fixture_ctes("""
+SELECT out_degree, CAST(count(*) AS BIGINT) AS n_vertices
+FROM (
+  SELECT source_id, count(*) AS out_degree
+  FROM edges WHERE graph_id = 1 AND state = 0 GROUP BY source_id
+) d
+GROUP BY out_degree
+"""),
+)
+def x13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = store_for(spark, sf_dir)
+    return analytics.degree_distribution(st.edges, 1)
+
+
+_PR_ITER = """
+it{n} AS (
+  SELECT n.node, CAST(150000000 + (coalesce(s.in_sum, 0) * 85) // 100 AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(p.pr // d.out_deg) AS in_sum
+    FROM it{p} p JOIN deg d ON p.node = d.src JOIN e ON e.src = d.src
+    GROUP BY e.dst
+  ) s ON n.node = s.node
+)
+""".strip()
+
+
+@query(
+    "x14_pagerank",
+    with_fixture_ctes(
+        """
+SELECT node AS node_id, pr FROM it3
+""",
+        "e AS (SELECT source_id AS src, destination_id AS dst FROM edges WHERE graph_id = 3 AND state = 0)",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src)",
+        "it0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM nodes)",
+        _PR_ITER.format(n=1, p=0),
+        _PR_ITER.format(n=2, p=1),
+        _PR_ITER.format(n=3, p=2),
+    ),
+)
+def x14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = store_for(spark, sf_dir)
+    return analytics.pagerank(st.edges, 3, iterations=3)
