@@ -37,9 +37,12 @@ def pagerank(edges: DataFrame, graph_id: int, iterations: int = 3) -> DataFrame:
     e = (
         edges.where((F.col("graph_id") == graph_id) & (F.col("state") == 0))
         .select(F.col("source_id").alias("src"), F.col("destination_id").alias("dst"))
+        .cache()  # reused every iteration — avoid re-scanning the edge table
     )
-    nodes = e.select(F.col("src").alias("node")).union(e.select(F.col("dst").alias("node"))).distinct()
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    nodes = (
+        e.select(F.col("src").alias("node")).union(e.select(F.col("dst").alias("node"))).distinct().cache()
+    )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).cache()
     pr = nodes.select("node", F.lit(PR_UNIT).cast("long").alias("pr"))
     base = PR_UNIT * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
     for _ in range(iterations):

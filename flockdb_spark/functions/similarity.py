@@ -1,19 +1,23 @@
 """Similarity search over an embedding column (array<float>).
 
-Engine-portability trick used throughout: embeddings are quantized to integer
-micro-units (round(x*1e6) as int64) BEFORE any arithmetic.  Integer dot
-products are exact and order-independent, so Spark's partially-aggregated sums
-and any oracle agree bit-for-bit — float reductions would not.  At 1e6 scale a
-64-dim unit vector's dot fits comfortably in int64 (≤ 6.4e13).
+Engine-portability rule used throughout: embeddings are quantized to integer
+micro-units (round-half-away(x·1e6) as int64) BEFORE any arithmetic.  Integer
+dot products are exact and order-independent, so Spark partial aggregation,
+numpy matmul, and any SQL oracle agree bit-for-bit — float reductions would
+not.  A 64-dim unit vector's quantized dot stays ≤ ~6.4e13, comfortably int64.
 
-- brute-force cosine top-k: the correctness baseline (embeddings here are
-  unit-norm, so dot == cosine)
-- LSH-bucketed ANN: random-hyperplane signatures from deterministic
-  hash-derived hyperplanes; bucket join replaces the cross product — the
-  100 TB path
+Physical strategy:
+- brute-force top-k and near-dup pairs run as Arrow-batched ``mapInPandas``
+  with a numpy int64 GEMM against a broadcast matrix — the legitimate
+  pandas-UDF use case (vector math), ~100× a per-element lambda chain.
+- LSH-bucketed ANN keeps pure column expressions: the bucket join shrinks the
+  candidate set so the per-row dot is cheap; this is the 100 TB path (the
+  broadcast-matrix variants assume one side fits in memory).
 """
 
 from __future__ import annotations
+
+from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -22,12 +26,23 @@ MICRO = 1_000_000
 
 
 def quantized(col) -> F.Column:
+    """Column-expression quantizer (F.round is half-away-from-zero, matching
+    the numpy path below and SQL ROUND)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.transform(c, lambda x: F.round(x.cast("double") * MICRO).cast("long"))
 
 
+def _np_quantize(series) -> "np.ndarray":  # noqa: F821
+    """numpy twin of ``quantized`` — explicit half-away-from-zero (np.round
+    would round half-to-even and disagree on exact .5 micro boundaries)."""
+    import numpy as np
+
+    m = np.array(series.tolist(), dtype=np.float64) * MICRO
+    return (np.trunc(np.abs(m) + 0.5) * np.sign(m)).astype(np.int64)
+
+
 def dot_q(a, b) -> F.Column:
-    """Exact integer dot product of two quantized vectors."""
+    """Exact integer dot product of two quantized vector columns."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
     )
@@ -36,44 +51,86 @@ def dot_q(a, b) -> F.Column:
 def brute_force_topk(
     emb: DataFrame, query_ids: list[int], k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Top-k cosine neighbors for each query id — broadcast the (tiny) query
-    side against the full corpus, rank with a per-query window.
+    """Top-k cosine neighbors for each query id (embeddings are unit-norm, so
+    dot == cosine).
 
-    Output: (query_id, neighbor_id, dot_micro2, rank); dot is in micro²-units
-    (divide by 1e12 for the cosine value)."""
+    Plan shape for scale: the query matrix (tiny) is broadcast; each corpus
+    partition does one int64 GEMM and emits only its LOCAL top-k per query, so
+    the final exact global ranking shuffles ≤ k rows per (query, partition)
+    instead of the whole score matrix.
+
+    Output: (query_id, neighbor_id, dot_micro2, rank)."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
 
-    q = (
-        emb.where(F.col(id_col).isin([int(i) for i in query_ids]))
-        .select(F.col(id_col).alias("query_id"), quantized(vec_col).alias("qv"))
-    )
-    corpus = emb.select(F.col(id_col).alias("neighbor_id"), quantized(vec_col).alias("ev"))
-    scored = (
-        corpus.crossJoin(F.broadcast(q))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", dot_q(F.col("qv"), F.col("ev")).alias("dot_micro2"))
+    q_rows = emb.where(F.col(id_col).isin([int(i) for i in query_ids])).select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = _np_quantize(pd.Series([r[vec_col] for r in q_rows]))
+    bc = emb.sparkSession.sparkContext.broadcast((q_ids, q_mat))
+
+    def score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        qids, qmat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            e_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            e_mat = _np_quantize(pdf[vec_col])
+            scores = e_mat @ qmat.T  # (n, n_q) int64 — exact
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, len(e_ids)),
+                    "neighbor_id": np.tile(e_ids, len(qids)),
+                    "dot_micro2": scores.T.reshape(-1),
+                }
+            )
+            out = out[out.query_id != out.neighbor_id]
+            # local top-k per query: exact global result after the final window
+            out = out.sort_values(["query_id", "dot_micro2", "neighbor_id"], ascending=[True, False, True])
+            yield out.groupby("query_id", sort=False).head(k)
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, dot_micro2 long"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot_micro2"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= k)
-    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("int")).where(F.col("rank") <= k)
 
 
 def neardup_pairs(
     emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold) —
-    exact quadratic baseline; LSH below is the scale variant."""
-    a = emb.select(F.col(id_col).alias("a"), quantized(vec_col).alias("va"))
-    b = emb.select(F.col(id_col).alias("b"), quantized(vec_col).alias("vb"))
+    """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
+
+    Exact baseline: broadcast the full quantized matrix (fine up to ~10⁶
+    vectors), GEMM per corpus partition, emit only over-threshold pairs.
+    Beyond broadcastable corpus sizes use ``lsh_ann_topk``'s bucketing —
+    that's why both exist."""
+    import numpy as np
+
+    all_rows = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in all_rows], dtype=np.int64)
+    import pandas as pd
+
+    mat = _np_quantize(pd.Series([r[vec_col] for r in all_rows]))
+    bc = emb.sparkSession.sparkContext.broadcast((ids, mat))
     thresh = int(threshold * MICRO * MICRO)
-    return (
-        a.crossJoin(b)
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", dot_q(F.col("va"), F.col("vb")).alias("dot_micro2"))
-        .where(F.col("dot_micro2") >= thresh)
-    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cids, cmat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            e_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            e_mat = _np_quantize(pdf[vec_col])
+            scores = e_mat @ cmat.T  # (n_part, n_corpus) int64
+            li, ri = np.nonzero(scores >= thresh)
+            a, b, d = e_ids[li], cids[ri], scores[li, ri]
+            keep = a < b
+            yield pd.DataFrame({"a": a[keep], "b": b[keep], "dot_micro2": d[keep]})
+
+    return emb.select(id_col, vec_col).mapInPandas(score, "a long, b long, dot_micro2 long")
 
 
 def hyperplane_signature(vec_col, dims: int, planes: int = 16) -> F.Column:
@@ -103,7 +160,7 @@ def lsh_ann_topk(
     emb: DataFrame,
     query_ids: list[int],
     k: int = 10,
-    planes: int = 12,
+    planes: int = 6,
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

@@ -47,9 +47,10 @@ class Cursor:
 
 @dataclass
 class Page:
-    rows: list
+    rows: list  # (sort_value, id) tuples in user-facing order
     next_cursor: Cursor | str
     prev_cursor: Cursor | str
+    full_rows: list | None = None  # whole source rows (selectEdges, R8)
 
 
 def _tuple_cmp(sort_col: Column, id_col: Column, cur: Cursor, before: bool) -> Column:
@@ -66,6 +67,7 @@ def paginate(
     count: int,
     cursor: Cursor | str = CURSOR_START,
     descending: bool = True,
+    include_rows: bool = False,
 ) -> Page:
     """One page plus both cursors, in a single Spark job.
 
@@ -97,26 +99,37 @@ def paginate(
 
     scan_desc = descending != walking_back
     order = [s.desc(), i.desc()] if scan_desc else [s.asc(), i.asc()]
+    payload = (
+        [F.struct(*[F.col(c) for c in df.columns]).alias("_row")]
+        if include_rows
+        else [F.lit(None).cast("string").alias("_row")]
+    )
     page_q = (
-        page_df.select(s.alias("_s"), i.alias("_i"))
+        page_df.select(s.alias("_s"), i.alias("_i"), *payload)
         .orderBy(*order)
         .limit(count + 1)
         .withColumn("_probe", F.lit(False))
     )
+    if probe is not None:
+        probe = probe.withColumn(
+            "_row", F.lit(None).cast(dict(page_q.dtypes)["_row"])
+        ).select(*page_q.columns)
     # same-trip probe: page and opposite-direction existence check in one job
     # (mirrors the UNION ALL at SqlShard.scala:268-271)
     q = page_q.unionByName(probe) if probe is not None else page_q
     collected = q.collect()
 
-    rows = [(r["_s"], r["_i"]) for r in collected if not r["_probe"]]
+    page_recs = [r for r in collected if not r["_probe"]]
     has_opposite = any(r["_probe"] for r in collected)
-    has_more = len(rows) > count
-    rows = rows[:count]
+    has_more = len(page_recs) > count
+    page_recs = page_recs[:count]
     if walking_back:
-        rows.reverse()
+        page_recs.reverse()
         first_more, last_more = has_more, has_opposite
     else:
         first_more, last_more = has_opposite, has_more
+    rows = [(r["_s"], r["_i"]) for r in page_recs]
+    full_rows = [r["_row"] for r in page_recs] if include_rows else None
 
     next_cursor: Cursor | str = CURSOR_END
     prev_cursor: Cursor | str = CURSOR_START
@@ -125,7 +138,7 @@ def paginate(
             next_cursor = Cursor(rows[-1][0], rows[-1][1], backward=False)
         if first_more:
             prev_cursor = Cursor(rows[0][0], rows[0][1], backward=True)
-    return Page(rows, next_cursor, prev_cursor)
+    return Page(rows, next_cursor, prev_cursor, full_rows)
 
 
 def paginate_all(

@@ -362,15 +362,11 @@ WHERE {_pair_filter_sql()}
 """),
 )
 def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    st = store_for(spark, sf_dir)
-    out = None
-    for a, b in PAIRS:
-        node = Intersection(Simple(Term(3, a, True, (0,))), Simple(Term(3, b, True, (0,))))
-        part = node.ids(st).select(
-            F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"), "id"
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    from .operators.batch import batch_intersection
+
+    # all pairs in ONE plan (R18 multi-query batching): broadcast pair list
+    # joined into a single edge scan — N plans → 1 scan + 1 shuffle
+    return batch_intersection(store_for(spark, sf_dir), 3, PAIRS)
 
 
 # ---------------------------------------------------------------------------
@@ -387,15 +383,9 @@ JOIN (SELECT * FROM edges WHERE graph_id = 3 AND state = 0) e
 """),
 )
 def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    st = store_for(spark, sf_dir)
-    out = None
-    for a, b in PAIRS:
-        node = Union(Simple(Term(3, a, True, (0,))), Simple(Term(3, b, True, (0,))))
-        part = node.ids(st).select(
-            F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"), "id"
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    from .operators.batch import batch_union
+
+    return batch_union(store_for(spark, sf_dir), 3, PAIRS)
 
 
 # ---------------------------------------------------------------------------
@@ -416,15 +406,9 @@ WHERE NOT EXISTS (
 """),
 )
 def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    st = store_for(spark, sf_dir)
-    out = None
-    for a, b in PAIRS:
-        node = Difference(Simple(Term(3, a, True, (0,))), Simple(Term(3, b, True, (0,))))
-        part = node.ids(st).select(
-            F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"), "id"
-        )
-        out = part if out is None else out.unionByName(part)
-    return out
+    from .operators.batch import batch_difference
+
+    return batch_difference(store_for(spark, sf_dir), 3, PAIRS)
 
 
 # ---------------------------------------------------------------------------

@@ -108,7 +108,14 @@ class FlockService:
         no compound support, ``Flockdb.thrift:158-160``)."""
         term = Term(graph_id, source_id, True, states)
         node = WhereIn(term, destination_ids) if destination_ids else Simple(term)
-        return paginate(node.edges(self.store), "position", "destination_id", count, cursor)
+        return paginate(
+            node.edges(self.store),
+            "position",
+            "destination_id",
+            count,
+            cursor,
+            include_rows=True,
+        )
 
     # -- estimates (EdgesService.scala:131-140) -----------------------------
 

@@ -26,6 +26,11 @@ def get_spark(
         # AQE: runtime join-side selection, skew splitting, partition coalescing
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce to the data's size, not the cluster's parallelism: at small
+        # scale this collapses empty 32-way shuffles to a handful of tasks; at
+        # 100 TB the same advisory size yields thousands of right-sized tasks
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # epoch arithmetic must be timezone-stable to match the oracle
         .config("spark.sql.session.timeZone", "UTC")

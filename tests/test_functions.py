@@ -1,0 +1,111 @@
+"""Unit checks for the LLM-pipeline operators: dedup, similarity, text,
+multimodal plumbing, analytics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flockdb_spark.functions import analytics, dedup, multimodal, similarity, text
+from conftest import edge_rows_df
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s", 43),
+        (1, "the quick brown fox jumps over the lazy cat", "en", "s", 43),  # near-dup of 0
+        (2, "completely different words entirely here now", "en", "s", 45),
+        (3, "the quick brown fox jumps over the lazy dog", "en", "s", 43),  # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+
+def test_exact_dedup(docs):
+    out = {r["kept_doc_id"]: r["dup_count"] for r in dedup.exact_dedup(docs).collect()}
+    assert out[0] == 2 and out[1] == 1 and out[2] == 1
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r["a"], r["b"]): r["jaccard_micro"] for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 3)] == 1_000_000  # identical docs
+    assert (0, 1) in pairs and 500_000 <= pairs[(0, 1)] < 1_000_000
+    assert not any(2 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_dups(docs):
+    pairs = {(r["a"], r["b"]) for r in dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=8).collect()}
+    assert (0, 3) in pairs  # exact dups always collide
+    est = {(r["a"], r["b"]): r["est_jaccard"] for r in dedup.minhash_estimate_jaccard(docs,
+        dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=8), num_hashes=16).collect()}
+    assert est[(0, 3)] == 1.0
+
+
+def test_simhash_clusters(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sh[0] == sh[3]  # identical text, identical signature
+    ham_near = bin(sh[0] ^ sh[1]).count("1")
+    ham_far = bin(sh[0] ^ sh[2]).count("1")
+    assert ham_near < ham_far  # near-dup closer in hamming space
+
+
+def test_similarity_topk(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = similarity.brute_force_topk(emb, [0], k=3)
+    ranked = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    assert ranked == [1, 2, 3]
+    near = {(r["a"], r["b"]) for r in similarity.neardup_pairs(emb, threshold=0.85).collect()}
+    assert near == {(0, 1)}
+
+
+def test_quality_and_tokens(docs):
+    q = {r["doc_id"]: r for r in text.quality_features(docs).collect()}
+    assert q[0]["n_tokens"] == 9 and q[0]["n_distinct"] == 8  # 'the' twice
+    tc = docs.select(text.token_count("text").alias("n")).collect()
+    assert tc[0]["n"] == 9
+
+
+def test_lang_id_markers(spark):
+    rows = [
+        (0, "the cat and the dog of a house", "x", "s", 1),
+        (1, "der hund und die katze ist gut", "x", "s", 1),
+        (2, "el gato y la casa que vemos", "x", "s", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    out = {r["doc_id"]: r["pred_lang"] for r in text.lang_id(df).collect()}
+    assert out == {0: "en", 1: "de", 2: "es"}
+
+
+def test_fingerprint_deterministic(docs):
+    a = docs.select("doc_id", text.fingerprint("text").alias("fp")).collect()
+    fp = {r["doc_id"]: r["fp"] for r in a}
+    assert fp[0] == fp[3] and fp[0] != fp[1]
+    # python reference implementation agrees
+    expected = 0
+    for ch in "the quick brown fox jumps over the lazy dog":
+        expected = (expected * 31 + ord(ch)) % 1_000_000_007
+    assert fp[0] == expected
+
+
+def test_multimodal_plumbing(docs):
+    media = multimodal.attach_blobs(docs)
+    feats = {r["doc_id"]: r for r in multimodal.extract_features(media).collect()}
+    assert feats[0]["n_bytes"] == 43
+    assert feats[0]["media_type"] == "image" and feats[1]["media_type"] == "audio"
+    assert feats[0]["width"] == (43 % 64 + 1) * 16
+    with pytest.raises(NotImplementedError):
+        multimodal.real_decode(b"\x00")
+
+
+def test_pagerank_sink_gains_mass(spark):
+    # star graph: 1..4 all point at 5
+    rows = [(1, s, 5, s, 100, 0) for s in (1, 2, 3, 4)]
+    edges = edge_rows_df(spark, rows)
+    pr = {r["node_id"]: r["pr"] for r in analytics.pagerank(edges, 1, iterations=2).collect()}
+    assert pr[5] > pr[1] == pr[2] == pr[3] == pr[4]
+    dd = {r["out_degree"]: r["n_vertices"] for r in analytics.degree_distribution(edges, 1).collect()}
+    assert dd == {1: 4}

@@ -1,0 +1,94 @@
+"""W2 temporal-merge conflict matrix — the table-driven re-encoding of the
+reference's richest semantic fixture (``unit/SqlShardSpec.scala:323-561``):
+older/newer/equal timestamps × prior states, idempotence, commutativity.
+"""
+
+import itertools
+
+import pytest
+
+from conftest import edge_rows_df
+from flockdb_spark.operators.merge import metadata_merge, temporal_merge
+from flockdb_spark.schema import METADATA_SCHEMA, STATE_PRIORITY
+
+E = (1, 10, 20)  # graph, source, destination key under test
+
+
+def one(spark, ts, state, pos=100):
+    return edge_rows_df(spark, [(1, 10, 20, pos, ts, state)])
+
+
+def merged_state(existing, writes):
+    rows = temporal_merge(existing, writes).collect()
+    assert len(rows) == 1
+    return rows[0]
+
+
+# (existing_state, incoming_state) across all 16 combinations
+MATRIX = list(itertools.product([0, 1, 2, 3], repeat=2))
+
+
+@pytest.mark.parametrize("old_state,new_state", MATRIX)
+def test_newer_write_always_wins(spark, old_state, new_state):
+    # newer updated_at wins regardless of state (SqlShard.scala:432-468)
+    r = merged_state(one(spark, 1000, old_state), one(spark, 2000, new_state, pos=200))
+    assert r["state"] == new_state and r["updated_at"] == 2000 and r["position"] == 200
+
+
+@pytest.mark.parametrize("old_state,new_state", MATRIX)
+def test_older_write_always_loses(spark, old_state, new_state):
+    # out-of-order delivery: the older op must lose (SqlShardSpec.scala:350-354)
+    r = merged_state(one(spark, 2000, old_state, pos=200), one(spark, 1000, new_state))
+    assert r["state"] == old_state and r["updated_at"] == 2000 and r["position"] == 200
+
+
+@pytest.mark.parametrize("old_state,new_state", MATRIX)
+def test_equal_timestamp_priority(spark, old_state, new_state):
+    # equal ts → higher priority state wins: Removed > Archived > Negative >
+    # Normal (Edge.scala:61-68; SqlShardSpec.scala:356-377)
+    r = merged_state(one(spark, 1000, old_state, pos=100), one(spark, 1000, new_state, pos=100))
+    expected = max(old_state, new_state, key=lambda s: STATE_PRIORITY[s])
+    assert r["state"] == expected
+
+
+def test_idempotent(spark):
+    # duplicate delivery is a no-op (SqlShardSpec.scala:383-387)
+    w = one(spark, 1000, 2)
+    once = temporal_merge(one(spark, 500, 0), w).collect()
+    twice = temporal_merge(temporal_merge(one(spark, 500, 0), w), w).collect()
+    assert once == twice
+
+
+def test_commutative(spark):
+    # any delivery order converges (doc/blog.md:67-75)
+    ops = [(1000, 0, 100), (1500, 1, 150), (1500, 2, 160), (900, 3, 90)]
+    results = set()
+    for perm in itertools.permutations(ops):
+        edges = edge_rows_df(spark, [])
+        for ts, st, pos in perm:
+            edges = temporal_merge(edges, one(spark, ts, st, pos))
+        results.add(tuple(edges.collect()[0]))
+    assert len(results) == 1
+    # winner: ts=1500 tie → Removed(1) has priority 3 > Archived(2)'s 2
+    final = next(iter(results))
+    assert final[6] == 1 and final[4] == 1500
+
+
+def test_distinct_keys_do_not_interact(spark):
+    a = edge_rows_df(spark, [(1, 10, 20, 1, 100, 0), (1, 10, 21, 2, 200, 1), (2, 10, 20, 3, 300, 2)])
+    b = edge_rows_df(spark, [(1, 11, 20, 4, 400, 3)])
+    out = temporal_merge(a, b)
+    assert out.count() == 4
+
+
+def test_metadata_merge_matrix(spark):
+    # W7: same LWW + priority rule on vertices (SqlShardSpec.scala:563-646)
+    def md(ts, state):
+        return spark.createDataFrame([(1, 10, 0, state, ts)], METADATA_SCHEMA)
+
+    r = metadata_merge(md(1000, 0), md(2000, 2)).collect()[0]
+    assert r["state"] == 2 and r["updated_at"] == 2000
+    r = metadata_merge(md(2000, 2), md(1000, 1)).collect()[0]
+    assert r["state"] == 2
+    r = metadata_merge(md(1000, 2), md(1000, 1)).collect()[0]
+    assert r["state"] == 1  # equal ts: Removed outranks Archived

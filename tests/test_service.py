@@ -1,0 +1,97 @@
+"""End-to-end service flows — the analog of ``integration/EdgesSpec.scala``:
+add/remove/archive/negate through execute(), reads through the 9-method API,
+mass actions, effective-state coupling.
+"""
+
+import pytest
+
+from conftest import edge_rows_df
+from flockdb_spark.graph import EdgeStore
+from flockdb_spark.operators.paging import Cursor
+from flockdb_spark.plans.compiler import (
+    ExecuteOperation,
+    ExecuteOperationType,
+    QueryTerm,
+    SelectOperation,
+    SelectOperationType,
+)
+from flockdb_spark.service import FlockService, SelectQuery
+
+
+@pytest.fixture()
+def svc(spark):
+    rows = [(1, 1, d, d * 10, 100, 0) for d in (10, 11, 12)]
+    rows += [(1, 2, d, d * 10, 100, 0) for d in (11, 12, 13)]
+    return FlockService(EdgeStore.from_edges(spark, edge_rows_df(spark, rows)))
+
+
+def op(kind, src, dests=None, graph=1, fwd=True):
+    return ExecuteOperation(kind, QueryTerm(src, graph, fwd, dests))
+
+
+def test_point_reads(svc):
+    assert svc.contains(1, 1, 10)
+    assert not svc.contains(1, 1, 99)
+    assert svc.get(1, 1, 10)["position"] == 100
+    assert svc.get_metadata(1, 1)["count"] == 3
+    assert svc.contains_metadata(2, 1) and not svc.contains_metadata(9, 1)
+
+
+def test_add_remove_lifecycle(svc):
+    svc.execute([op(ExecuteOperationType.ADD, 1, (99,))], at=2000)
+    assert svc.contains(1, 1, 99)
+    svc.execute([op(ExecuteOperationType.REMOVE, 1, (99,))], at=3000)
+    assert not svc.contains(1, 1, 99)
+    # negate: still "contains" (state Negative counts, EdgesService.scala:51-60)
+    svc.execute([op(ExecuteOperationType.NEGATE, 1, (10,))], at=3000)
+    assert svc.contains(1, 1, 10)
+    assert svc.get(1, 1, 10)["state"] == 3
+
+
+def test_select2_compound_and_paging(svc):
+    prog = [
+        SelectOperation(SelectOperationType.SIMPLE_QUERY, QueryTerm(1, 1)),
+        SelectOperation(SelectOperationType.SIMPLE_QUERY, QueryTerm(2, 1)),
+        SelectOperation(SelectOperationType.INTERSECTION),
+    ]
+    [page] = svc.select2([SelectQuery(prog, page_count=1)])
+    assert [r[1] for r in page.rows] == [12]
+    assert isinstance(page.next_cursor, Cursor)
+    [page2] = svc.select2([SelectQuery(prog, page_count=1, cursor=page.next_cursor)])
+    assert [r[1] for r in page2.rows] == [11]
+
+
+def test_select_edges_full_rows(svc):
+    page = svc.select_edges(1, 1, count=2)
+    # position DESC: dests 12, 11 first; full edge rows carried (R8)
+    assert [r["destination_id"] for r in page.full_rows] == [12, 11]
+    assert page.full_rows[0]["state"] == 0 and page.full_rows[0]["position"] == 120
+    page2 = svc.select_edges(1, 1, count=2, cursor=page.next_cursor)
+    assert [r["destination_id"] for r in page2.full_rows] == [10]
+    # intersectEdges (R10): id-list restricted
+    page3 = svc.select_edges(1, 1, destination_ids=(10, 12, 77), count=5)
+    assert [r["destination_id"] for r in page3.full_rows] == [12, 10]
+
+
+def test_mass_archive_then_readd(svc):
+    svc.execute([op(ExecuteOperationType.ARCHIVE, 1)], at=5000)
+    assert not svc.contains(1, 1, 10)
+    md = svc.get_metadata(1, 1)
+    assert md["state"] == 2 and md["count"] == 3  # 3 edges at the vertex state
+    # single add to archived vertex is forced to Archived (Single.scala:106)
+    svc.execute([op(ExecuteOperationType.ADD, 1, (55,))], at=6000)
+    assert svc.get(1, 1, 55)["state"] == 2
+    # wildcard add restores everything
+    svc.execute([op(ExecuteOperationType.ADD, 1)], at=7000)
+    assert svc.contains(1, 1, 10) and svc.contains(1, 1, 55)
+    assert svc.get_metadata(1, 1)["count"] == 4
+
+
+def test_count2(svc):
+    prog = [
+        SelectOperation(SelectOperationType.SIMPLE_QUERY, QueryTerm(1, 1)),
+        SelectOperation(SelectOperationType.SIMPLE_QUERY, QueryTerm(2, 1)),
+        SelectOperation(SelectOperationType.INTERSECTION),
+    ]
+    [est] = svc.count2([prog])
+    assert est == 0  # int(min(3,3) * 0.1)

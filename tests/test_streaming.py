@@ -1,0 +1,48 @@
+"""Structured-Streaming ingestion: the journal → foreachBatch → W2 merge path
+(parity with the reference's async queue, doc/blog.md:110-119)."""
+
+import json
+
+from flockdb_spark.streaming.ingest import EdgeStreamIngestor, stream_writes
+
+
+def write_batch(ops_dir, name, ops):
+    ops_dir.mkdir(parents=True, exist_ok=True)
+    with open(ops_dir / name, "w") as f:
+        for op in ops:
+            f.write(json.dumps(op) + "\n")
+
+
+def op(op_state, src, dst, ts, pos=0):
+    return {
+        "op_state": op_state,
+        "graph_id": 1,
+        "source_id": src,
+        "destination_id": dst,
+        "position": pos,
+        "updated_at": ts,
+    }
+
+
+def test_stream_ingest_merges(spark, tmp_path):
+    ops_dir = tmp_path / "journal"
+    write_batch(ops_dir, "b1.json", [op(0, 1, 10, 1000, 5), op(0, 1, 11, 1000, 6)])
+
+    ing = EdgeStreamIngestor(spark, str(tmp_path / "table"), str(tmp_path / "ckpt"))
+    ing.run_available(stream_writes(spark, str(ops_dir)))
+    edges = spark.read.parquet(str(tmp_path / "table/edges"))
+    assert edges.count() == 2
+
+    # second journal batch: remove one edge, replay the other (idempotent),
+    # and deliver an out-of-order stale op that must lose
+    write_batch(
+        ops_dir,
+        "b2.json",
+        [op(1, 1, 10, 2000), op(0, 1, 11, 1000, 6), op(2, 1, 11, 500)],
+    )
+    ing.run_available(stream_writes(spark, str(ops_dir)))
+    rows = {r["destination_id"]: r for r in spark.read.parquet(str(tmp_path / "table/edges")).collect()}
+    assert rows[10]["state"] == 1 and rows[10]["updated_at"] == 2000
+    assert rows[11]["state"] == 0 and rows[11]["updated_at"] == 1000  # stale archive lost
+    md = {r["source_id"]: r for r in spark.read.parquet(str(tmp_path / "table/metadata")).collect()}
+    assert md[1]["count"] == 1  # one Normal edge left
