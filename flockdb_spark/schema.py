@@ -89,3 +89,21 @@ METADATA_COLUMNS = [f.name for f in METADATA_SCHEMA.fields]
 #: position = millis << 20 | low-20-bits  (UuidGenerator.scala:26-39); we use a
 #: deterministic key-derived low word instead of random bits so tests can hash.
 POSITION_SHIFT = 1 << 20
+
+
+def ordered_uuid_position(millis: Column | str, key: Column | str) -> Column:
+    """W5 — the reference's ordered-uuid position: time-sortable, collision
+    resistant within a millisecond (``UuidGenerator.scala:26-39``).  The
+    reference uses 20 random bits; we derive the low word from a key hash so
+    results are replayable (Spark's ``monotonically_increasing_id`` is
+    partition-dependent — wrong for deterministic tests).
+
+    The encoding is reversible: ``position >> 20`` recovers the millis."""
+    m = F.col(millis) if isinstance(millis, str) else millis
+    k = F.col(key) if isinstance(key, str) else key
+    return m * F.lit(POSITION_SHIFT) + F.pmod(F.xxhash64(k), F.lit(POSITION_SHIFT))
+
+
+def position_to_millis(position: Column | str) -> Column:
+    p = F.col(position) if isinstance(position, str) else position
+    return (p / F.lit(POSITION_SHIFT)).cast("long")

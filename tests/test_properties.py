@@ -1,0 +1,69 @@
+"""Property-based checks (hypothesis): the W2 merge is a semilattice —
+idempotent, commutative, associative — against a plain-python reference
+implementation of the LWW rule.  This is the invariant the whole write path
+rests on (doc/blog.md:67-75)."""
+
+import pytest
+
+try:
+    from hypothesis import given, settings, strategies as st_
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+from conftest import edge_rows_df
+from flockdb_spark.operators.merge import temporal_merge
+from flockdb_spark.schema import STATE_PRIORITY
+
+op_strategy = st_.tuples(
+    st_.integers(min_value=1, max_value=2),     # source
+    st_.integers(min_value=1, max_value=3),     # destination
+    st_.integers(min_value=0, max_value=5),     # updated_at
+    st_.integers(min_value=0, max_value=3),     # state
+    st_.integers(min_value=0, max_value=9),     # position
+)
+
+
+def python_lww(ops):
+    """Reference: per key keep argmax (updated_at, priority, position)."""
+    best = {}
+    for s, d, ts, state, pos in ops:
+        key = (s, d)
+        cand = (ts, STATE_PRIORITY[state], pos, state)
+        if key not in best or cand > best[key]:
+            best[key] = cand
+    return {k: (v[0], v[3], v[2]) for k, v in best.items()}
+
+
+def spark_lww(spark, ops_a, ops_b):
+    a = edge_rows_df(spark, [(1, s, d, pos, ts, state) for s, d, ts, state, pos in ops_a])
+    b = edge_rows_df(spark, [(1, s, d, pos, ts, state) for s, d, ts, state, pos in ops_b])
+    rows = temporal_merge(a, b).collect()
+    return {(r["source_id"], r["destination_id"]): (r["updated_at"], r["state"], r["position"]) for r in rows}
+
+
+@settings(max_examples=12, deadline=None)
+@given(st_.lists(op_strategy, min_size=1, max_size=8), st_.lists(op_strategy, max_size=8))
+def test_merge_matches_python_reference(spark, ops_a, ops_b):
+    assert spark_lww(spark, ops_a, ops_b) == python_lww(ops_a + ops_b)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st_.lists(op_strategy, min_size=1, max_size=6))
+def test_merge_commutes(spark, ops):
+    half = len(ops) // 2
+    assert spark_lww(spark, ops[:half], ops[half:]) == spark_lww(spark, ops[half:], ops[:half])
+
+
+def test_ordered_uuid_position(spark):
+    from pyspark.sql import functions as F
+
+    from flockdb_spark.schema import ordered_uuid_position, position_to_millis
+
+    df = spark.createDataFrame([(1700000000123, i) for i in range(100)], "ms long, key long")
+    out = df.select(
+        ordered_uuid_position("ms", "key").alias("pos"),
+        position_to_millis(ordered_uuid_position("ms", "key")).alias("ms_back"),
+    )
+    rows = out.collect()
+    assert all(r["ms_back"] == 1700000000123 for r in rows)  # reversible (W5)
+    assert len({r["pos"] for r in rows}) == 100  # same-ms keys don't collide
