@@ -34,24 +34,26 @@ def pagerank(edges: DataFrame, graph_id: int, iterations: int = 3) -> DataFrame:
     table would be pre-partitioned by source_id so the join is co-located.
     Dangling-node mass is dropped (identically on any engine).
     Output: (node_id, pr) in nano-units."""
-    e = (
-        edges.where((F.col("graph_id") == graph_id) & (F.col("state") == 0))
-        .select(F.col("source_id").alias("src"), F.col("destination_id").alias("dst"))
-        .cache()  # reused every iteration — avoid re-scanning the edge table
+    e = edges.where((F.col("graph_id") == graph_id) & (F.col("state") == 0)).select(
+        F.col("source_id").alias("src"), F.col("destination_id").alias("dst")
     )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # the edge↔out_degree join is loop-invariant — attach it once and cache,
+    # so each iteration is exactly one join + one aggregation
+    e_deg = e.join(out_deg, "src").cache()
     nodes = (
-        e.select(F.col("src").alias("node")).union(e.select(F.col("dst").alias("node"))).distinct().cache()
+        e_deg.select(F.col("src").alias("node"))
+        .union(e_deg.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
     )
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).cache()
     pr = nodes.select("node", F.lit(PR_UNIT).cast("long").alias("pr"))
     base = PR_UNIT * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
     for _ in range(iterations):
         contrib = (
-            pr.join(out_deg, pr.node == out_deg.src, "inner")
-            .select(F.col("src"), F.expr("pr div out_deg").alias("c"))
-            .join(e, "src")
+            e_deg.join(pr.select(F.col("node").alias("src"), "pr"), "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("c").alias("in_sum"))
+            .agg(F.sum(F.expr("pr div out_deg")).alias("in_sum"))
         )
         pr = (
             nodes.join(contrib, "node", "left")

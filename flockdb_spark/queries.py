@@ -597,14 +597,18 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     g1 = st.graph(1)
     md = st.metadata.where(F.col("graph_id") == 1)
 
-    def mass_ops(sources: list[int], op_state: int, ts: int) -> DataFrame:
-        return spark.createDataFrame(
-            [(op_state, 1, int(s), None, 0, ts) for s in sources],
-            "op_state int, graph_id int, source_id long, destination_id long, position long, updated_at long",
-        )
-
-    e1, m1 = apply_oplog(g1, md, mass_ops(p["src10"], 2, 3_000_000_000))
-    e2, _ = apply_oplog(e1, m1, mass_ops(p["src5"], 0, 3_100_000_000))
+    # Both mass ops target the not-Removed edge set, which archive/add never
+    # change — so the archive@t1 / re-add@t2 sequence collapses into ONE merge
+    # batch (LWW picks the t2 add for src5), instead of two chained merges
+    # whose second pass re-evaluates the first's whole lineage.
+    ops = [(2, 1, int(s), None, 0, 3_000_000_000) for s in p["src10"]] + [
+        (0, 1, int(s), None, 0, 3_100_000_000) for s in p["src5"]
+    ]
+    ops_df = spark.createDataFrame(
+        ops,
+        "op_state int, graph_id int, source_id long, destination_id long, position long, updated_at long",
+    )
+    e2, _ = apply_oplog(g1, md, ops_df)
     return e2.join(F.broadcast(_src10_df(spark, sf_dir)), "source_id", "left_semi").select(
         *EDGE_COLUMNS
     )

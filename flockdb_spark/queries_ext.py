@@ -82,9 +82,20 @@ def x02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("x03_minhash_lsh")
 def x03(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sub = _docs_subset(spark, sf_dir)
-    pairs = dedup.minhash_lsh_candidates(sub, num_hashes=32, bands=8)
-    return dedup.minhash_estimate_jaccard(sub, pairs, num_hashes=32)
+    """Self-validating: the synthetic corpus has no high-Jaccard pairs, so the
+    fixture plants deterministic near-duplicates — every doc_id%50==0 doc
+    re-enters with its last two words dropped (j≈0.9) under doc_id+10M.  LSH
+    at 8 bands × 4 rows recovers exactly those pairs (catch p≈0.9⁴ per band
+    → >99.99% over 8 bands) while the natural j<0.1 pairs stay out."""
+    sub = _docs_subset(spark, sf_dir).select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+    planted = sub.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(w, 1, F.greatest(F.size(w) - 2, F.lit(1)))).alias("text"),
+    )
+    corpus = sub.unionByName(planted)
+    pairs = dedup.minhash_lsh_candidates(corpus, num_hashes=32, bands=8)
+    return dedup.minhash_estimate_jaccard(corpus, pairs, num_hashes=32)
 
 
 @query("x04_simhash")
