@@ -156,6 +156,60 @@ def hyperplane_signature(vec_col, dims: int, planes: int = 16) -> F.Column:
     return out
 
 
+def ivf_ann_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus into centroid
+    cells, search only the query's ``n_probe`` nearest cells, exact-rerank
+    inside them.
+
+    The coarse quantizer here is deterministic — centroids are the embeddings
+    of the ``n_centroids`` smallest ids — so results are oracle-checkable; a
+    production system k-means-trains them, but the scale-relevant plumbing
+    (broadcast centroids → one-pass assignment → cell-key join → windowed
+    rerank) is identical.  Per query the join touches ~corpus·n_probe/n_centroids
+    rows instead of the full table; the assignment pass is one broadcast
+    nested-loop over n_centroids tiny vectors, shuffled once on the cell key.
+
+    Output: (query_id, neighbor_id, dot_micro2, rank) — same contract as
+    ``brute_force_topk`` / ``lsh_ann_topk``."""
+    from pyspark.sql import Window
+
+    cents = F.broadcast(
+        emb.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), quantized(vec_col).alias("cv"))
+    )
+    scored = (
+        emb.select(F.col(id_col).alias("vid"), quantized(vec_col).alias("ev"))
+        .join(cents)
+        .select("vid", "ev", "cid", dot_q(F.col("ev"), F.col("cv")).alias("cdot"))
+    )
+    w_assign = Window.partitionBy("vid").orderBy(F.desc("cdot"), F.asc("cid"))
+    ranked = scored.withColumn("crn", F.row_number().over(w_assign))
+    corpus = ranked.where(F.col("crn") == 1).select(
+        F.col("vid").alias("neighbor_id"), "ev", F.col("cid").alias("cell")
+    )
+    probes = F.broadcast(
+        ranked.where(
+            F.col("vid").isin([int(i) for i in query_ids]) & (F.col("crn") <= n_probe)
+        ).select(F.col("vid").alias("query_id"), F.col("ev").alias("qv"), F.col("cid").alias("cell"))
+    )
+    rerank = (
+        corpus.join(probes, "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", dot_q(F.col("qv"), F.col("ev")).alias("dot_micro2"))
+    )
+    w_k = Window.partitionBy("query_id").orderBy(F.desc("dot_micro2"), F.asc("neighbor_id"))
+    return rerank.withColumn("rank", F.row_number().over(w_k).cast("int")).where(F.col("rank") <= k)
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     query_ids: list[int],

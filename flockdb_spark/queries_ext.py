@@ -147,6 +147,50 @@ def x06(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x06b — IVF ANN: deterministic coarse quantizer (centroids = 16 smallest
+# ids), probe the 4 nearest cells, exact rerank — fully oracle-checkable
+# ---------------------------------------------------------------------------
+
+@query(
+    "x15_ivf_ann",
+    f"""
+WITH cents AS (
+  SELECT vec_id AS cid, {_QUANT} AS cv FROM embeddings ORDER BY vec_id LIMIT 16
+),
+v AS (SELECT vec_id, {_QUANT} AS ev FROM embeddings),
+ranked AS (
+  SELECT v.vec_id, v.ev, cents.cid,
+         CAST(row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY CAST(list_dot_product(v.ev, cents.cv) AS BIGINT) DESC, cents.cid ASC
+         ) AS INTEGER) AS crn
+  FROM v, cents
+),
+corpus AS (SELECT vec_id AS neighbor_id, ev, cid AS cell FROM ranked WHERE crn = 1),
+probes AS (
+  SELECT vec_id AS query_id, ev AS qv, cid AS cell FROM ranked
+  WHERE crn <= 4 AND vec_id IN ({", ".join(map(str, ANN_QUERY_IDS))})
+),
+rerank AS (
+  SELECT query_id, neighbor_id,
+         CAST(list_dot_product(qv, ev) AS BIGINT) AS dot_micro2
+  FROM corpus JOIN probes USING (cell)
+  WHERE neighbor_id <> query_id
+)
+SELECT query_id, neighbor_id, dot_micro2,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY dot_micro2 DESC, neighbor_id ASC
+       ) AS INTEGER) AS rank
+FROM rerank
+QUALIFY rank <= 10
+""",
+)
+def x15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.ivf_ann_topk(emb, ANN_QUERY_IDS, k=10, n_centroids=16, n_probe=4)
+
+
+# ---------------------------------------------------------------------------
 # x07 — embedding-cosine near-duplicate pairs (exact quadratic baseline)
 # ---------------------------------------------------------------------------
 

@@ -33,10 +33,15 @@ OPS_SCHEMA = T.StructType(
 )
 
 
-def stream_writes(spark: SparkSession, ops_dir: str) -> DataFrame:
+def stream_writes(spark: SparkSession, ops_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
     """A file-backed op-log stream (one json file per enqueued batch — the
-    journal).  Any streaming source with OPS_SCHEMA works identically."""
-    return spark.readStream.schema(OPS_SCHEMA).json(ops_dir)
+    journal).  Any streaming source with OPS_SCHEMA works identically.
+    ``max_files_per_trigger`` forces journal files into separate micro-batches
+    (tests use it to exercise cross-batch state)."""
+    reader = spark.readStream.schema(OPS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.json(ops_dir)
 
 
 class EdgeStreamIngestor:

@@ -46,3 +46,37 @@ def test_stream_ingest_merges(spark, tmp_path):
     assert rows[11]["state"] == 0 and rows[11]["updated_at"] == 1000  # stale archive lost
     md = {r["source_id"]: r for r in spark.read.parquet(str(tmp_path / "table/metadata")).collect()}
     assert md[1]["count"] == 1  # one Normal edge left
+
+
+def test_stateful_lww_operator(spark, tmp_path):
+    """applyInPandasWithState W2: winners update across micro-batches; stale
+    and duplicate ops emit nothing; equal-ts conflict resolves by priority."""
+    from flockdb_spark.streaming.stateful import stateful_edge_lww
+    from flockdb_spark.streaming.ingest import stream_writes
+
+    ops_dir = tmp_path / "journal"
+    # batch 1: two adds; batch 2: remove@2000 for d=10, equal-ts archive-vs-
+    # negate for d=11 (archive prio 2 > negate prio 1), stale dup for d=12
+    write_batch(ops_dir, "b1.json", [op(0, 1, 10, 1000, 5), op(0, 1, 11, 1500, 6), op(0, 1, 12, 1000, 7)])
+    write_batch(ops_dir, "b2.json", [op(1, 1, 10, 2000), op(3, 1, 11, 1500), op(2, 1, 11, 1500), op(0, 1, 12, 1000, 7)])
+
+    out = stateful_edge_lww(stream_writes(spark, str(ops_dir), max_files_per_trigger=1))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("lww_updates")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    updates = spark.sql("SELECT * FROM lww_updates").collect()
+    # final winner per key = last update emitted for it
+    final = {}
+    for r in updates:
+        final[(r["graph_id"], r["source_id"], r["destination_id"])] = (r["updated_at"], r["state"], r["position"])
+    assert final[(1, 1, 10)] == (2000, 1, 0)     # remove wins by time
+    assert final[(1, 1, 11)] == (1500, 2, 0)     # equal-ts: archive outranks negate
+    assert final[(1, 1, 12)] == (1000, 0, 7)     # duplicate delivery: unchanged
+    # the duplicate op must NOT have produced a second update for d=12
+    assert sum(1 for r in updates if r["destination_id"] == 12) == 1
