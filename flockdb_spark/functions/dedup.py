@@ -47,19 +47,44 @@ def word_shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, threshold: float = 0.2, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    threshold: float = 0.2,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs (a < b).
 
     |A∩B| from a self-join on shingle; |A∪B| = |A|+|B|−|A∩B|.  The join is
     keyed on the shingle, so cost scales with shingle-bucket sizes, not the
-    full cross product.  Jaccard is emitted in exact integer micro-units
-    (inter*1e6 // union) to stay engine-portable.
+    full cross product.  Jaccard is emitted in exact integer
+    micro-units (inter*1e6 // union) to stay engine-portable.
+
+    ``max_shingle_df`` is the 100 TB guard (SCALE.md §4): a shingle occurring
+    in d documents contributes O(d²) join pairs, and no partitioning fixes
+    quadratic OUTPUT — so shingles with document frequency > cap are dropped
+    from pair GENERATION (sizes still count them, keeping |A|,|B| exact; the
+    reported intersection becomes a lower bound, biased only for pairs whose
+    overlap is dominated by corpus-ubiquitous shingles — exactly the pairs
+    near-dup detection should ignore).  None = exact (the oracle-checked
+    configuration).
     """
     sh = word_shingles(df, n, text_col, id_col)
+    if max_shingle_df is not None:
+        sh = sh.cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    pair_sh = sh
+    if max_shingle_df is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_shingle_df)
+            .select("shingle")
+        )
+        pair_sh = sh.join(rare, "shingle", "left_semi")
+    a = pair_sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = pair_sh.select(F.col("doc_id").alias("b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .where(F.col("a") < F.col("b"))

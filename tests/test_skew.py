@@ -1,0 +1,69 @@
+"""Skew mitigations (SCALE.md §4): salted joins must be result-identical to
+plain joins; the shingle frequency cap must only ever lower intersection
+counts and converge to exact as the cap rises."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flockdb_spark.functions.dedup import ngram_jaccard_pairs
+from flockdb_spark.operators.skew import salted_join
+
+
+@pytest.fixture()
+def skewed_sides(spark):
+    # key 7 is hot (200 rows); other keys are singletons
+    left = spark.createDataFrame(
+        [(7, i) for i in range(200)] + [(k, k) for k in range(20)], "k int, payload int"
+    )
+    right = spark.createDataFrame(
+        [(7, "hot"), (3, "x"), (5, "y"), (99, "absent-left")], "k int, tag string"
+    )
+    return left, right
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "left_semi", "left_anti"])
+def test_salted_join_matches_plain(spark, skewed_sides, how):
+    left, right = skewed_sides
+    plain = left.join(right, on=["k"], how=how)
+    salted = salted_join(left, right, on=["k"], how=how, salt=8)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_spreads_hot_key(spark, skewed_sides):
+    left, _ = skewed_sides
+    salts = (
+        left.withColumn("_s", F.pmod(F.xxhash64("k", "payload"), F.lit(8)))
+        .where(F.col("k") == 7)
+        .select("_s")
+        .distinct()
+        .count()
+    )
+    assert salts == 8  # the hot key's rows really land on all sub-keys
+
+
+def test_shingle_df_cap_is_conservative_and_converges(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common alpha beta gamma delta"),
+            (2, "common common common alpha beta gamma epsilon"),
+            (3, "common common common zeta eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r["a"], r["b"]): r["n_inter"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    capped = {
+        (r["a"], r["b"]): r["n_inter"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0, max_shingle_df=2).collect()
+    }
+    # capped intersections never exceed exact, and unions stay exact-sized
+    for k, v in capped.items():
+        assert v <= exact[k]
+    # a cap above every shingle's document frequency reproduces exact results
+    wide = {
+        (r["a"], r["b"]): r["n_inter"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0, max_shingle_df=100).collect()
+    }
+    assert wide == exact
