@@ -124,6 +124,33 @@ class FlockService:
 
     count = count2  # deprecated alias (Flockdb.thrift:165)
 
+    # -- copy-path reads/writes (shards/SqlShard.scala:216-238,402-430) -----
+
+    def select_all(self, graph_id: int | None = None) -> DataFrame:
+        """R16 — full-table ordered scan, the copy/repair source
+        (``SqlShard.scala:216-238``).  The reference chunks this with a
+        compound (source, destination) cursor; Spark's native batch scan
+        replaces the chunking, the order is the same."""
+        df = self.store.edges if graph_id is None else self.store.graph(graph_id)
+        return df.orderBy("source_id", "destination_id")
+
+    def select_all_metadata(self, graph_id: int | None = None) -> DataFrame:
+        """R16 metadata pass (``SqlShard.scala:151-173``)."""
+        md = self.store.metadata
+        if graph_id is not None:
+            md = md.where(F.col("graph_id") == graph_id)
+        return md.orderBy("source_id")
+
+    def bulk_load(self, edges: DataFrame, metadata: DataFrame | None = None) -> None:
+        """W8 — ``bulkUnsafeInsertEdges/Metadata`` (``SqlShard.scala:402-430``):
+        plain append, bypassing LWW and count maintenance — the copy path's
+        fast lane.  Use ``execute``/reconcile for anything user-facing."""
+        self.store.edges = self.store.edges.unionByName(edges).localCheckpoint(eager=True)
+        if metadata is not None:
+            self.store.metadata = self.store.metadata.unionByName(metadata).localCheckpoint(
+                eager=True
+            )
+
     # -- writes (EdgesService.scala:121-129) --------------------------------
 
     def execute(self, operations: list[ExecuteOperation], at: int | None = None) -> None:

@@ -95,3 +95,21 @@ def test_count2(svc):
     ]
     [est] = svc.count2([prog])
     assert est == 0  # int(min(3,3) * 0.1)
+
+
+def test_select_all_and_bulk_load(svc, spark):
+    """R16 copy-source scan + W8 unsafe bulk append (SqlShard.scala:216-238,402-430)."""
+    allrows = svc.select_all(1).collect()
+    assert [(r["source_id"], r["destination_id"]) for r in allrows] == sorted(
+        (r["source_id"], r["destination_id"]) for r in allrows
+    )
+    md = svc.select_all_metadata(1).collect()
+    assert [r["source_id"] for r in md] == [1, 2]
+
+    n0 = svc.store.edges.count()
+    svc.bulk_load(edge_rows_df(spark, [(1, 3, 30, 300, 100, 0)]))
+    assert svc.store.edges.count() == n0 + 1
+    # bulk load bypasses LWW: a stale duplicate row lands as-is (copy path),
+    # and reconcile/merge is the documented way to repair afterwards
+    svc.bulk_load(edge_rows_df(spark, [(1, 3, 30, 300, 50, 2)]))
+    assert svc.store.edges.where("source_id = 3").count() == 2
