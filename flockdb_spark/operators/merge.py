@@ -49,6 +49,62 @@ def temporal_merge(existing: DataFrame, writes: DataFrame) -> DataFrame:
     )
 
 
+def sequenced_merge(existing: DataFrame, writes: DataFrame) -> DataFrame:
+    """W2 with the reference's POSITION-PRESERVATION rule
+    (``SqlShard.scala:436-446``): an update keeps the edge's existing
+    ``position`` unless it resurrects a Removed/Negative edge to Normal
+    (Archived→Normal also keeps it).  State/updated_at remain pure LWW —
+    identical to ``temporal_merge``.
+
+    Implementation: per key, sort all candidate rows into the canonical
+    serialization order (updated_at, state_priority, position) and fold the
+    position through the state transitions — ``array_sort`` + ``aggregate``
+    higher-order functions, fully JVM-side, one shuffle.  Out-of-order
+    arrival is thereby re-serialized into timestamp order, which makes the
+    operator deterministic and commutative; the online reference's
+    arrival-order-dependent position outcomes (its ``updated_at <= ?`` guard
+    fires against whatever happens to be stored) canonicalize to the same
+    result whenever ops arrive in timestamp order.
+
+    Use this for the WRITE path (W1/W3 op application).  ``temporal_merge``
+    remains the row-level rule for the copy/repair path (W11), where whole
+    rows — positions included — are the unit of replication
+    (``Edge.similar``/``jobs/Copy.scala:86-114``).
+    """
+    unioned = existing.select(*EDGE_COLUMNS).unionByName(writes.select(*EDGE_COLUMNS))
+    seq = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("updated_at"),
+                state_priority("state").alias("prio"),
+                F.col("position"),
+                F.col("state"),
+                F.col("count"),
+            )
+        )
+    )
+    agg = unioned.groupBy(*_EDGE_KEY).agg(seq.alias("_seq"))
+    first = F.element_at(F.col("_seq"), 1)
+    last = F.element_at(F.col("_seq"), -1)
+    folded = F.aggregate(
+        F.slice(F.col("_seq"), 2, F.greatest(F.size("_seq") - 1, F.lit(0))),
+        F.struct(first["position"].alias("pos"), first["state"].alias("st")),
+        lambda acc, x: F.struct(
+            F.when(acc["st"].isin(1, 3) & (x["state"] == 0), x["position"])
+            .otherwise(acc["pos"])
+            .alias("pos"),
+            x["state"].alias("st"),
+        ),
+    )
+    return agg.select(
+        *_EDGE_KEY,
+        folded["pos"].alias("position"),
+        last["updated_at"].alias("updated_at"),
+        last["count"].alias("count"),
+        last["state"].alias("state"),
+    ).select(*EDGE_COLUMNS)
+
+
 def metadata_merge(existing: DataFrame, writes: DataFrame) -> DataFrame:
     """W7 — same LWW rule applied to per-vertex metadata
     (``SqlShard.scala:646-697``; equal-time → higher-priority state wins)."""
@@ -219,7 +275,9 @@ def apply_oplog(
     if resolve_with_metadata:
         single = resolve_writes(single, merged_md)
     writes = single.unionByName(mass_writes).select(*EDGE_COLUMNS)
-    merged_edges = temporal_merge(edges, writes)
+    # write path uses the position-preserving fold (updateEdge semantics,
+    # SqlShard.scala:436-446); copy/repair keeps row-level temporal_merge
+    merged_edges = sequenced_merge(edges, writes)
 
     merged_md = derive_metadata(merged_edges, merged_md)
     return merged_edges, merged_md

@@ -538,16 +538,33 @@ ops AS (
 @query(
     "q17_oplog_replay",
     with_fixture_ctes("""
-SELECT CAST(1 AS INTEGER) AS graph_id, source_id, destination_id, position,
-       updated_at, CAST(0 AS INTEGER) AS "count", op_state AS state
+SELECT CAST(1 AS INTEGER) AS graph_id, f.source_id, f.destination_id,
+       p.position, f.updated_at, CAST(0 AS INTEGER) AS "count", f.state
 FROM (
-  SELECT *, row_number() OVER (
-    PARTITION BY source_id, destination_id
-    ORDER BY updated_at DESC, ((4 - op_state) % 4) DESC, position DESC
-  ) AS rn
+  -- LWW winner per key: last op in canonical (ts, priority, position) order
+  SELECT source_id, destination_id,
+         arg_max(CAST(op_state AS INTEGER), rn) AS state,
+         arg_max(updated_at, rn) AS updated_at
+  FROM seq GROUP BY source_id, destination_id
+) f JOIN (
+  -- position fold (SqlShard.scala:436-446): an op sets position only when it
+  -- inserts (rn=1) or resurrects Removed/Negative -> Normal; the edge keeps
+  -- the latest set value
+  SELECT source_id, destination_id, arg_max(position, rn) AS position
+  FROM seq
+  WHERE rn = 1 OR (prev_state IN (1, 3) AND op_state = 0)
+  GROUP BY source_id, destination_id
+) p USING (source_id, destination_id)
+""", _Q17_OPS_CTE, """
+seq AS (
+  SELECT *,
+         row_number() OVER w AS rn,
+         lag(op_state) OVER w AS prev_state
   FROM ops
-) t WHERE rn = 1
-""", _Q17_OPS_CTE),
+  WINDOW w AS (PARTITION BY source_id, destination_id
+               ORDER BY updated_at, ((4 - op_state) % 4), position)
+)
+""".strip()),
 )
 def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _read(spark, sf_dir, "events")

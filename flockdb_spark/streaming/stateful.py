@@ -38,17 +38,33 @@ STATE_SCHEMA = "position long, updated_at long, state int"
 
 def _merge_pandas(best: tuple | None, pdf) -> tuple | None:
     """Fold a batch of ops into the current winner; returns the new winner
-    tuple (position, updated_at, state) or None if unchanged."""
+    tuple (position, updated_at, state) or None if unchanged.
+
+    Matches ``operators.merge.sequenced_merge`` within a batch: ops fold in
+    canonical (updated_at, priority, position) order; ``position`` is
+    preserved across transitions except Removed/Negative → Normal
+    resurrection (``SqlShard.scala:436-446``).  ACROSS batches the stored
+    winner guards exactly like the online reference's ``updated_at <= ?``
+    predicate — a later-arriving stale op loses (incremental state cannot
+    re-serialize the past)."""
     changed = False
-    for pos, ts, st in zip(
-        pdf["position"].astype("int64"),
-        pdf["updated_at"].astype("int64"),
-        pdf["op_state"].astype("int64"),
-    ):
-        cand = (int(ts), _PRIO[int(st)], int(pos))
-        cur = (best[1], _PRIO[best[2]], best[0]) if best else None
-        if cur is None or cand > cur:
-            best = (int(pos), int(ts), int(st))
+    ops = sorted(
+        (int(ts), _PRIO[int(st)], int(pos), int(st))
+        for pos, ts, st in zip(
+            pdf["position"].astype("int64"),
+            pdf["updated_at"].astype("int64"),
+            pdf["op_state"].astype("int64"),
+        )
+    )
+    for ts, prio, pos, st in ops:
+        if best is None:
+            best = (pos, ts, st)
+            changed = True
+            continue
+        cur = (best[1], _PRIO[best[2]], best[0])
+        if (ts, prio, pos) > cur:
+            new_pos = pos if (best[2] in (1, 3) and st == 0) else best[0]
+            best = (new_pos, ts, st)
             changed = True
     return best if changed else None
 

@@ -92,3 +92,30 @@ def test_metadata_merge_matrix(spark):
     assert r["state"] == 2
     r = metadata_merge(md(1000, 2), md(1000, 1)).collect()[0]
     assert r["state"] == 1  # equal ts: Removed outranks Archived
+
+
+def test_sequenced_merge_position_preservation(spark):
+    """The updateEdge position rule (SqlShard.scala:436-446): position is
+    kept across state transitions except Removed/Negative -> Normal."""
+    from flockdb_spark.operators.merge import sequenced_merge
+    from flockdb_spark.schema import EDGE_SCHEMA
+
+    def run(ops):
+        rows = [(1, 1, 2, pos, ts, 0, st) for (ts, pos, st) in ops]
+        df = spark.createDataFrame(rows, EDGE_SCHEMA)
+        empty = spark.createDataFrame([], EDGE_SCHEMA)
+        [r] = sequenced_merge(empty, df).collect()
+        return (r["updated_at"], r["state"], r["position"])
+
+    # archive keeps the original position even though it carries its own
+    assert run([(100, 5, 0), (200, 999, 2)]) == (200, 2, 5)
+    # resurrect from Removed -> Normal takes the new position
+    assert run([(100, 5, 0), (200, 999, 1), (300, 7, 0)]) == (300, 0, 7)
+    # resurrect from Negative -> Normal takes the new position
+    assert run([(100, 5, 0), (200, 999, 3), (300, 7, 0)]) == (300, 0, 7)
+    # Archived -> Normal KEEPS the old position (the explicit exception)
+    assert run([(100, 5, 0), (200, 999, 2), (300, 7, 0)]) == (300, 0, 5)
+    # equal timestamps: higher priority state wins, position from the insert
+    assert run([(100, 5, 0), (100, 9, 1)]) == (100, 1, 5)
+    # out-of-order delivery canonicalizes to timestamp order
+    assert run([(300, 7, 0), (200, 999, 1), (100, 5, 0)]) == (300, 0, 7)

@@ -67,3 +67,48 @@ def test_ordered_uuid_position(spark):
     rows = out.collect()
     assert all(r["ms_back"] == 1700000000123 for r in rows)  # reversible (W5)
     assert len({r["pos"] for r in rows}) == 100  # same-ms keys don't collide
+
+
+def python_sequenced(ops):
+    """Reference fold: canonical (ts, prio, pos) order; position preserved
+    except on Removed/Negative -> Normal resurrection."""
+    best = {}
+    for s, d, ts, state, pos in sorted(
+        ops, key=lambda o: (o[2], STATE_PRIORITY[o[3]], o[4])
+    ):
+        key = (s, d)
+        if key not in best:
+            best[key] = (pos, ts, state)
+        else:
+            bpos, _, bstate = best[key]
+            newpos = pos if (bstate in (1, 3) and state == 0) else bpos
+            best[key] = (newpos, ts, state)
+    return {k: (v[1], v[2], v[0]) for k, v in best.items()}
+
+
+def spark_sequenced(spark, ops_a, ops_b):
+    from flockdb_spark.operators.merge import sequenced_merge
+
+    a = edge_rows_df(spark, [(1, s, d, pos, ts, state) for s, d, ts, state, pos in ops_a])
+    b = edge_rows_df(spark, [(1, s, d, pos, ts, state) for s, d, ts, state, pos in ops_b])
+    rows = sequenced_merge(a, b).collect()
+    return {
+        (r["source_id"], r["destination_id"]): (r["updated_at"], r["state"], r["position"])
+        for r in rows
+    }
+
+
+@settings(max_examples=12, deadline=None)
+@given(st_.lists(op_strategy, min_size=1, max_size=8), st_.lists(op_strategy, max_size=8))
+def test_sequenced_merge_matches_python_fold(spark, ops_a, ops_b):
+    assert spark_sequenced(spark, ops_a, ops_b) == python_sequenced(ops_a + ops_b)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st_.lists(op_strategy, min_size=2, max_size=8))
+def test_sequenced_merge_split_invariant(spark, ops):
+    """Which rows arrive as `existing` vs `writes` must not matter."""
+    half = len(ops) // 2
+    assert spark_sequenced(spark, ops[:half], ops[half:]) == spark_sequenced(
+        spark, ops[half:], ops[:half]
+    )

@@ -75,8 +75,10 @@ def test_stateful_lww_operator(spark, tmp_path):
     final = {}
     for r in updates:
         final[(r["graph_id"], r["source_id"], r["destination_id"])] = (r["updated_at"], r["state"], r["position"])
-    assert final[(1, 1, 10)] == (2000, 1, 0)     # remove wins by time
-    assert final[(1, 1, 11)] == (1500, 2, 0)     # equal-ts: archive outranks negate
+    # remove wins by time but PRESERVES the edge's position (updateEdge rule)
+    assert final[(1, 1, 10)] == (2000, 1, 5)
+    # equal-ts: archive outranks negate; position stays from the add
+    assert final[(1, 1, 11)] == (1500, 2, 6)
     assert final[(1, 1, 12)] == (1000, 0, 7)     # duplicate delivery: unchanged
     # the duplicate op must NOT have produced a second update for d=12
     assert sum(1 for r in updates if r["destination_id"] == 12) == 1
