@@ -105,6 +105,18 @@ def main() -> None:
 
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    # throughput vs BASELINE.md's production peaks (20k writes/s, 100k
+    # reads/s on a 2010 cluster): q17 merges one op per events row; q08 scans
+    # all of graph 3 to answer the backward queries
+    n_ops = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    n_g3 = st.edges.where("graph_id = 3").count()
+    throughput = {
+        "write_ops_per_s": int(n_ops / times["q17_oplog_replay"]),
+        "scan_edges_per_s": int(n_g3 / times["q08_backward"]),
+        "reference_peak_writes_per_s": 20000,
+        "reference_peak_reads_per_s": 100000,
+    }
     print(
         json.dumps(
             {
@@ -114,6 +126,7 @@ def main() -> None:
                 "queries": times,
                 "sf": float(sf),
                 "duckdb_baseline": duck_times,
+                "throughput": throughput,
                 "cpus": int(CPUS),
             }
         )

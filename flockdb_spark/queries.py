@@ -21,7 +21,7 @@ from .graph import EdgeStore
 from .operators.algebra import Difference, Intersection, Simple, Term, Union, WhereIn
 from .operators.counts import size_estimate
 from .operators.merge import apply_oplog, metadata_merge, temporal_merge
-from .operators.paging import paginate_all
+from .operators.paging import Cursor, paginate, paginate_all
 from .plans.compiler import (
     QueryTerm,
     SelectOperation,
@@ -239,23 +239,49 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q06_keyset_pages",
     with_fixture_ctes("""
 SELECT source_id, destination_id, position,
-       CAST((row_number() OVER (
-         PARTITION BY source_id ORDER BY position DESC, destination_id DESC
-       ) - 1) // 3 AS INTEGER) AS page_idx
-FROM edges
-WHERE graph_id = 1 AND state = 0 AND source_id IN (SELECT source_id FROM src10)
+       CAST((rn0) // 3 AS INTEGER) AS page_idx,
+       -- backward walk starts at the LAST forward page's prev_cursor, so it
+       -- visits rows at DESC-index < lp (the last page's start) in reverse,
+       -- 3 at a time counting from index lp-1 downward
+       CAST(CASE WHEN rn0 < lp THEN (lp - 1 - rn0) // 3 ELSE -1 END AS INTEGER) AS page_back
+FROM (
+  SELECT source_id, destination_id, position,
+         row_number() OVER (
+           PARTITION BY source_id ORDER BY position DESC, destination_id DESC
+         ) - 1 AS rn0,
+         ((count(*) OVER (PARTITION BY source_id)) - 1) // 3 * 3 AS lp
+  FROM edges
+  WHERE graph_id = 1 AND state = 0 AND source_id IN (SELECT source_id FROM src10)
+) t
 """),
 )
 def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the REAL cursor machinery both ways (hard part #2, SURVEY §7.4):
+    forward pages via next_cursor until exhausted, then a backward walk via
+    prev_cursor (negative-cursor reversed scans, ResultWindow.scala:44-57)
+    from the last page back to CURSOR_START.  The oracle reproduces both page
+    assignments in closed form."""
     st = store_for(spark, sf_dir)
-    rows = []
+    rows: dict[tuple, list] = {}
     for src in params_for(spark, sf_dir)["src10"]:
         df = st.forward(1, src, (0,))
-        for idx, page in enumerate(paginate_all(df, "position", "destination_id", 3)):
+        pages = paginate_all(df, "position", "destination_id", 3)
+        for idx, page in enumerate(pages):
             for pos, dest in page.rows:
-                rows.append((int(src), int(dest), int(pos), idx))
+                rows[(int(src), int(dest))] = [int(pos), idx, -1]
+        if not pages:
+            continue
+        cur = pages[-1].prev_cursor
+        back_idx = 0
+        while isinstance(cur, Cursor):
+            bp = paginate(df, "position", "destination_id", 3, cur)
+            for pos, dest in bp.rows:
+                rows[(int(src), int(dest))][2] = back_idx
+            back_idx += 1
+            cur = bp.prev_cursor
     return spark.createDataFrame(
-        rows, "source_id long, destination_id long, position long, page_idx int"
+        [(s, d, p, i, b) for (s, d), (p, i, b) in rows.items()],
+        "source_id long, destination_id long, position long, page_idx int, page_back int",
     )
 
 
