@@ -38,31 +38,30 @@ def pagerank(edges: DataFrame, graph_id: int, iterations: int = 3) -> DataFrame:
         F.col("source_id").alias("src"), F.col("destination_id").alias("dst")
     )
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    # the edge↔out_degree join is loop-invariant — attach it once and cache,
-    # so each iteration is exactly one join + one aggregation
+    # the edge↔out_degree join is loop-invariant — attach it once and cache
     e_deg = e.join(out_deg, "src").cache()
+    base = PR_UNIT * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    pr_of = f"({base} + (coalesce(in_sum, 0) * {PR_DAMP_NUM}) div {PR_DAMP_DEN})"
+
+    # pr_i(node) = base + d·in_sum_i(node) with in_sum ≡ null for nodes that
+    # receive nothing, so only the `in_sum` relation iterates — the dangling-
+    # node fill-in happens once at the end, not per iteration.  Iteration 1
+    # needs no join at all: uniform initial rank makes every edge's
+    # contribution UNIT div out_deg.
+    contrib = e_deg.groupBy(F.col("dst").alias("node")).agg(
+        F.sum(F.expr(f"{PR_UNIT} div out_deg")).alias("in_sum")
+    )
+    for _ in range(iterations - 1):
+        contrib = (
+            e_deg.join(contrib.select(F.col("node").alias("src"), "in_sum"), "src", "left")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr(f"{pr_of} div out_deg")).alias("in_sum"))
+        )
     nodes = (
         e_deg.select(F.col("src").alias("node"))
         .union(e_deg.select(F.col("dst").alias("node")))
         .distinct()
-        .cache()
     )
-    pr = nodes.select("node", F.lit(PR_UNIT).cast("long").alias("pr"))
-    base = PR_UNIT * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
-    for _ in range(iterations):
-        contrib = (
-            e_deg.join(pr.select(F.col("node").alias("src"), "pr"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.expr("pr div out_deg")).alias("in_sum"))
-        )
-        pr = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base).cast("long")
-                    + F.expr(f"(coalesce(in_sum, 0) * {PR_DAMP_NUM}) div {PR_DAMP_DEN}")
-                ).alias("pr"),
-            )
-        )
-    return pr.select(F.col("node").alias("node_id"), F.col("pr"))
+    return nodes.join(contrib, "node", "left").select(
+        F.col("node").alias("node_id"), F.expr(pr_of).cast("long").alias("pr")
+    )

@@ -1,0 +1,49 @@
+"""Watermarked event-time windowed aggregation over the write stream.
+
+The reference has no streaming analytics (its "stream" is the async job
+queue); this is the Spark-native observability layer a 100 TB deployment
+runs next to ingestion: per-graph / per-op write rates in event-time
+windows, with a watermark bounding how long state waits for stragglers.
+
+Note the division of labor: the MERGE path needs no watermark at all —
+W2 is commutative, so arbitrarily late ops still fold correctly
+(streaming/ingest.py, streaming/stateful.py).  Watermarks only appear here,
+where windows must CLOSE to bound aggregation state — the textbook
+late-data trade-off, chosen per operator rather than globally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_write_rates(
+    ops: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """ops (streaming, OPS_SCHEMA) → tumbling-window write counts per
+    (graph_id, op_state).
+
+    State per key is one count; the watermark evicts windows once event time
+    passes window_end + watermark, which both bounds memory and defines the
+    late-drop contract (ops later than that are ignored HERE — the merge
+    path still applies them to the table).  Precisely: the watermark advances
+    at micro-batch boundaries, so a straggler in the same batch that closes
+    its window still counts; from the next batch on it is dropped
+    (tests/test_streaming.py pins both sides of this line).
+    """
+    return (
+        ops.withColumn("event_time", F.timestamp_seconds(F.col("updated_at")))
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window), F.col("graph_id"), F.col("op_state"))
+        .agg(F.count(F.lit(1)).alias("n_ops"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "graph_id",
+            "op_state",
+            "n_ops",
+        )
+    )

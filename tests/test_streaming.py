@@ -82,3 +82,55 @@ def test_stateful_lww_operator(spark, tmp_path):
     assert final[(1, 1, 12)] == (1000, 0, 7)     # duplicate delivery: unchanged
     # the duplicate op must NOT have produced a second update for d=12
     assert sum(1 for r in updates if r["destination_id"] == 12) == 1
+
+
+def test_windowed_write_rates_watermark(spark, tmp_path):
+    """Append-mode watermark contract: a window emits exactly once, when the
+    watermark passes its end; stragglers beyond the watermark are dropped
+    (while the merge path would still apply them — the documented division of
+    labor).  Update mode would be weaker: late rows may still hit state that
+    hasn't been evicted yet."""
+    from flockdb_spark.streaming.ingest import stream_writes
+    from flockdb_spark.streaming.windows import windowed_write_rates
+
+    t0 = 1_700_000_000 - 1_700_000_000 % 600  # aligned to a 10-min window
+    ops_dir = tmp_path / "journal"
+    # batch 1: two ops in window W0, then one far ahead (advances the
+    # watermark to t0+2h-30m, far past W0's end)
+    write_batch(
+        ops_dir,
+        "b1.json",
+        [op(0, 1, 10, t0 + 10), op(0, 1, 11, t0 + 20), op(0, 1, 12, t0 + 7200)],
+    )
+    # batch 2: a straggler that still lands — the watermark advances at
+    # batch boundaries, so W0's state is evicted at the END of this batch
+    write_batch(ops_dir, "b2.json", [op(0, 1, 13, t0 + 30)])
+    # batch 3: past eviction — MUST be dropped, and W0 must not re-emit
+    write_batch(ops_dir, "b3.json", [op(0, 1, 14, t0 + 40)])
+    # the file source orders batches by modification time — make it explicit
+    # so the watermark-advancing batch really processes first
+    import os
+
+    for i, name in enumerate(["b1.json", "b2.json", "b3.json"]):
+        os.utime(ops_dir / name, (1_000_000_000 + 100 * i,) * 2)
+
+    out = windowed_write_rates(stream_writes(spark, str(ops_dir), max_files_per_trigger=1))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("write_rates")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT window_start, n_ops FROM write_rates").collect()
+    emitted = {(int(r["window_start"].timestamp()), r["n_ops"]) for r in rows}
+    # W0 emitted exactly ONCE, at eviction (batch 2's straggler beat the
+    # eviction and counts; batch 3's arrived after and must not re-open W0)
+    assert emitted == {(t0, 3)}
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0) if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    assert dropped == 1  # the post-eviction straggler was watermark-dropped
