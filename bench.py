@@ -49,11 +49,23 @@ BENCH_QUERIES = [
 ]
 
 
+def shuffle_partitions_for(sf_dir: str) -> int:
+    """Size the shuffle by DATA, not by cluster width (SCALE.md §6): ~8 MB of
+    input per partition, clamped to [8, 4096].  At sf0.1 this lands around
+    16-32 (tiny tasks stop dominating wall time); at 100 TB the same rule
+    hits the cap and a real deployment raises it — AQE's coalescing then
+    right-sizes every post-shuffle stage within that budget."""
+    total = sum(f.stat().st_size for f in Path(sf_dir).glob("*.parquet"))
+    return max(8, min(4096, total // (8 << 20) or 8))
+
+
 def main() -> None:
     from flockdb_spark.session import get_spark
     import __spark_entry__ as entrymod
 
-    spark = get_spark(app_name="flockdb-bench", shuffle_partitions=int(CPUS))
+    spark = get_spark(
+        app_name="flockdb-bench", shuffle_partitions=shuffle_partitions_for(SF_DIR)
+    )
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
