@@ -275,9 +275,25 @@ def apply_oplog(
     if resolve_with_metadata:
         single = resolve_writes(single, merged_md)
     writes = single.unionByName(mass_writes).select(*EDGE_COLUMNS)
+    # Merge cost must scale with the WRITE BATCH, not the table: only rows of
+    # touched vertices enter the fold; everything else passes through via an
+    # anti-join (no shuffle — the touched-key set is join-broadcast-sized for
+    # any sane batch).  This is what keeps a 10⁴-op batch cheap against a
+    # 10¹¹-row table (SCALE.md §3).
+    touched = ops.select("graph_id", "source_id").distinct()
+    edges_touched = edges.join(touched, ["graph_id", "source_id"], "left_semi")
+    edges_rest = edges.join(touched, ["graph_id", "source_id"], "left_anti")
     # write path uses the position-preserving fold (updateEdge semantics,
     # SqlShard.scala:436-446); copy/repair keeps row-level temporal_merge
-    merged_edges = sequenced_merge(edges, writes)
+    touched_merged = sequenced_merge(edges_touched, writes)
+    merged_edges = edges_rest.select(*EDGE_COLUMNS).unionByName(touched_merged)
 
-    merged_md = derive_metadata(merged_edges, merged_md)
+    # metadata likewise: recount only touched vertices, carry the rest
+    md_rest = merged_md.join(touched, ["graph_id", "source_id"], "left_anti")
+    md_touched = derive_metadata(
+        touched_merged, merged_md.join(touched, ["graph_id", "source_id"], "left_semi")
+    )
+    merged_md = md_rest.select(*METADATA_COLUMNS).unionByName(
+        md_touched.select(*METADATA_COLUMNS)
+    )
     return merged_edges, merged_md
