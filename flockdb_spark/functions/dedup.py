@@ -131,15 +131,21 @@ def minhash_lsh_candidates(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sig: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs sharing any band bucket.
 
     rows = num_hashes/bands; P(candidate) ≈ 1-(1-j^rows)^bands.  The band
     bucket join replaces the quadratic pair enumeration — this is the piece
     that survives 100 TB.
+
+    ``sig``: precomputed ``minhash_signatures`` output to share across the
+    candidate and estimate passes (signature computation is the dominant
+    cost; cache it once, use it twice).
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
+    if sig is None:
+        sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -166,10 +172,13 @@ def minhash_lsh_candidates(
     )
 
 
-def minhash_estimate_jaccard(df: DataFrame, pairs: DataFrame, num_hashes: int = 32, **kw) -> DataFrame:
+def minhash_estimate_jaccard(
+    df: DataFrame, pairs: DataFrame, num_hashes: int = 32, sig: DataFrame | None = None, **kw
+) -> DataFrame:
     """Estimated Jaccard for candidate pairs = fraction of matching signature
-    positions."""
-    sig = minhash_signatures(df, num_hashes, **kw)
+    positions.  Pass the same cached ``sig`` used for candidate generation."""
+    if sig is None:
+        sig = minhash_signatures(df, num_hashes, **kw)
     sa = sig.select(F.col("doc_id").alias("a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("doc_id").alias("b"), F.col("sig").alias("sig_b"))
     return (

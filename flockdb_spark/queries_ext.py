@@ -94,8 +94,9 @@ def x03(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(" ", F.slice(w, 1, F.greatest(F.size(w) - 2, F.lit(1)))).alias("text"),
     )
     corpus = sub.unionByName(planted)
-    pairs = dedup.minhash_lsh_candidates(corpus, num_hashes=32, bands=8)
-    return dedup.minhash_estimate_jaccard(corpus, pairs, num_hashes=32)
+    sig = dedup.minhash_signatures(corpus, num_hashes=32).cache()
+    pairs = dedup.minhash_lsh_candidates(corpus, num_hashes=32, bands=8, sig=sig)
+    return dedup.minhash_estimate_jaccard(corpus, pairs, num_hashes=32, sig=sig)
 
 
 @query("x04_simhash")
