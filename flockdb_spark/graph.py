@@ -88,6 +88,23 @@ class EdgeStore:
         else:
             df.select(*EDGE_COLUMNS).write.mode("overwrite").partitionBy("graph_id").parquet(path)
 
+    def write_backward_twin(self, path: str) -> None:
+        """The optional performance twin for backward-heavy workloads
+        (SCALE.md §1): same rows, laid out for `destination_id` access —
+        the Spark analogue of the reference writing every edge twice into a
+        mirrored `-graph_id` table (``doc/blog.md:90-93``).  Unlike the
+        reference this is a pure layout choice: readers that don't have the
+        twin still answer backward queries from the primary layout via
+        row-group stats, just with more IO."""
+        (
+            self.edges.repartition("graph_id", "destination_id")
+            .sortWithinPartitions("destination_id", "position")
+            .select(*EDGE_COLUMNS)
+            .write.mode("overwrite")
+            .partitionBy("graph_id")
+            .parquet(path)
+        )
+
     @classmethod
     def read_optimized(cls, spark: SparkSession, path: str) -> "EdgeStore":
         edges = spark.read.parquet(path).select(*EDGE_COLUMNS)

@@ -83,3 +83,14 @@ def test_wildcard_over_cache_stays_in_codegen(spark, store):
     post = df._jdf.queryExecution().executedPlan().toString()
     # "*(n)" prefixes mark WholeStageCodegen spans in the compact plan string
     assert re.search(r"\*\(\d+\) Filter", post)
+
+
+def test_backward_twin_pushes_destination_filter(spark, store, tmp_path):
+    path = str(tmp_path / "edges_bwd")
+    store.write_backward_twin(path)
+    st = EdgeStore.read_optimized(spark, path)
+    plan = plan_str(st.backward(3, 42).select("source_id", "position"))
+    assert re.search(r"PartitionFilters:.*graph_id.*= 3", plan)
+    assert re.search(r"PushedFilters:.*EqualTo\(destination_id,42\)", plan)
+    # and the twin holds exactly the same rows as the primary
+    assert st.edges.count() == store.edges.count()
