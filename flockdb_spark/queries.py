@@ -637,8 +637,12 @@ WHERE graph_id = 1 AND source_id IN (SELECT source_id FROM src10)
 def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = store_for(spark, sf_dir)
     p = params_for(spark, sf_dir)
-    g1 = st.graph(1)
-    md = st.metadata.where(F.col("graph_id") == 1)
+    # restrict the merge INPUT to the touched vertices up front — the output
+    # only concerns src10, and a semi-join doesn't push through the merge's
+    # union on its own (manual predicate pushdown into the write path)
+    src10_df = F.broadcast(_src10_df(spark, sf_dir))
+    g1 = st.graph(1).join(src10_df, "source_id", "left_semi")
+    md = st.metadata.where(F.col("graph_id") == 1).join(src10_df, "source_id", "left_semi")
 
     # Both mass ops target the not-Removed edge set, which archive/add never
     # change — so the archive@t1 / re-add@t2 sequence collapses into ONE merge
@@ -652,9 +656,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         "op_state int, graph_id int, source_id long, destination_id long, position long, updated_at long",
     )
     e2, _ = apply_oplog(g1, md, ops_df)
-    return e2.join(F.broadcast(_src10_df(spark, sf_dir)), "source_id", "left_semi").select(
-        *EDGE_COLUMNS
-    )
+    return e2.select(*EDGE_COLUMNS)
 
 
 # ---------------------------------------------------------------------------
