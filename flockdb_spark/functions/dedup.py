@@ -195,15 +195,38 @@ def minhash_estimate_jaccard(
 
 # -- SimHash -----------------------------------------------------------------
 
-def simhash(df: DataFrame, bits: int = 48, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, simhash) — classic Charikar simhash over word hashes: bit p of
-    the signature is the sign of Σ_words (±1 by bit p of xxhash64(word)).
+def simhash(
+    df: DataFrame,
+    bits: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int | None = None,
+) -> DataFrame:
+    """(doc_id, simhash) — classic Charikar simhash over feature hashes: bit p
+    of the signature is the sign of Σ_features (±1 by bit p of xxhash64(f)).
+
+    ``shingle_n=None`` hashes distinct words (bag-of-words similarity);
+    ``shingle_n=k`` hashes word k-grams, making the measure order-sensitive —
+    the right setting for near-dup detection over a homogeneous corpus where
+    everything shares vocabulary.
 
     One projection over the token array — per-bit aggregates are plain column
     expressions (bit positions are Python ints, so the whole thing stays in
     codegen); no shuffle, no UDF.  48 bits keeps 1<<p in signed-long range.
     """
-    w = F.array_distinct(tokens(text_col))
+    if shingle_n is None:
+        w = F.array_distinct(tokens(text_col))
+    else:
+        t = tokens(text_col)
+        w = F.array_distinct(
+            F.when(
+                F.size(t) >= shingle_n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(t) - shingle_n),
+                    lambda i: F.concat_ws(" ", F.slice(t, i + 1, shingle_n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
     hashes = F.transform(w, lambda t: F.xxhash64(t))
 
     def bit_vote(p: int):
@@ -219,3 +242,44 @@ def simhash(df: DataFrame, bits: int = 48, text_col: str = "text", id_col: str =
             F.when(s_p > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
         )
     return df.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    sig: DataFrame, max_hamming: int = 3, bits: int = 48
+) -> DataFrame:
+    """Near-dup pairs from a ``simhash`` table by Hamming distance, without a
+    quadratic comparison: split each signature into ``max_hamming + 1``
+    chunks — two signatures within distance ``max_hamming`` must agree on at
+    least one whole chunk (pigeonhole), so candidate pairs come from a
+    chunk-bucket join and only candidates pay the exact popcount.
+
+    Output: (a, b, hamming) with a < b, hamming ≤ max_hamming."""
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("chunk"),
+                        F.shiftright("simhash", ci * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for ci in range(n_chunks)
+                ]
+            )
+        ).alias("cb"),
+    ).select("doc_id", "simhash", "cb.chunk", "cb.val")
+    a = banded.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sig_a"), "chunk", "val")
+    b = banded.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sig_b"), "chunk", "val")
+    return (
+        a.join(b, ["chunk", "val"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", F.bit_count(F.expr("sig_a ^ sig_b")).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

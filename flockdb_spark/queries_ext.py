@@ -104,6 +104,23 @@ def x04(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(_docs_subset(spark, sf_dir))
 
 
+@query("x16_simhash_neardup")
+def x16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-validating like x03: every doc_id%50==0 doc re-enters with its
+    last word dropped (a few flipped simhash bits) under doc_id+10M; the
+    Hamming-bucket join must recover those pairs within distance 8 while
+    unrelated docs (expected distance 24 ± 3.5 of 48 bits, so ≥4.6σ away)
+    stay out."""
+    sub = _docs_subset(spark, sf_dir).select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+    planted = sub.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(1)))).alias("text"),
+    )
+    sig = dedup.simhash(sub.unionByName(planted), shingle_n=3)
+    return dedup.simhash_neardup_pairs(sig, max_hamming=8)
+
+
 # ---------------------------------------------------------------------------
 # x05 — brute-force cosine top-k (quantized-integer dot: engine-exact)
 # ---------------------------------------------------------------------------

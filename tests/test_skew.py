@@ -67,3 +67,32 @@ def test_shingle_df_cap_is_conservative_and_converges(spark):
         for r in ngram_jaccard_pairs(docs, threshold=0.0, max_shingle_df=100).collect()
     }
     assert wide == exact
+
+
+def test_simhash_hamming_pairs_match_bruteforce(spark):
+    """Pigeonhole banding must find EXACTLY the pairs within the Hamming
+    bound — verified against an all-pairs popcount on a small corpus."""
+    from itertools import combinations
+
+    from flockdb_spark.functions.dedup import simhash, simhash_neardup_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "one two three four five six seven eight"),
+            (4, "one two three four five six seven nine"),
+            (5, "completely different words in this document here now"),
+        ],
+        "doc_id long, text string",
+    )
+    sig_rows = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    k = 16
+    expected = {
+        (a, b)
+        for a, b in combinations(sorted(sig_rows), 2)
+        if bin(sig_rows[a] ^ sig_rows[b]).count("1") <= k
+    }
+    got = {(r["a"], r["b"]) for r in simhash_neardup_pairs(simhash(docs), max_hamming=k).collect()}
+    assert got == expected
+    assert (1, 2) in got and (3, 4) in got  # the near-dup plants really pair
