@@ -193,6 +193,50 @@ def minhash_estimate_jaccard(
     )
 
 
+def resolve_duplicates(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Turn near-dup PAIRS into a keep/drop decision: connected components by
+    min-label propagation; every document maps to the smallest doc_id in its
+    duplicate cluster (the canonical survivor).
+
+    Iterative join+min like PageRank: labels converge in O(diameter)
+    rounds — duplicate clusters are shallow in practice, and the loop stops
+    early on a converged fixpoint (one cheap count per round; at 100 TB each
+    round is one shuffle keyed on doc_id).
+
+    Input: (a, b) pairs with a < b.  Output: (doc_id, canonical_id) for every
+    id that appears in any pair.
+    """
+    und = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = und.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    for _ in range(max_iterations):
+        neighbor_min = (
+            und.join(labels.select(F.col("id").alias("src"), "label"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "id", "left")
+            .select("id", F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"))
+            .localCheckpoint(eager=True)  # truncate the iteration lineage
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canonical_id"))
+
+
 # -- SimHash -----------------------------------------------------------------
 
 def simhash(

@@ -76,6 +76,44 @@ def x02(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x17 — duplicate-cluster resolution: near-dup pairs → connected components →
+# canonical survivor per cluster.  Spark: iterative min-label propagation;
+# oracle: recursive-CTE transitive closure over the SAME pair set.
+# ---------------------------------------------------------------------------
+
+@query(
+    "x17_dedup_resolve",
+    f"""
+WITH RECURSIVE sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+sh AS (
+  SELECT doc_id, unnest(list_distinct({_TRIGRAMS})) AS shingle FROM sub
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT a, b FROM inter
+  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+  WHERE (n_inter * 1000000) // (sa.n_sh + sb.n_sh - n_inter) >= 20000
+),
+und AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach(id, root) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN und e ON e.src = r.id
+)
+SELECT id AS doc_id, min(root) AS canonical_id FROM reach GROUP BY id
+""",
+)
+def x17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.ngram_jaccard_pairs(_docs_subset(spark, sf_dir), threshold=0.02)
+    return dedup.resolve_duplicates(pairs.select("a", "b"))
+
+
+# ---------------------------------------------------------------------------
 # x03/x04 — MinHash-LSH candidates + SimHash signatures (xxhash64-based:
 # Spark-native scale path; rows-only check, no DuckDB twin)
 # ---------------------------------------------------------------------------

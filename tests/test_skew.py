@@ -96,3 +96,15 @@ def test_simhash_hamming_pairs_match_bruteforce(spark):
     got = {(r["a"], r["b"]) for r in simhash_neardup_pairs(simhash(docs), max_hamming=k).collect()}
     assert got == expected
     assert (1, 2) in got and (3, 4) in got  # the near-dup plants really pair
+
+
+def test_resolve_duplicates_chain_components(spark):
+    """Min-label propagation must converge across a 5-hop chain and keep
+    disjoint clusters apart."""
+    from flockdb_spark.functions.dedup import resolve_duplicates
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)], "a long, b long"
+    )
+    got = {r["doc_id"]: r["canonical_id"] for r in resolve_duplicates(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
