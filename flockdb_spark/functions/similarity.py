@@ -145,6 +145,8 @@ def hyperplane_signature(vec_col, dims: int, planes: int = 16) -> F.Column:
             F.pmod(F.xxhash64(F.lit(p), i), F.lit(2)) == 0, x
         ).otherwise(-x)
 
+    if planes == 0:  # degenerate: one global bucket (exhaustive comparison)
+        return F.lit(0).cast("long")
     bits = []
     for p in range(planes):
         signed = F.zip_with(v, F.sequence(F.lit(0), F.lit(dims - 1)), plane_sign(p))
@@ -154,6 +156,39 @@ def hyperplane_signature(vec_col, dims: int, planes: int = 16) -> F.Column:
     for b in bits[1:]:
         out = out.bitwiseOR(b)
     return out
+
+
+def lsh_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    planes: int = 6,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-dup pairs beyond broadcastable corpus sizes: candidates
+    = same random-hyperplane bucket (high-cosine pairs land together with
+    P ≈ (1 - θ/π)^planes), exact integer dot only inside buckets.
+
+    The scale twin of ``neardup_pairs`` (which broadcasts the whole matrix):
+    here both sides shuffle once on the bucket key and the quadratic blow-up
+    is bounded per bucket — recall is tunable via ``planes``.
+    Output: (a, b, dot_micro2) with a < b, dot ≥ threshold."""
+    sig = emb.select(
+        F.col(id_col).alias("_id"),
+        quantized(vec_col).alias("_v"),
+        hyperplane_signature(quantized(vec_col), dims, planes).alias("bucket"),
+    )
+    a = sig.select(F.col("_id").alias("a"), F.col("_v").alias("va"), "bucket")
+    b = sig.select(F.col("_id").alias("b"), F.col("_v").alias("vb"), "bucket")
+    thresh = int(threshold * MICRO * MICRO)
+    return (
+        a.join(b, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", dot_q(F.col("va"), F.col("vb")).alias("dot_micro2"))
+        .where(F.col("dot_micro2") >= thresh)
+        .distinct()
+    )
 
 
 def ivf_ann_topk(

@@ -266,6 +266,75 @@ def x07(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x18 — LSH-bucketed embedding near-dup pairs (beyond-broadcast scale twin of
+# x07; xxhash-derived hyperplanes → rows-only; precision is exact by
+# construction, tests pin the ⊆-of-exact relationship)
+# ---------------------------------------------------------------------------
+
+@query("x18_lsh_neardup")
+def x18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.lsh_neardup_pairs(emb, threshold=0.45, planes=4)
+
+
+# ---------------------------------------------------------------------------
+# x19 — the composed training-data pipeline: language gate → quality gate →
+# exact dedup → token budget.  Every stage is an operator proven above;
+# this is the end-to-end shape a 100 TB corpus pass actually runs.
+# ---------------------------------------------------------------------------
+
+@query(
+    "x19_pipeline",
+    f"""
+WITH hits AS (
+  SELECT doc_id, text,
+         length(list_filter({_W}, w -> w IN ('the','a','of','and','to'))) AS h_en,
+         length({_W}) AS n_tokens
+  FROM documents
+),
+langed AS (SELECT * FROM hits WHERE h_en >= 1),
+quality AS (
+  SELECT * FROM langed
+  WHERE n_tokens BETWEEN 5 AND 10000
+    AND length(list_distinct({_W})) * 1000000 // n_tokens >= 300000
+),
+deduped AS (
+  SELECT min(doc_id) AS doc_id, any_value(n_tokens) AS n_tokens
+  FROM quality GROUP BY text
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens
+FROM deduped
+QUALIFY cum_tokens <= 20000
+""",
+)
+def x19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep docs that pass language + quality gates, drop exact duplicates,
+    then take documents in doc_id order until a 20k-token budget is filled —
+    the canonical corpus-construction pass, composed from x10/x08/x01's
+    operators plus a running-total window."""
+    from pyspark.sql import Window
+
+    docs = _read(spark, sf_dir, "documents")
+    w = text.tokens("text")
+    n_tokens = F.size(w)
+    gated = docs.where(
+        (F.size(F.filter(w, lambda x: x.isin(*text.STOPWORDS))) >= 1)
+        & n_tokens.between(5, 10_000)
+        & (F.size(F.array_distinct(w)) * 1_000_000 / n_tokens >= 300_000)
+    )
+    deduped = gated.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.any_value(n_tokens).cast("long").alias("n_tokens"),
+    )
+    cum = F.sum("n_tokens").over(Window.orderBy("doc_id"))
+    return (
+        deduped.select("doc_id", "n_tokens", cum.cast("long").alias("cum_tokens"))
+        .where(F.col("cum_tokens") <= 20_000)
+    )
+
+
+# ---------------------------------------------------------------------------
 # x08 — quality features (integer micro-ratios — no float rounding hazards)
 # ---------------------------------------------------------------------------
 

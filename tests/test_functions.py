@@ -109,3 +109,18 @@ def test_pagerank_sink_gains_mass(spark):
     assert pr[5] > pr[1] == pr[2] == pr[3] == pr[4]
     dd = {r["out_degree"]: r["n_vertices"] for r in analytics.degree_distribution(edges, 1).collect()}
     assert dd == {1: 4}
+
+
+def test_lsh_neardup_precision_and_planes0_equality(spark):
+    """LSH-bucketed near-dup pairs: precision is exact by construction
+    (candidates re-scored with the exact dot), and with planes=0 every vector
+    shares one bucket, so the result equals the broadcast-exact operator."""
+    from flockdb_spark.functions.similarity import lsh_neardup_pairs, neardup_pairs
+    from flockdb_spark.sources.edges import _read
+
+    emb = _read(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {(r["a"], r["b"]) for r in neardup_pairs(emb, threshold=0.45).collect()}
+    bucketed = {(r["a"], r["b"]) for r in lsh_neardup_pairs(emb, threshold=0.45, planes=4).collect()}
+    assert bucketed <= exact  # no false positives, ever
+    all_in_one = {(r["a"], r["b"]) for r in lsh_neardup_pairs(emb, threshold=0.45, planes=0).collect()}
+    assert all_in_one == exact  # single bucket == exhaustive comparison
