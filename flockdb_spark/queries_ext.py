@@ -454,6 +454,63 @@ def x12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x20 — sessionization: gap-based event sessions per user.  Spark's native
+# session_window (merging, state-friendly in streaming) vs the classic
+# gaps-and-islands SQL — identical results, hash-checked.
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 1800
+
+
+@query(
+    "x20_sessionization",
+    f"""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events
+),
+marked AS (
+  SELECT user_id, ts_s,
+         CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s)
+                   >= {_SESSION_GAP_S}
+              OR lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+),
+sessions AS (
+  SELECT user_id, ts_s,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts_s ROWS UNBOUNDED PRECEDING
+         ) AS session_no
+  FROM marked
+)
+SELECT user_id,
+       min(ts_s) AS session_start,
+       max(ts_s) + {_SESSION_GAP_S} AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sessions GROUP BY user_id, session_no
+""",
+)
+def x20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window: merges events closer than the gap into one
+    session whose end = last event + gap — exactly the islands the SQL oracle
+    derives.  In streaming the same expression runs stateful with watermark
+    eviction; in batch it's one shuffle on (user, merged-window)."""
+    events = _read(spark, sf_dir, "events")
+    ts_s = F.expr("ts div 1000000000")
+    return (
+        events.select("user_id", F.timestamp_seconds(ts_s).alias("event_time"))
+        .groupBy(F.session_window("event_time", f"{_SESSION_GAP_S} seconds"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_seconds(F.col("session_window.start")).alias("session_start"),
+            F.unix_seconds(F.col("session_window.end")).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # x13/x14 — graph analytics over the edge table
 # ---------------------------------------------------------------------------
 
