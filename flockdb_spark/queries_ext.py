@@ -511,6 +511,53 @@ def x20(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x21 — as-of join: for each part shipment, the most recent strictly-earlier
+# price of the same part.  Spark: single-shuffle union/carry-forward sweep
+# (operators/asof.py); oracle: DuckDB's native ASOF JOIN.
+# ---------------------------------------------------------------------------
+
+@query(
+    "x21_asof_join",
+    """
+WITH ship AS (
+  SELECT l_partkey AS part,
+         CAST(floor(epoch(l_shipdate)) AS BIGINT) AS ship_s,
+         CAST(max(l_extendedprice) * 100 AS BIGINT) AS price_c
+  FROM lineitem WHERE l_partkey % 100 = 0
+  GROUP BY 1, 2
+)
+SELECT l.part, l.ship_s, l.price_c,
+       r.price_c AS prev_price_c, r.ship_s AS prev_ship_s
+FROM ship l ASOF LEFT JOIN ship r
+  ON l.part = r.part AND l.ship_s > r.ship_s
+""",
+)
+def x21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.asof import asof_join
+    from .sources.edges import _epoch_cols
+
+    li = _read(spark, sf_dir, "lineitem").where(F.col("l_partkey") % 100 == 0)
+    ship_s, _ = _epoch_cols(li, "l_shipdate")
+    ship = li.groupBy(
+        F.col("l_partkey").alias("part"), ship_s.alias("ship_s")
+    ).agg(
+        # prices are DOUBLE in the parquet; round before the long cast (Spark
+        # cast truncates, the DuckDB oracle's cast rounds)
+        F.round(F.max("l_extendedprice") * 100).cast("long").alias("price_c")
+    )
+    return asof_join(
+        ship,
+        ship,
+        on=["part"],
+        left_time="ship_s",
+        right_time="ship_s",
+        payload=["price_c", "ship_s"],
+        strict=True,
+        prefix="prev_",
+    ).select("part", "ship_s", "price_c", "prev_price_c", "prev_ship_s")
+
+
+# ---------------------------------------------------------------------------
 # x13/x14 — graph analytics over the edge table
 # ---------------------------------------------------------------------------
 
