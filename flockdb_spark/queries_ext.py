@@ -558,6 +558,52 @@ def x21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x22 — range join: which of a customer's orders fall in the 30 days after
+# another of their orders.  Spark: bin-decomposed equi-join (no nested-loop);
+# oracle: plain inequality join.
+# ---------------------------------------------------------------------------
+
+_D30 = 30 * 86400
+
+
+@query(
+    "x22_range_join",
+    f"""
+WITH o AS (
+  SELECT o_custkey AS cust, o_orderkey AS ok,
+         CAST(floor(epoch(o_orderdate)) AS BIGINT) AS t
+  FROM orders
+)
+SELECT i.cust, i.ok AS anchor_order, p.ok AS follow_order,
+       p.t - i.t AS delta_s
+FROM o i JOIN o p
+  ON i.cust = p.cust AND p.t BETWEEN i.t AND i.t + {_D30} AND p.ok <> i.ok
+""",
+)
+def x22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.rangejoin import point_in_interval_join
+    from .sources.edges import _epoch_cols
+
+    orders = _read(spark, sf_dir, "orders")
+    t, _ = _epoch_cols(orders, "o_orderdate")
+    o = orders.select(F.col("o_custkey").alias("cust"), F.col("o_orderkey").alias("ok"), t.alias("t"))
+    points = o.select("cust", F.col("ok").alias("follow_order"), F.col("t").alias("pt"))
+    intervals = o.select(
+        "cust",
+        F.col("ok").alias("anchor_order"),
+        F.col("t").alias("t0"),
+        (F.col("t") + F.lit(_D30)).alias("t1"),
+    )
+    joined = point_in_interval_join(
+        points, intervals, on=["cust"], point_col="pt", start_col="t0", end_col="t1",
+        bin_size=_D30,
+    ).where(F.col("follow_order") != F.col("anchor_order"))
+    return joined.select(
+        "cust", "anchor_order", "follow_order", (F.col("pt") - F.col("t0")).alias("delta_s")
+    )
+
+
+# ---------------------------------------------------------------------------
 # x13/x14 — graph analytics over the edge table
 # ---------------------------------------------------------------------------
 

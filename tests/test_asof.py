@@ -41,3 +41,30 @@ def test_asof_is_one_shuffle(spark):
     # union + window sweep: exactly one hash exchange on the key, no join node
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
+
+
+def test_range_join_matches_theta_join_and_avoids_nested_loop(spark):
+    from test_plans import plan_str
+
+    from flockdb_spark.operators.rangejoin import point_in_interval_join
+
+    points = spark.createDataFrame(
+        [(1, 5, "p1"), (1, 25, "p2"), (1, 99, "p3"), (2, 10, "p4")],
+        "k long, t long, pid string",
+    )
+    intervals = spark.createDataFrame(
+        [(1, 0, 10, "i1"), (1, 20, 40, "i2"), (2, 50, 60, "i3")],
+        "k long, s long, e long, iid string",
+    )
+    out = point_in_interval_join(points, intervals, ["k"], "t", "s", "e", bin_size=7)
+    got = {(r["pid"], r["iid"]) for r in out.collect()}
+    # brute-force reference
+    expected = {
+        (p["pid"], i["iid"])
+        for p in points.collect()
+        for i in intervals.collect()
+        if p["k"] == i["k"] and i["s"] <= p["t"] <= i["e"]
+    }
+    assert got == expected == {("p1", "i1"), ("p2", "i2")}
+    plan = plan_str(out, "simple")
+    assert "NestedLoop" not in plan  # the whole point: stays an equi hash join
