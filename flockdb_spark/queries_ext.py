@@ -604,6 +604,60 @@ def x22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# x23 — rollup/grouping-sets: edge counts by (graph, state) with subtotals —
+# a scope-boundary extension the reference lacks outright (SURVEY §2.d) and
+# Spark gives natively; plus hourly time-bucketed event rollups.
+# ---------------------------------------------------------------------------
+
+@query(
+    "x23_rollup",
+    with_fixture_ctes("""
+SELECT coalesce(graph_id, -1) AS graph_id,
+       coalesce(state, -1) AS state,
+       CAST(count(*) AS BIGINT) AS n_edges
+FROM edges
+GROUP BY ROLLUP (graph_id, state)
+"""),
+)
+def x23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = store_for(spark, sf_dir)
+    return (
+        st.edges.rollup("graph_id", "state")
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .select(
+            F.coalesce(F.col("graph_id"), F.lit(-1)).alias("graph_id"),
+            F.coalesce(F.col("state"), F.lit(-1)).alias("state"),
+            "n_edges",
+        )
+    )
+
+
+@query(
+    "x24_event_rollup",
+    """
+SELECT user_id % 16 AS cohort,
+       epoch_ms(ts) // 3600000 AS hour_bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+""",
+)
+def x24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly time-bucketed rollup (the 'hypertable rollup' shape): integer
+    epoch bucketing keeps it engine-portable; count(distinct) is Spark's
+    two-phase exact distinct, partial-aggregated map-side."""
+    events = _read(spark, sf_dir, "events")
+    return events.groupBy(
+        F.pmod(F.col("user_id"), F.lit(16)).alias("cohort"),
+        F.expr("(ts div 1000000000) div 3600").alias("hour_bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_distinct(F.col("user_id")).cast("long").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # x13/x14 — graph analytics over the edge table
 # ---------------------------------------------------------------------------
 
