@@ -65,3 +65,70 @@ def pagerank(edges: DataFrame, graph_id: int, iterations: int = 3) -> DataFrame:
     return nodes.join(contrib, "node", "left").select(
         F.col("node").alias("node_id"), F.expr(pr_of).cast("long").alias("pr")
     )
+
+
+def interaction_pairs(events: DataFrame) -> DataFrame:
+    """Undirected user-interaction graph: users of consecutive events (by
+    event_id) are linked.  Distinct (u, v) with u < v — the unipartite
+    fixture for triangle counting (the edge-store graphs are all bipartite).
+    One self-join on a sequential key: at scale this is a sort-merge join on
+    an already-sorted column, or a window lag over event_id partitions."""
+    a = events.select(F.col("event_id").alias("eid"), F.col("user_id").alias("ua"))
+    b = events.select((F.col("event_id") - 1).alias("eid"), F.col("user_id").alias("ub"))
+    return (
+        a.join(b, "eid")
+        .where(F.col("ua") != F.col("ub"))
+        .select(
+            F.least("ua", "ub").alias("u"),
+            F.greatest("ua", "ub").alias("v"),
+        )
+        .distinct()
+    )
+
+
+def triangle_counts(pairs: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts over an undirected graph given as distinct
+    (u, v) pairs, u < v.
+
+    Degree-ordered orientation (the standard shuffle-minimal scheme): every
+    edge points from its lower-(degree, id) endpoint to the higher, so each
+    triangle is emitted exactly once from its lowest corner and — the scale
+    property that matters — wedge fan-out is Σ C(oriented_out_degree, 2),
+    which orientation bounds by O(E^1.5) even on power-law graphs where a
+    naive wedge count explodes at the hubs.  Three hash joins, no windows,
+    no global sort.  Output: (node_id, n_triangles) for vertices in ≥1
+    triangle."""
+    deg = (
+        pairs.select(F.col("u").alias("n"))
+        .unionAll(pairs.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ed = (
+        pairs.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+    )
+    # u < v always, so the (deg, id) tie-break keeps u→v on equal degrees
+    u_first = (F.col("du") < F.col("dv")) | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    orient = ed.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    )
+    o1, o2 = orient.alias("o1"), orient.alias("o2")
+    wedge = o1.join(
+        o2,
+        (F.col("o1.a") == F.col("o2.a"))
+        & (
+            (F.col("o1.db") < F.col("o2.db"))
+            | ((F.col("o1.db") == F.col("o2.db")) & (F.col("o1.b") < F.col("o2.b")))
+        ),
+    ).select(F.col("o1.a").alias("x"), F.col("o1.b").alias("y"), F.col("o2.b").alias("z"))
+    tri = wedge.join(
+        orient.select(F.col("a").alias("y"), F.col("b").alias("z")), ["y", "z"], "left_semi"
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node_id"))
+        .groupBy("node_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )

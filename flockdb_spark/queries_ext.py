@@ -12,10 +12,10 @@ records the weaker rows-only check for them; everything else hash-matches.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions import analytics, dedup, multimodal, similarity, text
+from .functions import analytics, dedup, multimodal, relevance, similarity, splits, text
 from .queries import query, store_for
 from .sources.edges import _read, with_fixture_ctes
 
@@ -707,3 +707,97 @@ SELECT node AS node_id, pr FROM it3
 def x14(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = store_for(spark, sf_dir)
     return analytics.pagerank(st.edges, 3, iterations=3)
+
+
+# ---------------------------------------------------------------------------
+# x25 — BM25 relevance scoring (integer fixed-point; query terms = top-5
+# corpus terms by document frequency).  One pass over the token table, all
+# small sides broadcast (functions/relevance.py).
+# ---------------------------------------------------------------------------
+
+@query("x25_bm25", relevance.bm25_oracle_sql())
+def x25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relevance.bm25_scores(_read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# x26 — top-k per group: 3 longest documents per language (window
+# row_number; partition-parallel, no global sort)
+# ---------------------------------------------------------------------------
+
+@query(
+    "x26_topk_per_group",
+    """
+SELECT lang, doc_id, n_chars, rn FROM (
+  SELECT lang, doc_id, n_chars,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rn
+  FROM documents
+) WHERE rn <= 3
+""",
+)
+def x26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return docs.select(
+        "lang", "doc_id", "n_chars", F.row_number().over(w).cast("long").alias("rn")
+    ).where(F.col("rn") <= 3)
+
+
+# ---------------------------------------------------------------------------
+# x27 — per-vertex triangle counts over the user-interaction graph
+# (degree-ordered orientation, functions/analytics.triangle_counts)
+# ---------------------------------------------------------------------------
+
+@query(
+    "x27_triangles",
+    """
+WITH und AS (
+  SELECT DISTINCT least(a.user_id, b.user_id) AS u, greatest(a.user_id, b.user_id) AS v
+  FROM events a JOIN events b ON b.event_id = a.event_id + 1
+  WHERE a.user_id <> b.user_id
+),
+deg AS (SELECT n, count(*) AS d
+        FROM (SELECT u AS n FROM und UNION ALL SELECT v AS n FROM und) GROUP BY n),
+orient AS (
+  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS a,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS b,
+         CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN dv.d ELSE du.d END AS db
+  FROM und JOIN deg du ON du.n = und.u JOIN deg dv ON dv.n = und.v
+),
+tri AS (
+  SELECT o1.a AS x, o1.b AS y, o2.b AS z
+  FROM orient o1 JOIN orient o2
+    ON o1.a = o2.a AND (o1.db < o2.db OR (o1.db = o2.db AND o1.b < o2.b))
+  WHERE EXISTS (SELECT 1 FROM orient o3 WHERE o3.a = o1.b AND o3.b = o2.b)
+)
+SELECT node_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (SELECT x AS node_id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+GROUP BY node_id
+""",
+)
+def x27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.triangle_counts(
+        analytics.interaction_pairs(_read(spark, sf_dir, "events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# x28 — deterministic train/val/test split (80/10/10 by portable integer
+# hash; functions/splits.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "x28_train_split",
+    f"""
+SELECT doc_id,
+       CAST({splits.split_bucket_sql("doc_id")} AS BIGINT) AS bucket,
+       CASE WHEN {splits.split_bucket_sql("doc_id")} < 800 THEN 'train'
+            WHEN {splits.split_bucket_sql("doc_id")} < 900 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+)
+def x28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return splits.assign_splits(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "bucket", "split"
+    )

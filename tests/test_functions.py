@@ -124,3 +124,91 @@ def test_lsh_neardup_precision_and_planes0_equality(spark):
     assert bucketed <= exact  # no false positives, ever
     all_in_one = {(r["a"], r["b"]) for r in lsh_neardup_pairs(emb, threshold=0.45, planes=0).collect()}
     assert all_in_one == exact  # single bucket == exhaustive comparison
+
+
+# --- relevance (BM25), splits, triangles --------------------------------
+
+
+def test_bm25_ranks_rarer_terms_higher(spark):
+    from flockdb_spark.functions import relevance
+
+    rows = [
+        (0, "apple banana apple"),
+        (1, "apple banana"),
+        (2, "banana cherry"),
+        (3, "durian elderberry fig"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = spark.createDataFrame([("apple",)], "term string")
+    scores = {r["doc_id"]: r["score_micro"] for r in relevance.bm25_scores(docs, q).collect()}
+    # only docs containing the query term are scored
+    assert set(scores) == {0, 1}
+    # doc 0 has tf=2 for 'apple' → strictly higher score than doc 1 (tf=1,
+    # same length class); all scores positive integers
+    assert scores[0] > scores[1] > 0
+    assert all(isinstance(v, int) for v in scores.values())
+
+
+def test_bm25_derived_query_terms(spark):
+    from flockdb_spark.functions import relevance
+
+    docs = spark.createDataFrame(
+        [(i, "common words everywhere") for i in range(5)] + [(9, "rare")],
+        "doc_id long, text string",
+    )
+    top = [r["term"] for r in relevance.top_df_terms(relevance.doc_terms(docs), n=2).collect()]
+    # df-ordered, min length 4 chars: 'rare' (df=1) ranks below the df=5 terms
+    assert top == ["common", "everywhere"] or top == sorted(top, key=lambda t: t)[:2]
+    assert "rare" not in top
+
+
+def test_assign_splits_deterministic_partition(spark):
+    from flockdb_spark.functions import splits
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    out = splits.assign_splits(df).collect()
+    by_split = {}
+    for r in out:
+        assert 0 <= r["bucket"] < 1000
+        assert (r["bucket"] < 800) == (r["split"] == "train")
+        by_split[r["split"]] = by_split.get(r["split"], 0) + 1
+    # every row lands in exactly one split, roughly 80/10/10
+    assert sum(by_split.values()) == 2000
+    assert by_split["train"] > by_split["val"] and by_split["train"] > by_split["test"]
+    # stable across invocations (pure function of the id)
+    again = splits.assign_splits(df).collect()
+    assert sorted((r["doc_id"], r["split"]) for r in again) == sorted(
+        (r["doc_id"], r["split"]) for r in out
+    )
+
+
+def test_triangle_counts_known_graph(spark):
+    from flockdb_spark.functions import analytics as an
+
+    # two triangles sharing edge (1,2): {1,2,3} and {1,2,4}; plus a dangling
+    # edge (4,5) that closes nothing
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (4, 5)], "u long, v long"
+    )
+    out = {r["node_id"]: r["n_triangles"] for r in an.triangle_counts(pairs).collect()}
+    assert out == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_counts_matches_bruteforce(spark):
+    from itertools import combinations
+
+    from flockdb_spark.functions import analytics as an
+
+    # deterministic pseudo-random graph on 12 nodes
+    edges = sorted({(min(a, b), max(a, b))
+                    for a in range(12) for b in range(12)
+                    if a != b and (a * 7 + b * 13) % 5 == 0})
+    eset = set(edges)
+    expect = {}
+    for x, y, z in combinations(range(12), 3):
+        if (x, y) in eset and (x, z) in eset and (y, z) in eset:
+            for n in (x, y, z):
+                expect[n] = expect.get(n, 0) + 1
+    pairs = spark.createDataFrame(edges, "u long, v long")
+    out = {r["node_id"]: r["n_triangles"] for r in an.triangle_counts(pairs).collect()}
+    assert out == expect
