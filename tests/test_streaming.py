@@ -134,3 +134,40 @@ def test_windowed_write_rates_watermark(spark, tmp_path):
         for p in q.recentProgress
     )
     assert dropped == 1  # the post-eviction straggler was watermark-dropped
+
+
+def test_dedup_ops_within_watermark(spark, tmp_path):
+    """Redelivered ops within the watermark horizon are dropped (state still
+    live); distinct ops all pass.  The merge downstream stays the correctness
+    backstop for late duplicates — this only has to never drop a NON-duplicate."""
+    from flockdb_spark.streaming.dedup import dedup_ops_within_watermark
+
+    t0 = 1_700_000_000
+    ops_dir = tmp_path / "journal"
+    # b1: op A twice (same-batch redelivery) + op B
+    write_batch(
+        ops_dir, "b1.json", [op(0, 1, 10, t0, 5), op(0, 1, 10, t0, 5), op(0, 1, 11, t0, 6)]
+    )
+    # b2: op A again (cross-batch redelivery, well within the 1h horizon) +
+    # a genuinely new op on the same edge (different position → not a dup)
+    write_batch(ops_dir, "b2.json", [op(0, 1, 10, t0, 5), op(0, 1, 10, t0 + 60, 7)])
+    import os
+
+    for i, name in enumerate(["b1.json", "b2.json"]):
+        os.utime(ops_dir / name, (1_000_000_000 + 100 * i,) * 2)
+
+    out = dedup_ops_within_watermark(stream_writes(spark, str(ops_dir), max_files_per_trigger=1))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("deduped_ops")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT source_id, destination_id, position, updated_at FROM deduped_ops"
+    ).collect()
+    got = sorted((r["destination_id"], r["position"], r["updated_at"]) for r in rows)
+    assert got == [(10, 5, t0), (10, 7, t0 + 60), (11, 6, t0)]
