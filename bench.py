@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "x07_embedding_neardup",
     "x11_fingerprint",
     "x14_pagerank",
+    "x25_bm25",
+    "x27_triangles",
 ]
 
 

@@ -110,11 +110,13 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     )
     # u < v always, so the (deg, id) tie-break keeps u→v on equal degrees
     u_first = (F.col("du") < F.col("dv")) | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    # the oriented edge list feeds BOTH wedge sides and the closing probe —
+    # materialize it once instead of recomputing the degree join three times
     orient = ed.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    )
+    ).cache()
     o1, o2 = orient.alias("o1"), orient.alias("o2")
     wedge = o1.join(
         o2,
