@@ -49,3 +49,56 @@ def split_bucket_sql(id_col: str) -> str:
     """DuckDB twin of ``split_bucket`` (all operands positive, so ``%`` and
     ``pmod`` agree)."""
     return f"((CAST({id_col} AS BIGINT) * {HASH_MULT}) % {HASH_MOD}) % {N_BUCKETS}"
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_per_mille: dict[str, int],
+    default_per_mille: int,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a per-stratum fraction of rows,
+    chosen by the portable id hash — the curation step that rebalances a
+    corpus (e.g. downsample dominant languages) reproducibly.
+
+    The rates are a broadcast dimension joined on the stratum, so the plan is
+    scan → broadcast-hash-join → filter: zero shuffles of the fact table, and
+    the same rows survive on any cluster size or engine.  ``sampleBy`` is the
+    built-in alternative but is seeded-random, not content-deterministic —
+    re-running on re-partitioned data would sample different rows.
+    """
+    spark = df.sparkSession
+    rates = spark.createDataFrame(
+        list(rates_per_mille.items()), f"{strata_col} string, keep_per_mille int"
+    )
+    return (
+        df.withColumn("bucket", split_bucket(id_col))
+        .join(F.broadcast(rates), strata_col, "left")
+        .withColumn(
+            "keep_per_mille",
+            F.coalesce("keep_per_mille", F.lit(default_per_mille)),
+        )
+        .where(F.col("bucket") < F.col("keep_per_mille"))
+    )
+
+
+def stratified_sample_sql(
+    table: str,
+    rates_per_mille: dict[str, int],
+    default_per_mille: int,
+    id_col: str = "doc_id",
+    strata_col: str = "lang",
+    select: str = "*",
+) -> str:
+    """DuckDB twin of :func:`stratified_sample`."""
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in rates_per_mille.items()
+    )
+    bucket = split_bucket_sql(id_col)
+    return (
+        f"SELECT {select} FROM ("
+        f"SELECT *, CAST({bucket} AS BIGINT) AS bucket, "
+        f"CAST(CASE {strata_col} {whens} ELSE {default_per_mille} END AS INT) AS keep_per_mille "
+        f"FROM {table}) WHERE bucket < keep_per_mille"
+    )

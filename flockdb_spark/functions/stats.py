@@ -1,0 +1,121 @@
+"""Distribution statistics for corpus curation: grouped exact quantiles and
+per-entity event time-series features.
+
+Both stay entirely JVM-side (built-in aggregates / window functions, no
+Python).  Quantiles use only dyadic percentages (k/4) over integer values so
+the linear interpolation is bit-exact in IEEE double on any engine — the same
+int-exact discipline as the rest of the x-series.  At 100 TB the grouped
+exact percentile is one shuffle on the group key with a per-group sort that
+Spark spills; when "within a few per-mille" is acceptable the drop-in
+replacement is ``approx_percentile`` (t-digest, fully map-side combinable) —
+the function takes a flag rather than a fork of the pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: dyadic quartile grid — exact in binary floating point, so Spark's
+#: ``percentile`` and DuckDB's ``quantile_cont`` agree to the last bit
+QUARTILES = (0.25, 0.5, 0.75)
+
+
+def grouped_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    percentages: tuple[float, ...] = QUARTILES,
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group p25/p50/p75 of an integer column, scaled ×4 to an exact
+    BIGINT (interpolated quartile values of ints are k/4 rationals).
+
+    ``approx=True`` swaps the exact sort-based percentile for Spark's
+    t-digest ``approx_percentile`` — same signature, map-side combinable,
+    the right default at petabyte scale when exactness isn't contractual.
+    """
+    fn = F.approx_percentile if approx else F.percentile
+    pct = fn(F.col(value_col), F.lit(list(percentages)))
+    cols = [
+        (F.element_at(pct, i + 1) * 4).cast("long").alias(f"p{int(p * 100)}_x4")
+        for i, p in enumerate(percentages)
+    ]
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"), F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"), *cols,
+    )
+
+
+def grouped_quantiles_sql(
+    table: str, group_col: str, value_col: str,
+    percentages: tuple[float, ...] = QUARTILES,
+) -> str:
+    """DuckDB twin of :func:`grouped_quantiles` (exact path)."""
+    cols = ", ".join(
+        f"CAST(quantile_cont({value_col}, {p}) * 4 AS BIGINT) AS p{int(p * 100)}_x4"
+        for p in percentages
+    )
+    return (
+        f"SELECT {group_col}, CAST(count(*) AS BIGINT) AS n, "
+        f"min({value_col}) AS vmin, max({value_col}) AS vmax, {cols} "
+        f"FROM {table} GROUP BY {group_col}"
+    )
+
+
+def event_time_features(events: DataFrame, window_rows: int = 3) -> DataFrame:
+    """Per-user event stream features: inter-arrival gap and a trailing
+    ``window_rows``-event rolling sum of the (fixed-point cents) value.
+
+    One shuffle on ``user_id``; both features come from the same window
+    spec so Spark evaluates them in a single sort within each partition.
+    Ordering ties break on ``event_id`` so the result is deterministic.
+    Nulls (first event of a user) are coalesced to -1 — downstream filters
+    and cross-engine hashes never see engine-specific null encodings.
+
+    Timestamps are exposed at microsecond precision: the parquet
+    TIMESTAMP(NANOS) column surfaces as int64 epoch-nanos in Spark but is
+    truncated to micros by engines whose native timestamp is µs-resolution,
+    so µs is the portable grain.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.select(
+            "event_id",
+            "user_id",
+            F.expr("ts div 1000").alias("ts_us"),
+            "value",
+        )
+        .withColumn("cents", cents)
+        .select(
+            "event_id",
+            "user_id",
+            "ts_us",
+            F.coalesce(
+                F.col("ts_us") - F.lag("ts_us").over(w), F.lit(-1)
+            ).alias("gap_us"),
+            "cents",
+            F.sum("cents")
+            .over(w.rowsBetween(-(window_rows - 1), 0))
+            .alias(f"roll{window_rows}_cents"),
+        )
+    )
+
+
+def event_time_features_sql(window_rows: int = 3) -> str:
+    """DuckDB twin of :func:`event_time_features` over the ``events`` view."""
+    prev = window_rows - 1
+    return f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id, ts_us,
+       coalesce(ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id), -1) AS gap_us,
+       cents,
+       sum(cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS BETWEEN {prev} PRECEDING AND CURRENT ROW) AS roll{window_rows}_cents
+FROM e
+"""

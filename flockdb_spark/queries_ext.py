@@ -15,7 +15,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions import analytics, dedup, multimodal, relevance, similarity, splits, text
+from .functions import (
+    analytics, dedup, multimodal, relevance, similarity, splits, stats, text,
+)
 from .queries import query, store_for
 from .sources.edges import _read, with_fixture_ctes
 
@@ -801,3 +803,51 @@ def x28(spark: SparkSession, sf_dir: str) -> DataFrame:
     return splits.assign_splits(_read(spark, sf_dir, "documents")).select(
         "doc_id", "bucket", "split"
     )
+
+
+# ---------------------------------------------------------------------------
+# x29 — deterministic stratified sampling: rebalance the corpus by language
+# (downsample dominant en, keep the tail) with content-deterministic bucket
+# hashing; broadcast rates dim, zero fact-table shuffles (functions/splits.py)
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATES = {"en": 400, "fr": 800}
+_SAMPLE_DEFAULT = 950
+
+
+@query(
+    "x29_stratified_sample",
+    splits.stratified_sample_sql(
+        "documents", _SAMPLE_RATES, _SAMPLE_DEFAULT,
+        select="doc_id, lang, CAST(bucket AS BIGINT) AS bucket",
+    ),
+)
+def x29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return splits.stratified_sample(
+        _read(spark, sf_dir, "documents"), _SAMPLE_RATES, _SAMPLE_DEFAULT
+    ).select("doc_id", "lang", F.col("bucket").cast("long").alias("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# x30 — grouped exact quantiles: per-language document-length distribution
+# (dyadic quartiles ×4 are exact BIGINTs; functions/stats.py)
+# ---------------------------------------------------------------------------
+
+@query(
+    "x30_length_quantiles",
+    stats.grouped_quantiles_sql("documents", "lang", "n_chars"),
+)
+def x30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.grouped_quantiles(
+        _read(spark, sf_dir, "documents"), "lang", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# x31 — per-user event time-series features: inter-arrival gap + trailing
+# 3-event rolling spend, one shuffle / one sort (functions/stats.py)
+# ---------------------------------------------------------------------------
+
+@query("x31_event_features", stats.event_time_features_sql())
+def x31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.event_time_features(_read(spark, sf_dir, "events"))

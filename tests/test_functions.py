@@ -212,3 +212,64 @@ def test_triangle_counts_matches_bruteforce(spark):
     pairs = spark.createDataFrame(edges, "u long, v long")
     out = {r["node_id"]: r["n_triangles"] for r in an.triangle_counts(pairs).collect()}
     assert out == expect
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from flockdb_spark.functions import splits
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)],
+        "doc_id long, lang string",
+    )
+    out = splits.stratified_sample(df, {"en": 100}, 900, strata_col="lang")
+    rows = out.collect()
+    by_lang = {}
+    for r in rows:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+        # survivorship is exactly "bucket < rate"
+        assert r["bucket"] < (100 if r["lang"] == "en" else 900)
+    # en downsampled hard relative to de
+    assert by_lang["en"] < by_lang["de"] / 4
+    # content-deterministic: same rows survive under a different partitioning
+    again = splits.stratified_sample(
+        df.repartition(7), {"en": 100}, 900, strata_col="lang"
+    ).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in rows)
+
+
+def test_grouped_quantiles_exact_small(spark):
+    from flockdb_spark.functions import stats
+
+    # group a: values 1..5 → p25=2, p50=3, p75=4 (×4 = 8,12,16)
+    # group b: values 10,20 → p25=12.5, p50=15, p75=17.5 (×4 = 50,60,70)
+    rows = [("a", v) for v in [1, 2, 3, 4, 5]] + [("b", 10), ("b", 20)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r["g"]: r for r in stats.grouped_quantiles(df, "g", "v").collect()}
+    assert (out["a"]["p25_x4"], out["a"]["p50_x4"], out["a"]["p75_x4"]) == (8, 12, 16)
+    assert (out["b"]["p25_x4"], out["b"]["p50_x4"], out["b"]["p75_x4"]) == (50, 60, 70)
+    assert out["a"]["n"] == 5 and out["a"]["vmin"] == 1 and out["a"]["vmax"] == 5
+    # approx path returns the same column shape (values within the digest's error)
+    approx = stats.grouped_quantiles(df, "g", "v", approx=True)
+    assert approx.columns == stats.grouped_quantiles(df, "g", "v").columns
+
+
+def test_event_time_features_gaps_and_rolls(spark):
+    from flockdb_spark.functions import stats
+
+    # user 7: events at 1s, 3s, 6s (ns grain) with values 1.00, 2.00, 4.00
+    # user 8: single event → gap = -1 sentinel
+    rows = [
+        (1, 1_000_000_000, 7, 1.0),
+        (2, 3_000_000_000, 7, 2.0),
+        (3, 6_000_000_000, 7, 4.0),
+        (4, 1_000_000_000, 8, 8.0),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts long, user_id long, value double")
+    out = {r["event_id"]: r for r in stats.event_time_features(df).collect()}
+    assert out[1]["gap_us"] == -1 and out[4]["gap_us"] == -1
+    assert out[2]["gap_us"] == 2_000_000 and out[3]["gap_us"] == 3_000_000
+    # trailing 3-row sum in cents
+    assert out[1]["roll3_cents"] == 100
+    assert out[2]["roll3_cents"] == 300
+    assert out[3]["roll3_cents"] == 700
+    assert out[4]["roll3_cents"] == 800
