@@ -68,6 +68,80 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold_pm: int = 150,
+) -> DataFrame:
+    """Gopher-style intra-document repetition metrics: the per-mille fraction
+    of duplicated tokens and duplicated word ``n``-grams, plus a repetitive
+    flag at ``threshold_pm``.  Highly repetitive documents (boilerplate,
+    keyword stuffing, degenerate generations) are the standard first casualty
+    of a pretraining quality gate.
+
+    Pure per-row map over built-in array functions — no shuffle, no Python;
+    scales linearly and pushes only ``doc_id``/``text`` through the scan.
+    All ratios are exact integer per-mille (floor), portable across engines.
+    """
+    w = tokens(text_col)
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - n),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))  # sequence() would run backwards
+    n_tok = F.size(w)
+    n_tri = F.size(grams)
+    dup_tok_pm = F.floor(
+        (n_tok - F.size(F.array_distinct(w))) * 1000 / n_tok
+    ).cast("long")
+    dup_tri_pm = F.when(n_tri == 0, F.lit(0)).otherwise(
+        F.floor((n_tri - F.size(F.array_distinct(grams))) * 1000 / n_tri)
+    ).cast("long")
+    return df.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        dup_tok_pm.alias("dup_token_pm"),
+        n_tri.cast("long").alias("n_trigrams"),
+        dup_tri_pm.alias("dup_trigram_pm"),
+        (dup_tri_pm >= threshold_pm).cast("long").alias("is_repetitive"),
+    )
+
+
+def repetition_features_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    threshold_pm: int = 150,
+) -> str:
+    """DuckDB twin of :func:`repetition_features` (n=3)."""
+    w = f"string_split({text_col}, ' ')"
+    tri = (
+        f"list_transform(range(1, length({w}) - 1), "
+        f"i -> concat_ws(' ', {w}[i], {w}[i+1], {w}[i+2]))"
+    )
+    return f"""
+WITH r AS (
+  SELECT doc_id, length({w}) AS n_tok, length(list_distinct({w})) AS nd_tok,
+         length({tri}) AS n_tri, length(list_distinct({tri})) AS nd_tri
+  FROM {table}
+),
+pm AS (
+  SELECT doc_id, n_tok, n_tri,
+         (n_tok - nd_tok) * 1000 // n_tok AS dup_token_pm,
+         CASE WHEN n_tri = 0 THEN 0 ELSE (n_tri - nd_tri) * 1000 // n_tri END AS dup_trigram_pm
+  FROM r
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(dup_token_pm AS BIGINT) AS dup_token_pm,
+       CAST(n_tri AS BIGINT) AS n_trigrams,
+       CAST(dup_trigram_pm AS BIGINT) AS dup_trigram_pm,
+       CAST(CASE WHEN dup_trigram_pm >= {threshold_pm} THEN 1 ELSE 0 END AS BIGINT) AS is_repetitive
+FROM pm
+"""
+
+
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-marker language ID.  Deterministic argmax with fixed
     tie-break order en > de > es > fr."""

@@ -16,7 +16,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import (
-    analytics, dedup, multimodal, relevance, similarity, splits, stats, text,
+    analytics, dedup, multimodal, packing, relevance, similarity, splits, stats,
+    text,
 )
 from .queries import query, store_for
 from .sources.edges import _read, with_fixture_ctes
@@ -851,3 +852,26 @@ def x30(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("x31_event_features", stats.event_time_features_sql())
 def x31(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.event_time_features(_read(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# x32 — intra-document repetition quality gate: duplicated-token and
+# duplicated-trigram per-mille + repetitive flag (functions/text.py)
+# ---------------------------------------------------------------------------
+
+@query("x32_repetition", text.repetition_features_sql())
+def x32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_features(_read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# x33 — token-budget sequence packing: concat-and-chunk layout via sharded
+# distributed prefix sum (functions/packing.py)
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 256
+
+
+@query("x33_seq_packing", packing.pack_sequences_sql(_PACK_BUDGET))
+def x33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return packing.pack_sequences(_read(spark, sf_dir, "documents"), _PACK_BUDGET)

@@ -273,3 +273,42 @@ def test_event_time_features_gaps_and_rolls(spark):
     assert out[2]["roll3_cents"] == 300
     assert out[3]["roll3_cents"] == 700
     assert out[4]["roll3_cents"] == 800
+
+
+def test_repetition_features_flags_stuffing(spark):
+    rows = [
+        (1, "a a a a a a"),               # maximal repetition
+        (2, "one two three four five"),   # all distinct
+        (3, "x y"),                       # too short for trigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.repetition_features(df).collect()}
+    assert out[1]["n_tokens"] == 6 and out[1]["dup_token_pm"] == 833
+    assert out[1]["n_trigrams"] == 4 and out[1]["dup_trigram_pm"] == 750
+    assert out[1]["is_repetitive"] == 1
+    assert out[2]["dup_token_pm"] == 0 and out[2]["dup_trigram_pm"] == 0
+    assert out[2]["is_repetitive"] == 0
+    assert out[3]["n_trigrams"] == 0 and out[3]["dup_trigram_pm"] == 0
+
+
+def test_pack_sequences_prefix_sum_and_straddle(spark):
+    from flockdb_spark.functions import packing
+
+    # 10 docs of 100 tokens each, budget 256 → doc k starts at offset 100k
+    rows = [(i, " ".join(["w"] * 100)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           packing.pack_sequences(df, 256, n_shards=4).collect()}
+    # global order is (shard, doc_id): shard 0 → docs 0,4,8; shard 1 → 1,5,9...
+    order = sorted(range(10), key=lambda i: (i % 4, i))
+    for pos, doc in enumerate(order):
+        r = out[doc]
+        assert r["cum_before"] == pos * 100
+        assert r["seq_id"] == (pos * 100) // 256
+        assert r["seq_offset"] == (pos * 100) % 256
+    # total stream length conserved
+    assert sum(r["n_tokens"] for r in out.values()) == 1000
+    # deterministic under input repartitioning
+    again = {r["doc_id"]: r["cum_before"] for r in
+             packing.pack_sequences(df.repartition(7), 256, n_shards=4).collect()}
+    assert again == {k: v["cum_before"] for k, v in out.items()}
