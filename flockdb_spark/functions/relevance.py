@@ -60,7 +60,10 @@ def bm25_scores(
     non-negative form ((N − df)·1e6 div (df+1)) + 1.  Returns
     (doc_id, score_micro) for documents matching ≥1 query term.
     """
-    terms = doc_terms(docs, text_col)
+    # the token table feeds three consumers (query-term derivation, the
+    # vocabulary document-frequency table, and the scoring join) — cache it
+    # so tokenize+explode+combine runs once
+    terms = doc_terms(docs, text_col).cache()
     if query_terms is None:
         query_terms = top_df_terms(terms)
 
