@@ -327,3 +327,44 @@ def simhash_neardup_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: for every training document, count how many
+    of its distinct word ``n``-gram shingles also occur in the evaluation
+    set, and flag documents with ``>= min_hits`` overlapping shingles as
+    contaminated — the standard leakage gate run before a pretraining corpus
+    ships.
+
+    Scale shape: the eval set is small by construction (benchmarks are
+    thousands of documents, the corpus is billions), so its distinct-shingle
+    table is broadcast; the corpus-side shingle table is joined map-side with
+    no shuffle, and the only shuffle is the per-document hit count on
+    ``doc_id``.  Output: (doc_id, n_eval_shingles, is_contaminated) for ALL
+    training docs, zero-filled so the gate is a plain filter downstream.
+    """
+    train_sh = word_shingles(docs, n, text_col, id_col)
+    eval_sh = word_shingles(eval_docs, n, text_col, id_col).select("shingle").distinct()
+    hits = (
+        train_sh.join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_eval_shingles"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_eval_shingles", F.lit(0)).alias("n_eval_shingles"),
+            (F.coalesce("n_eval_shingles", F.lit(0)) >= min_hits)
+            .cast("long")
+            .alias("is_contaminated"),
+        )
+    )

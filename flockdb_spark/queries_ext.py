@@ -875,3 +875,38 @@ _PACK_BUDGET = 256
 @query("x33_seq_packing", packing.pack_sequences_sql(_PACK_BUDGET))
 def x33(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packing.pack_sequences(_read(spark, sf_dir, "documents"), _PACK_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# x34 — benchmark decontamination: per-doc count of word trigrams shared
+# with the "eval set" (docs with doc_id % 97 == 0) + contaminated flag
+# (functions/dedup.decontaminate; eval shingles broadcast)
+# ---------------------------------------------------------------------------
+
+@query(
+    "x34_decontaminate",
+    f"""
+WITH ev AS (
+  SELECT DISTINCT unnest(list_distinct({_TRIGRAMS})) AS shingle
+  FROM documents WHERE doc_id % 97 = 0
+),
+tsh AS (
+  SELECT doc_id, unnest(list_distinct({_TRIGRAMS})) AS shingle
+  FROM documents WHERE doc_id % 97 <> 0
+),
+hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+  FROM tsh JOIN ev USING (shingle) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_eval_shingles,
+       CAST(CASE WHEN coalesce(h.n, 0) >= 1 THEN 1 ELSE 0 END AS BIGINT) AS is_contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+LEFT JOIN hits h USING (doc_id)
+""",
+)
+def x34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return dedup.decontaminate(
+        docs.where(F.col("doc_id") % 97 != 0), docs.where(F.col("doc_id") % 97 == 0)
+    )

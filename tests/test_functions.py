@@ -312,3 +312,24 @@ def test_pack_sequences_prefix_sum_and_straddle(spark):
     again = {r["doc_id"]: r["cum_before"] for r in
              packing.pack_sequences(df.repartition(7), 256, n_shards=4).collect()}
     assert again == {k: v["cum_before"] for k, v in out.items()}
+
+
+def test_decontaminate_planted_overlap(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the capital of france is paris indeed"),   # contains eval trigrams
+            (2, "unrelated content with no overlap at all"),
+            (3, "so x"),                                    # too short for trigrams
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "the capital of france is paris")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dedup.decontaminate(train, eval_docs).collect()}
+    # eval doc has 4 trigrams, all present in doc 1
+    assert out[1]["n_eval_shingles"] == 4 and out[1]["is_contaminated"] == 1
+    assert out[2]["n_eval_shingles"] == 0 and out[2]["is_contaminated"] == 0
+    assert out[3]["n_eval_shingles"] == 0 and out[3]["is_contaminated"] == 0
+    # every training doc appears exactly once
+    assert set(out) == {1, 2, 3}
