@@ -94,3 +94,41 @@ def test_backward_twin_pushes_destination_filter(spark, store, tmp_path):
     assert re.search(r"PushedFilters:.*EqualTo\(destination_id,42\)", plan)
     # and the twin holds exactly the same rows as the primary
     assert st.edges.count() == store.edges.count()
+
+
+def test_stratified_sample_broadcasts_rates_no_fact_shuffle(spark):
+    from flockdb_spark.functions import splits
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    plan = plan_str(splits.stratified_sample(docs, {"en": 100}, 900))
+    # rates dim broadcast; the fact table is never hash-repartitioned
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_pack_sequences_single_partition_window_only_on_shard_totals(spark):
+    from flockdb_spark.functions import packing
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e") for i in range(100)], "doc_id long, text string"
+    )
+    plan = plan_str(packing.pack_sequences(docs, 256, n_shards=8), "simple")
+    # exactly one SinglePartition exchange: the 8-row shard-totals base
+    # offsets — the corpus-side prefix sum runs shard-parallel
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "Exchange hashpartitioning(shard" in plan
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    from flockdb_spark.functions import dedup
+
+    train = spark.createDataFrame(
+        [(i, "some words repeated here often enough") for i in range(50)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(999, "some words repeated")], "doc_id long, text string")
+    plan = plan_str(dedup.decontaminate(train, ev))
+    assert "BroadcastHashJoin" in plan
