@@ -48,6 +48,9 @@ BENCH_QUERIES = [
     "x14_pagerank",
     "x25_bm25",
     "x27_triangles",
+    "x32_repetition",
+    "x33_seq_packing",
+    "x34_decontaminate",
 ]
 
 

@@ -84,7 +84,10 @@ def repetition_features(
     scales linearly and pushes only ``doc_id``/``text`` through the scan.
     All ratios are exact integer per-mille (floor), portable across engines.
     """
-    w = tokens(text_col)
+    # staged projections: each array (words, trigrams) and each distinct-count
+    # materializes ONCE per row — a single fused expression would re-evaluate
+    # the split/transform tree for every metric that references it
+    w = F.col("w")
     grams = F.when(
         F.size(w) >= n,
         F.transform(
@@ -92,19 +95,28 @@ def repetition_features(
             lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
         ),
     ).otherwise(F.array().cast("array<string>"))  # sequence() would run backwards
-    n_tok = F.size(w)
-    n_tri = F.size(grams)
+    counted = (
+        df.select("doc_id", tokens(text_col).alias("w"))
+        .select("doc_id", "w", grams.alias("tri"))
+        .select(
+            "doc_id",
+            F.size(w).cast("long").alias("n_tok"),
+            F.size(F.array_distinct(w)).cast("long").alias("nd_tok"),
+            F.size(F.col("tri")).cast("long").alias("n_tri"),
+            F.size(F.array_distinct("tri")).cast("long").alias("nd_tri"),
+        )
+    )
     dup_tok_pm = F.floor(
-        (n_tok - F.size(F.array_distinct(w))) * 1000 / n_tok
+        (F.col("n_tok") - F.col("nd_tok")) * 1000 / F.col("n_tok")
     ).cast("long")
-    dup_tri_pm = F.when(n_tri == 0, F.lit(0)).otherwise(
-        F.floor((n_tri - F.size(F.array_distinct(grams))) * 1000 / n_tri)
+    dup_tri_pm = F.when(F.col("n_tri") == 0, F.lit(0)).otherwise(
+        F.floor((F.col("n_tri") - F.col("nd_tri")) * 1000 / F.col("n_tri"))
     ).cast("long")
-    return df.select(
+    return counted.select(
         "doc_id",
-        n_tok.cast("long").alias("n_tokens"),
+        F.col("n_tok").alias("n_tokens"),
         dup_tok_pm.alias("dup_token_pm"),
-        n_tri.cast("long").alias("n_trigrams"),
+        F.col("n_tri").alias("n_trigrams"),
         dup_tri_pm.alias("dup_trigram_pm"),
         (dup_tri_pm >= threshold_pm).cast("long").alias("is_repetitive"),
     )
