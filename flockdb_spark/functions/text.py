@@ -54,17 +54,24 @@ def _count_in(words: Column, markers: tuple[str, ...]) -> Column:
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality metrics: char/token counts, distinct-token count,
-    mean token length, stopword ratio — the standard cheap quality filters."""
-    w = tokens(text_col)
-    return df.select(
-        "doc_id",
-        F.length(text_col).cast("long").alias("n_chars_m"),
-        F.size(w).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
-        F.round(
-            (F.length(text_col) - F.size(w) + 1) / F.size(w), 4
-        ).alias("avg_token_len"),
-        F.round(_count_in(w, STOPWORDS) / F.size(w), 4).alias("stop_ratio"),
+    mean token length, stopword ratio — the standard cheap quality filters.
+
+    Staged projection: the token array is materialized once per row; the
+    metrics reference the column, so the split doesn't re-run per metric."""
+    w = F.col("w")
+    return (
+        df.select("doc_id", F.length(text_col).cast("long").alias("n_chars_m"),
+                  tokens(text_col).alias("w"))
+        .select(
+            "doc_id",
+            "n_chars_m",
+            F.size(w).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(w)).cast("long").alias("n_distinct"),
+            F.round(
+                (F.col("n_chars_m") - F.size(w) + 1) / F.size(w), 4
+            ).alias("avg_token_len"),
+            F.round(_count_in(w, STOPWORDS) / F.size(w), 4).alias("stop_ratio"),
+        )
     )
 
 
@@ -157,18 +164,29 @@ FROM pm
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-marker language ID.  Deterministic argmax with fixed
     tie-break order en > de > es > fr."""
-    w = tokens(text_col)
-    hits = {code: _count_in(w, m) for code, m in LANG_MARKERS.items()}
+    # stage the token array, then the per-language hit counts, so the split
+    # runs once and each count once — the argmax only reads the hit columns
+    staged = df.select(
+        "doc_id", F.col("lang").alias("labeled_lang"), tokens(text_col).alias("w")
+    ).select(
+        "doc_id",
+        "labeled_lang",
+        *[
+            _count_in(F.col("w"), m).cast("long").alias(f"hits_{code}")
+            for code, m in LANG_MARKERS.items()
+        ],
+    )
+    hits = {code: F.col(f"hits_{code}") for code in LANG_MARKERS}
     pred = (
         F.when((hits["en"] >= hits["de"]) & (hits["en"] >= hits["es"]) & (hits["en"] >= hits["fr"]), "en")
         .when((hits["de"] >= hits["es"]) & (hits["de"] >= hits["fr"]), "de")
         .when(hits["es"] >= hits["fr"], "es")
         .otherwise("fr")
     )
-    return df.select(
+    return staged.select(
         "doc_id",
-        F.col("lang").alias("labeled_lang"),
-        *[hits[c].cast("long").alias(f"hits_{c}") for c in LANG_MARKERS],
+        "labeled_lang",
+        *[f"hits_{c}" for c in LANG_MARKERS],
         pred.alias("pred_lang"),
     )
 
