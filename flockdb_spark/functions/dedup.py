@@ -69,6 +69,12 @@ def ngram_jaccard_pairs(
     overlap is dominated by corpus-ubiquitous shingles — exactly the pairs
     near-dup detection should ignore).  None = exact (the oracle-checked
     configuration).
+
+    Cache lifetime: with ``max_shingle_df`` set the shingle table is cached
+    (it feeds three consumers).  The cached frame is attached to the result
+    as ``result._flockdb_caches``; call :func:`release_caches` on the result
+    once it is materialized, or leave it to Spark's ContextCleaner (the cache
+    is dropped when the frame is garbage-collected driver-side).
     """
     sh = word_shingles(df, n, text_col, id_col)
     if max_shingle_df is not None:
@@ -103,7 +109,17 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard_micro") >= int(threshold * 1_000_000))
     )
-    return out.select("a", "b", "n_inter", "n_union", "jaccard_micro")
+    out = out.select("a", "b", "n_inter", "n_union", "jaccard_micro")
+    if max_shingle_df is not None:
+        out._flockdb_caches = [sh]  # see docstring: release after materializing
+    return out
+
+
+def release_caches(df: DataFrame) -> None:
+    """Unpersist any internal caches attached to a result frame by the
+    functions in this module (safe only after the result is materialized)."""
+    for cached in getattr(df, "_flockdb_caches", []):
+        cached.unpersist()
 
 
 # -- MinHash + LSH (scale path; xxhash64 — Spark-native, no oracle twin) -----
@@ -234,6 +250,10 @@ def resolve_duplicates(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    # labels is eagerly localCheckpointed (independent of und's lineage), so
+    # the pair cache can be released here; per-iteration checkpoint RDDs are
+    # reclaimed by the ContextCleaner as their frames go out of scope
+    und.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canonical_id"))
 
 

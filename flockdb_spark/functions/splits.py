@@ -23,9 +23,16 @@ N_BUCKETS = 1000
 
 
 def split_bucket(id_col: Column | str) -> Column:
-    """Stable bucket in [0, 1000) from an integer id."""
+    """Stable bucket in [0, 1000) from an integer id.
+
+    The id is reduced mod ``HASH_MOD`` BEFORE the multiply: ``(id mod M) * MULT
+    < 2^63`` always, so the expression never overflows int64 — ids beyond
+    ~3.49e9 (billions-of-docs scale) would otherwise wrap in non-ANSI Spark
+    and error in DuckDB/ANSI mode.  Mathematically identical to multiplying
+    first: (a*b) mod M == ((a mod M)*b) mod M."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    return F.pmod(F.pmod(c.cast("long") * F.lit(HASH_MULT), F.lit(HASH_MOD)), F.lit(N_BUCKETS))
+    reduced = F.pmod(c.cast("long"), F.lit(HASH_MOD))
+    return F.pmod(F.pmod(reduced * F.lit(HASH_MULT), F.lit(HASH_MOD)), F.lit(N_BUCKETS))
 
 
 def assign_splits(
@@ -47,8 +54,11 @@ def assign_splits(
 
 def split_bucket_sql(id_col: str) -> str:
     """DuckDB twin of ``split_bucket`` (all operands positive, so ``%`` and
-    ``pmod`` agree)."""
-    return f"((CAST({id_col} AS BIGINT) * {HASH_MULT}) % {HASH_MOD}) % {N_BUCKETS}"
+    ``pmod`` agree; same reduce-before-multiply overflow guard)."""
+    return (
+        f"(((CAST({id_col} AS BIGINT) % {HASH_MOD}) * {HASH_MULT})"
+        f" % {HASH_MOD}) % {N_BUCKETS}"
+    )
 
 
 def stratified_sample(

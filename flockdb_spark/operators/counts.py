@@ -31,6 +31,30 @@ def _leaf_terms(node: QueryNode) -> list[Simple]:
     return out
 
 
+def fetch_leaf_counts(
+    store: EdgeStore, nodes: list[QueryNode]
+) -> dict[tuple[int, int], int]:
+    """One batched metadata lookup for every Simple leaf across a whole list
+    of query trees — count2 over N programs is thereby ONE Spark job, not N
+    (the reference does a point read per leaf, ``SqlShard.scala:175-188``;
+    batch Spark amortizes them all into a single scalar-sized collect)."""
+    wanted = {
+        (t.term.graph_id, t.term.source_id) for node in nodes for t in _leaf_terms(node)
+    }
+    if not wanted:
+        return {}
+    rows = (
+        store.metadata.where(
+            F.struct(F.col("graph_id"), F.col("source_id")).isin(
+                [F.struct(F.lit(g), F.lit(s).cast("long")) for g, s in wanted]
+            )
+        )
+        .select("graph_id", "source_id", "count")
+        .collect()
+    )
+    return {(r["graph_id"], r["source_id"]): r["count"] for r in rows}
+
+
 def size_estimate(
     store: EdgeStore,
     node: QueryNode,
@@ -44,20 +68,7 @@ def size_estimate(
     leaf, ``SqlShard.scala:175-188``).
     """
     if _counts is None:
-        wanted = {(t.term.graph_id, t.term.source_id) for t in _leaf_terms(node)}
-        if wanted:
-            rows = (
-                store.metadata.where(
-                    F.struct(F.col("graph_id"), F.col("source_id")).isin(
-                        [F.struct(F.lit(g), F.lit(s).cast("long")) for g, s in wanted]
-                    )
-                )
-                .select("graph_id", "source_id", "count")
-                .collect()
-            )
-            _counts = {(r["graph_id"], r["source_id"]): r["count"] for r in rows}
-        else:
-            _counts = {}
+        _counts = fetch_leaf_counts(store, [node])
 
     if isinstance(node, Simple):
         return _counts.get((node.term.graph_id, node.term.source_id), 0)

@@ -32,7 +32,17 @@ def point_in_interval_join(
     ``bin_size`` is in the time columns' units.  Correctness is independent
     of the choice (each point owns exactly one bin, so a matching interval
     joins it exactly once — no dedup needed); only the explode factor and
-    join balance depend on it."""
+    join balance depend on it.
+
+    ``how``: ``inner`` or ``left`` (left preserves points with no containing
+    interval — safe because each point owns exactly one bin, so an unmatched
+    point emits exactly one null row).  Other join types would duplicate
+    unmatched intervals once per exploded bin and are rejected."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"how={how!r}: only 'inner'/'left' are well-defined under bin "
+            "decomposition (an unmatched interval appears once per bin)"
+        )
     p = points.withColumn("_bin", F.floor(F.col(point_col) / bin_size))
     i = intervals.withColumn(
         "_bin",
@@ -42,8 +52,17 @@ def point_in_interval_join(
             )
         ),
     )
-    return (
-        p.join(i, [*on, "_bin"], how)
-        .where(F.col(point_col).between(F.col(start_col), F.col(end_col)))
-        .drop("_bin")
+    # the containment predicate lives IN the join condition (not a post-join
+    # filter) so outer semantics survive: a bin-matched but out-of-range
+    # interval must not consume the point's null row
+    cond = F.lit(True)
+    for k in on:
+        cond = cond & (p[k] == i[k])
+    cond = (
+        cond
+        & (p["_bin"] == i["_bin"])
+        & F.col(point_col).between(F.col(start_col), F.col(end_col))
     )
+    joined = p.join(i, cond, how)
+    # project away the duplicated key/bin columns from the interval side
+    return joined.drop(i["_bin"]).drop(p["_bin"]).drop(*[i[k] for k in on])

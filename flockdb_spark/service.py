@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from .graph import EdgeStore
 from .operators.algebra import QueryNode, Simple, Term, WhereIn
-from .operators.counts import size_estimate
+from .operators.counts import fetch_leaf_counts, size_estimate
 from .operators.merge import apply_oplog
 from .operators.paging import CURSOR_START, Cursor, Page, paginate
 from .plans.compiler import (
@@ -120,7 +120,12 @@ class FlockService:
     # -- estimates (EdgesService.scala:131-140) -----------------------------
 
     def count2(self, programs: list[list[SelectOperation]]) -> list[int]:
-        return [size_estimate(self.store, compile_select(p)) for p in programs]
+        """R-count2 — N cardinality estimates in ONE Spark job: leaf degree
+        lookups for all programs are batched into a single metadata collect
+        (``Flockdb.thrift:154-156`` takes the whole program list at once)."""
+        trees = [compile_select(p) for p in programs]
+        counts = fetch_leaf_counts(self.store, trees)
+        return [size_estimate(self.store, t, _counts=counts) for t in trees]
 
     count = count2  # deprecated alias (Flockdb.thrift:165)
 
