@@ -66,6 +66,46 @@ def pack_sequences(
     )
 
 
+def ordered_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum",
+    chunk: int = 1 << 20,
+    inclusive: bool = True,
+) -> DataFrame:
+    """Distributed running total of ``value_col`` in global ``order_col``
+    order — the scalable replacement for ``sum().over(Window.orderBy(...))``,
+    which funnels the whole table through one partition.
+
+    Shards are contiguous id ranges (``order_col div chunk``), so
+    (shard asc, order asc) IS the global order: a per-shard window prefix sum
+    plus a broadcast of per-shard base offsets reconstructs the exact global
+    running total with one hash shuffle on the shard key.  The only
+    single-partition work is the base-offset window over ``id_range/chunk``
+    rows (tiny; for truly unbounded id ranges apply the same trick to the
+    totals table recursively).  ``order_col`` must be unique per row for the
+    result to be deterministic.
+    """
+    d = df.withColumn("_shard", F.floor(F.col(order_col) / F.lit(chunk)))
+    totals = d.groupBy("_shard").agg(F.sum(value_col).alias("_st"))
+    w_base = Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
+    base = totals.select(
+        "_shard", F.coalesce(F.sum("_st").over(w_base), F.lit(0)).alias("_base")
+    )
+    w = (
+        Window.partitionBy("_shard")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0 if inclusive else -1)
+    )
+    cum = F.coalesce(F.sum(value_col).over(w), F.lit(0)) + F.col("_base")
+    return (
+        d.join(F.broadcast(base), "_shard")
+        .withColumn(out_col, cum)
+        .drop("_shard", "_base")
+    )
+
+
 def pack_sequences_sql(
     budget: int,
     table: str = "documents",

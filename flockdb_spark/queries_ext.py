@@ -315,9 +315,11 @@ def x19(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keep docs that pass language + quality gates, drop exact duplicates,
     then take documents in doc_id order until a 20k-token budget is filled —
     the canonical corpus-construction pass, composed from x10/x08/x01's
-    operators plus a running-total window."""
-    from pyspark.sql import Window
+    operators plus a running token total.
 
+    The running total is packing.ordered_prefix_sum — contiguous id-range
+    shards + broadcast base offsets — NOT a global unpartitioned window, so
+    the budget cutoff scales like the rest of the pipeline."""
     docs = _read(spark, sf_dir, "documents")
     w = text.tokens("text")
     n_tokens = F.size(w)
@@ -330,9 +332,15 @@ def x19(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id"),
         F.any_value(n_tokens).cast("long").alias("n_tokens"),
     )
-    cum = F.sum("n_tokens").over(Window.orderBy("doc_id"))
     return (
-        deduped.select("doc_id", "n_tokens", cum.cast("long").alias("cum_tokens"))
+        packing.ordered_prefix_sum(
+            deduped.select("doc_id", "n_tokens"),
+            "doc_id",
+            "n_tokens",
+            out_col="cum_tokens",
+            chunk=4096,
+        )
+        .select("doc_id", "n_tokens", F.col("cum_tokens").cast("long").alias("cum_tokens"))
         .where(F.col("cum_tokens") <= 20_000)
     )
 

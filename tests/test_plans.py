@@ -132,3 +132,32 @@ def test_decontaminate_broadcasts_eval_shingles(spark):
     ev = spark.createDataFrame([(999, "some words repeated")], "doc_id long, text string")
     plan = plan_str(dedup.decontaminate(train, ev))
     assert "BroadcastHashJoin" in plan
+
+
+def test_ordered_prefix_sum_sharded_no_global_window(spark):
+    from flockdb_spark.functions import packing
+
+    docs = spark.createDataFrame(
+        [(i, (i * 7) % 13 + 1) for i in range(500)], "doc_id long, n long"
+    )
+    out = packing.ordered_prefix_sum(docs, "doc_id", "n", out_col="cum", chunk=64)
+    plan = plan_str(out, "simple")
+    # exactly one SinglePartition exchange: the tiny base-offset window over
+    # id_range/chunk rows — the corpus-side prefix sum runs shard-parallel
+    assert plan.count("Exchange SinglePartition") == 1
+    assert "Exchange hashpartitioning(_shard" in plan
+    # exact equivalence with the global-window formulation
+    from pyspark.sql import Window
+
+    expect = docs.withColumn("cum", F.sum("n").over(Window.orderBy("doc_id")))
+    got = {(r["doc_id"], r["cum"]) for r in out.collect()}
+    want = {(r["doc_id"], r["cum"]) for r in expect.collect()}
+    assert got == want
+
+
+def test_x19_pipeline_has_no_global_window_over_corpus(spark):
+    import flockdb_spark.queries_ext  # noqa: F401 — registers x-series
+    from flockdb_spark.queries import QUERIES
+
+    plan = plan_str(QUERIES["x19_pipeline"](spark, SF_DIR), "simple")
+    assert plan.count("Exchange SinglePartition") == 1
