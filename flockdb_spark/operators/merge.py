@@ -70,38 +70,71 @@ def sequenced_merge(existing: DataFrame, writes: DataFrame) -> DataFrame:
     remains the row-level rule for the copy/repair path (W11), where whole
     rows — positions included — are the unit of replication
     (``Edge.similar``/``jobs/Copy.scala:86-114``).
+
+    Cost shape: ONE hash aggregation, one shuffle.  The LWW winner and the
+    first-row position come from ``max_by``/``min_by``; the exact
+    position-preservation sort-fold is evaluated lazily (inside a ``when``)
+    only for keys where a resurrection is even possible — some Normal row
+    serialized AFTER some Removed/Negative row (min sort-key over R/N rows <
+    max sort-key over Normal rows).  The overwhelming case — one op per key,
+    or a batch with no Removed/Negative→Normal pattern — never pays the
+    ``array_sort`` + fold.
     """
     unioned = existing.select(*EDGE_COLUMNS).unionByName(writes.select(*EDGE_COLUMNS))
-    seq = F.array_sort(
-        F.collect_list(
-            F.struct(
-                F.col("updated_at"),
-                state_priority("state").alias("prio"),
-                F.col("position"),
-                F.col("state"),
-                F.col("count"),
-            )
-        )
+    # the canonical serialization comparator: (updated_at, prio, position)
+    # decides; state/count break exact ties deterministically (state↔prio is
+    # bijective, so in practice only count can still differ)
+    sortfull = F.struct(
+        F.col("updated_at"),
+        state_priority("state").alias("prio"),
+        F.col("position"),
+        F.col("state"),
+        F.col("count"),
     )
-    agg = unioned.groupBy(*_EDGE_KEY).agg(seq.alias("_seq"))
-    first = F.element_at(F.col("_seq"), 1)
-    last = F.element_at(F.col("_seq"), -1)
+    # count is omitted from the fold rows: rows equal in (ts, prio, position,
+    # state) are interchangeable for the position fold, and dropping it
+    # shrinks the collect_list shuffle payload
+    row = F.struct(
+        F.col("updated_at"),
+        state_priority("state").alias("prio"),
+        F.col("position"),
+        F.col("state"),
+    )
+    agg = unioned.groupBy(*_EDGE_KEY).agg(
+        F.max_by(F.struct("updated_at", "count", "state"), sortfull).alias("_last"),
+        F.min_by("position", sortfull).alias("_first_pos"),
+        F.max(F.when(F.col("state") == 0, sortfull)).alias("_max_n"),
+        F.min(F.when(F.col("state").isin(1, 3), sortfull)).alias("_min_rn"),
+        F.collect_list(row).alias("_rows"),
+    )
+    needs_fold = (
+        F.col("_max_n").isNotNull()
+        & F.col("_min_rn").isNotNull()
+        & (F.col("_min_rn") < F.col("_max_n"))
+    )
+    # null-seeded single-pass fold (SqlShard.scala:436-446): the first row in
+    # serialization order seeds the position; a Removed/Negative→Normal
+    # adjacency replaces it.  The sorted sequence is referenced exactly once,
+    # so the sort runs once per flagged key and never for the rest.
     folded = F.aggregate(
-        F.slice(F.col("_seq"), 2, F.greatest(F.size("_seq") - 1, F.lit(0))),
-        F.struct(first["position"].alias("pos"), first["state"].alias("st")),
+        F.array_sort(F.col("_rows")),
+        F.struct(
+            F.lit(None).cast("long").alias("pos"), F.lit(None).cast("int").alias("st")
+        ),
         lambda acc, x: F.struct(
-            F.when(acc["st"].isin(1, 3) & (x["state"] == 0), x["position"])
+            F.when(acc["st"].isNull(), x["position"])
+            .when(acc["st"].isin(1, 3) & (x["state"] == 0), x["position"])
             .otherwise(acc["pos"])
             .alias("pos"),
             x["state"].alias("st"),
         ),
-    )
+    )["pos"]
     return agg.select(
         *_EDGE_KEY,
-        folded["pos"].alias("position"),
-        last["updated_at"].alias("updated_at"),
-        last["count"].alias("count"),
-        last["state"].alias("state"),
+        F.when(needs_fold, folded).otherwise(F.col("_first_pos")).alias("position"),
+        F.col("_last.updated_at").alias("updated_at"),
+        F.col("_last.count").alias("count"),
+        F.col("_last.state").alias("state"),
     ).select(*EDGE_COLUMNS)
 
 
@@ -209,16 +242,35 @@ def apply_oplog(
     metadata: DataFrame,
     ops: DataFrame,
     resolve_with_metadata: bool = False,
+    has_single: bool = True,
+    has_mass: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Replay a batch of write operations (W1 single + W3 mass-action).
 
     ``ops`` schema: (op_state INT — the preferred state of the op: 0=add,
     1=remove, 2=archive, 3=negate; graph_id, source_id, destination_id
-    NULLABLE, position, updated_at).  NULL destination = wildcard mass-action
-    (``queries/ExecuteCompiler.scala:86-99``): the op applies to every
-    not-Removed edge of the vertex (``jobs/multi/Multi.scala:101-137``) and to
-    the vertex metadata itself.  The reference fans a Multi out into queued
-    per-edge Single jobs, 500 at a time; here it is one join + one merge.
+    NULLABLE, position, updated_at, optional is_forward BOOLEAN).  NULL
+    destination = wildcard mass-action (``queries/ExecuteCompiler.scala:86-99``):
+    the op applies to every not-Removed edge of the vertex
+    (``jobs/multi/Multi.scala:101-137``) and to the vertex metadata itself.
+    The reference fans a Multi out into queued per-edge Single jobs, 500 at a
+    time; here it is one join + one merge.
+
+    Direction: the reference's Multi honors ``Direction(term.isForward)``
+    (``Multi.scala:102-126``) — a BACKWARD mass op applies to the edges INTO
+    the vertex.  An ``is_forward`` column carries that bit; when absent all
+    ops are treated as forward (single-edge rows are always stored forward —
+    ``compile_execute`` swaps them at compile time).  The vertex metadata
+    update applies to the vertex's single metadata row in either direction
+    (this engine keeps one vertex-state row where the reference keeps one per
+    direction shard; resolve_writes reads the same row for both directions).
+
+    ``has_single``/``has_mass``: driver-side hints for callers that KNOW the
+    op batch contains no single-edge (resp. no wildcard) ops.  A caller that
+    compiled the op list sees its shape, so a dead branch — its joins,
+    broadcasts, and their per-call plan-build/analysis cost — is pruned here
+    at build time instead of executing empty at run time.  Both default to
+    True (fully general).
 
     Returns (merged_edges, merged_metadata).
     """
@@ -232,55 +284,114 @@ def apply_oplog(
         F.col("op_state").cast("int").alias("state"),
     )
 
-    mass = ops.where(F.col("destination_id").isNull()).select(
-        F.col("graph_id").alias("_m_graph"),
-        F.col("source_id").alias("_m_source"),
-        F.col("op_state").cast("int").alias("_m_state"),
-        F.col("updated_at").cast("long").alias("_m_ts"),
-    )
-    # W3: expand each mass op against the vertex's current not-Removed edges
-    # (selectIncludingArchived, SqlShard.scala:246-250) — position unchanged,
-    # state/updated_at from the op.
-    mass_writes = (
-        edges.where(F.col("state") != 1)
-        .join(
-            F.broadcast(mass),
-            on=(F.col("graph_id") == F.col("_m_graph"))
-            & (F.col("source_id") == F.col("_m_source")),
-            how="inner",
+    has_direction = "is_forward" in ops.columns
+    bmass = None
+    if has_mass:
+        mass_all = ops.where(F.col("destination_id").isNull())
+        fwd_mass = (
+            mass_all.where(F.col("is_forward")) if has_direction else mass_all
         )
-        .select(
+        mass = fwd_mass.select(
+            F.col("graph_id").alias("_m_graph"),
+            F.col("source_id").alias("_m_source"),
+            F.col("op_state").cast("int").alias("_m_state"),
+            F.col("updated_at").cast("long").alias("_m_ts"),
+        )
+        # W3: expand each mass op against the vertex's current not-Removed
+        # edges (selectIncludingArchived, SqlShard.scala:246-250) — position
+        # unchanged, state/updated_at from the op.
+        mass_writes = (
+            edges.where(F.col("state") != 1)
+            .join(
+                F.broadcast(mass),
+                on=(F.col("graph_id") == F.col("_m_graph"))
+                & (F.col("source_id") == F.col("_m_source")),
+                how="inner",
+            )
+            .select(
+                "graph_id",
+                "source_id",
+                "destination_id",
+                "position",
+                F.col("_m_ts").alias("updated_at"),
+                F.lit(0).cast("int").alias("count"),
+                F.col("_m_state").alias("state"),
+            )
+        )
+
+        # backward mass ops expand against the edges INTO the vertex
+        # (Multi.scala:102-126, Direction.Backward)
+        if has_direction:
+            bmass = mass_all.where(~F.col("is_forward")).select(
+                F.col("graph_id").alias("_b_graph"),
+                F.col("source_id").alias("_b_vertex"),
+                F.col("op_state").cast("int").alias("_b_state"),
+                F.col("updated_at").cast("long").alias("_b_ts"),
+            )
+            bwd_writes = (
+                edges.where(F.col("state") != 1)
+                .join(
+                    F.broadcast(bmass),
+                    on=(F.col("graph_id") == F.col("_b_graph"))
+                    & (F.col("destination_id") == F.col("_b_vertex")),
+                    how="inner",
+                )
+                .select(
+                    "graph_id",
+                    "source_id",
+                    "destination_id",
+                    "position",
+                    F.col("_b_ts").alias("updated_at"),
+                    F.lit(0).cast("int").alias("count"),
+                    F.col("_b_state").alias("state"),
+                )
+            )
+            mass_writes = mass_writes.unionByName(bwd_writes)
+
+        # Multi updates the vertex state FIRST, then fans out edge writes
+        # (Multi.scala:101-110) — so the metadata merge happens before
+        # single-edge resolution, and the mass-action edge writes carry the
+        # op state as-is.  Both directions merge into the vertex's single
+        # metadata row (see docstring).
+        md_writes = mass_all.select(
             "graph_id",
             "source_id",
-            "destination_id",
-            "position",
-            F.col("_m_ts").alias("updated_at"),
             F.lit(0).cast("int").alias("count"),
-            F.col("_m_state").alias("state"),
+            F.col("op_state").cast("int").alias("state"),
+            F.col("updated_at").cast("long").alias("updated_at"),
         )
-    )
-
-    # Multi updates the vertex state FIRST, then fans out edge writes
-    # (Multi.scala:101-110) — so the metadata merge happens before single-edge
-    # resolution, and the mass-action edge writes carry the op state as-is.
-    md_writes = mass.select(
-        F.col("_m_graph").alias("graph_id"),
-        F.col("_m_source").alias("source_id"),
-        F.lit(0).cast("int").alias("count"),
-        F.col("_m_state").alias("state"),
-        F.col("_m_ts").alias("updated_at"),
-    )
-    merged_md = metadata_merge(metadata, md_writes.select(*METADATA_COLUMNS))
+        merged_md = metadata_merge(metadata, md_writes.select(*METADATA_COLUMNS))
+    else:
+        merged_md = metadata
 
     if resolve_with_metadata:
         single = resolve_writes(single, merged_md)
-    writes = single.unionByName(mass_writes).select(*EDGE_COLUMNS)
+    if has_single and has_mass:
+        writes = single.unionByName(mass_writes).select(*EDGE_COLUMNS)
+    elif has_mass:
+        writes = mass_writes.select(*EDGE_COLUMNS)
+    else:
+        writes = single.select(*EDGE_COLUMNS)
     # Merge cost must scale with the WRITE BATCH, not the table: only rows of
     # touched vertices enter the fold; everything else passes through via an
     # anti-join (no shuffle — the touched-key set is join-broadcast-sized for
     # any sane batch).  This is what keeps a 10⁴-op batch cheap against a
     # 10¹¹-row table (SCALE.md §3).
     touched = ops.select("graph_id", "source_id").distinct()
+    if bmass is not None:
+        # a backward mass op touches OTHER vertices' forward rows: the
+        # sources of every edge into the target vertex join the touched set
+        btouched = (
+            edges.join(
+                F.broadcast(bmass.select("_b_graph", "_b_vertex")),
+                on=(F.col("graph_id") == F.col("_b_graph"))
+                & (F.col("destination_id") == F.col("_b_vertex")),
+                how="inner",
+            )
+            .select("graph_id", "source_id")
+            .distinct()
+        )
+        touched = touched.unionByName(btouched).distinct()
     edges_touched = edges.join(touched, ["graph_id", "source_id"], "left_semi")
     edges_rest = edges.join(touched, ["graph_id", "source_id"], "left_anti")
     # write path uses the position-preserving fold (updateEdge semantics,

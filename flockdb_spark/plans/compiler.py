@@ -117,10 +117,15 @@ def compile_execute(
 ) -> DataFrame:
     """ExecuteOperations → op-log DataFrame for ``apply_oplog``.
 
-    Backward terms swap source/destination (``ExecuteCompiler.scala:88-94``);
-    a term without destination_ids fans out to one mass-action row per vertex
-    (``:86-99``); position defaults to now-millis<<20 per the ordered-uuid
-    scheme (``UuidGenerator.scala:26-39``).
+    Backward terms with explicit destinations swap source/destination
+    (``ExecuteCompiler.scala:88-94``), so single-edge rows are always stored
+    forward and their ``is_forward`` is True.  A term without destination_ids
+    is a wildcard mass-action row (``:86-99``) and KEEPS its direction: the
+    reference's Multi honors ``Direction(term.isForward)``
+    (``jobs/multi/Multi.scala:102-126``), so a backward mass op must apply to
+    the edges INTO the vertex — ``apply_oplog`` expands it against
+    ``destination_id == vertex``.  Position defaults to now-millis<<20 per
+    the ordered-uuid scheme (``UuidGenerator.scala:26-39``).
     """
     rows: list[tuple] = []
     for op in program:
@@ -129,13 +134,25 @@ def compile_execute(
         default_pos = (ts * 1000) << 20
         if t.destination_ids is None:
             src = t.source_id  # mass-action on the vertex itself
-            rows.append((_OP_STATE[op.operation_type], t.graph_id, src, None, 0, ts))
+            rows.append(
+                (_OP_STATE[op.operation_type], t.graph_id, src, None, 0, ts, t.is_forward)
+            )
         else:
             for dest in t.destination_ids:
                 s, d = (t.source_id, dest) if t.is_forward else (dest, t.source_id)
                 pos = op.position if op.position is not None else default_pos | (d % (1 << 20))
-                rows.append((_OP_STATE[op.operation_type], t.graph_id, s, d, pos, ts))
+                rows.append((_OP_STATE[op.operation_type], t.graph_id, s, d, pos, ts, True))
+    # the is_forward column is only emitted when a backward wildcard exists —
+    # its presence is what tells apply_oplog to build the backward-expansion
+    # branch, so the common all-forward batch keeps the lean plan
+    if any(r[3] is None and not r[6] for r in rows):
+        return spark.createDataFrame(
+            rows,
+            "op_state int, graph_id int, source_id long, destination_id long, "
+            "position long, updated_at long, is_forward boolean",
+        )
     return spark.createDataFrame(
-        rows,
-        "op_state int, graph_id int, source_id long, destination_id long, position long, updated_at long",
+        [r[:6] for r in rows],
+        "op_state int, graph_id int, source_id long, destination_id long, "
+        "position long, updated_at long",
     )

@@ -604,7 +604,7 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     empty_edges = spark.createDataFrame([], EDGE_SCHEMA)
     empty_md = spark.createDataFrame([], METADATA_SCHEMA)
-    merged, _ = apply_oplog(empty_edges, empty_md, ops)
+    merged, _ = apply_oplog(empty_edges, empty_md, ops, has_mass=False)
     return merged.select(*EDGE_COLUMNS)
 
 
@@ -655,7 +655,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         ops,
         "op_state int, graph_id int, source_id long, destination_id long, position long, updated_at long",
     )
-    e2, _ = apply_oplog(g1, md, ops_df)
+    e2, _ = apply_oplog(g1, md, ops_df, has_single=False)
     return e2.select(*EDGE_COLUMNS)
 
 

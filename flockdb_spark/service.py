@@ -162,7 +162,13 @@ class FlockService:
         now = at if at is not None else int(time.time())
         ops_df = compile_execute(self.store.spark, operations, now)
         edges, metadata = apply_oplog(
-            self.store.edges, self.store.metadata, ops_df, resolve_with_metadata=True
+            self.store.edges,
+            self.store.metadata,
+            ops_df,
+            resolve_with_metadata=True,
+            # the compiled program's shape is known here — prune dead branches
+            has_single=any(op.term.destination_ids is not None for op in operations),
+            has_mass=any(op.term.destination_ids is None for op in operations),
         )
         # Materialize the merged batch and truncate lineage — the batch
         # equivalent of the reference committing each write to storage.  In a

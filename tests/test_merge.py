@@ -119,3 +119,68 @@ def test_sequenced_merge_position_preservation(spark):
     assert run([(100, 5, 0), (100, 9, 1)]) == (100, 1, 5)
     # out-of-order delivery canonicalizes to timestamp order
     assert run([(300, 7, 0), (200, 999, 1), (100, 5, 0)]) == (300, 0, 7)
+
+
+def test_backward_mass_action_targets_incoming_edges(spark):
+    """A wildcard op with is_forward=False must apply to edges INTO the
+    vertex (Multi.scala:102-126, Direction.Backward) — not to the vertex's
+    outgoing edges."""
+    from flockdb_spark.operators.merge import apply_oplog
+    from flockdb_spark.schema import METADATA_SCHEMA
+
+    edges = edge_rows_df(
+        spark,
+        [
+            (1, 10, 99, 100, 1000, 0),  # into vertex 99 — must be archived
+            (1, 11, 99, 101, 1000, 0),  # into vertex 99 — must be archived
+            (1, 99, 50, 102, 1000, 0),  # OUT of vertex 99 — untouched
+            (1, 12, 77, 103, 1000, 0),  # unrelated — untouched
+        ],
+    )
+    md = spark.createDataFrame(
+        [(1, s, 1, 0, 1000) for s in (10, 11, 12, 99)], METADATA_SCHEMA
+    )
+    ops = spark.createDataFrame(
+        [(2, 1, 99, None, 0, 2000, False)],
+        "op_state int, graph_id int, source_id long, destination_id long, "
+        "position long, updated_at long, is_forward boolean",
+    )
+    e2, m2 = apply_oplog(edges, md, ops)
+    got = {(r["source_id"], r["destination_id"]): r["state"] for r in e2.collect()}
+    assert got[(10, 99)] == 2 and got[(11, 99)] == 2
+    assert got[(99, 50)] == 0 and got[(12, 77)] == 0
+    # positions preserved on the archived edges
+    pos = {(r["source_id"], r["destination_id"]): r["position"] for r in e2.collect()}
+    assert pos[(10, 99)] == 100 and pos[(11, 99)] == 101
+    # the vertex's metadata row takes the op state
+    md_state = {r["source_id"]: r["state"] for r in m2.collect()}
+    assert md_state[99] == 2
+    # sources of the archived edges got recounted (count of state==vertex-state rows)
+    md_count = {r["source_id"]: r["count"] for r in m2.collect()}
+    assert md_count[10] == 0 and md_count[11] == 0 and md_count[12] == 1
+
+
+def test_compile_execute_backward_wildcard_keeps_direction(spark):
+    from flockdb_spark.plans.compiler import (
+        ExecuteOperation,
+        ExecuteOperationType,
+        QueryTerm,
+        compile_execute,
+    )
+
+    prog = [
+        ExecuteOperation(
+            ExecuteOperationType.ARCHIVE, QueryTerm(99, 1, is_forward=False)
+        ),
+        ExecuteOperation(
+            ExecuteOperationType.ADD, QueryTerm(5, 1, is_forward=False, destination_ids=(7,))
+        ),
+    ]
+    df = compile_execute(spark, prog, now=1234)
+    rows = {tuple(r) for r in df.select("op_state", "source_id", "destination_id", "is_forward").collect()}
+    # wildcard keeps backward; explicit destination is swapped and forward
+    assert (2, 99, None, False) in rows
+    assert (0, 7, 5, True) in rows
+    # an all-forward program omits the column entirely (lean default plan)
+    fwd = compile_execute(spark, [prog[1]], now=1234)
+    assert "is_forward" not in fwd.columns
