@@ -99,17 +99,27 @@ def brute_force_topk(
 
 
 def neardup_pairs(
-    emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_rows: int = 1_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine ≥ threshold).
 
-    Exact baseline: broadcast the full quantized matrix (fine up to ~10⁶
-    vectors), GEMM per corpus partition, emit only over-threshold pairs.
-    Beyond broadcastable corpus sizes use ``lsh_ann_topk``'s bucketing —
-    that's why both exist."""
+    Exact baseline: broadcast the full quantized matrix, GEMM per corpus
+    partition, emit only over-threshold pairs.  The driver materialization is
+    BOUNDED: more than ``max_rows`` vectors raises instead of silently
+    OOM-ing the driver — beyond broadcastable corpus sizes use
+    ``lsh_neardup_pairs`` (the scale twin; same output contract, bucketed)."""
     import numpy as np
 
-    all_rows = emb.select(id_col, vec_col).collect()
+    all_rows = emb.select(id_col, vec_col).take(max_rows + 1)
+    if len(all_rows) > max_rows:
+        raise ValueError(
+            f"neardup_pairs is the exact broadcast baseline, capped at "
+            f"{max_rows} vectors; use lsh_neardup_pairs for larger corpora"
+        )
     ids = np.array([r[id_col] for r in all_rows], dtype=np.int64)
     import pandas as pd
 
