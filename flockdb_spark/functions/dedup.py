@@ -122,18 +122,61 @@ def release_caches(df: DataFrame) -> None:
         cached.unpersist()
 
 
-# -- MinHash + LSH (scale path; xxhash64 — Spark-native, no oracle twin) -----
+# -- MinHash + LSH -----------------------------------------------------------
+#
+# Two hash modes everywhere in this family:
+# - "xxhash64": the production path — JVM-intrinsic, vectorized, best
+#   avalanche; not expressible in other engines (rows-only checkable)
+# - "portable": one rolling hash per shingle (text.portable_hash) scrambled
+#   through num_hashes universal-hash variants h_i = (a_i·fp + b_i) mod p —
+#   bit-for-bit reproducible in DuckDB, which is what the oracle checks.
+#   The structure (explode → groupBy-min → band join) is IDENTICAL, so the
+#   oracle verifies the operator's logic, not just one hash function.
+
+FP_MOD = 1_000_000_007
+
+
+def _uh_params(i: int) -> tuple[int, int]:
+    """Deterministic universal-hash multipliers (a_i ≠ 0, both < FP_MOD, so
+    a_i·fp stays under 2^63)."""
+    a = (2654435761 * (i + 1)) % FP_MOD or 1
+    b = (40503 * (i + 1) + 17) % FP_MOD
+    return a, b
+
+
+def uh_sql(fp_expr: str, i: int) -> str:
+    """DuckDB twin of the i-th universal-hash scramble."""
+    a, b = _uh_params(i)
+    return f"(({fp_expr} * {a} + {b}) % {FP_MOD})"
+
 
 def minhash_signatures(
-    df: DataFrame, num_hashes: int = 32, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    num_hashes: int = 32,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
-    """(doc_id, sig: array<long>) — element i is min over shingles of
-    xxhash64(shingle, seed=i).  One explode + one groupBy."""
+    """(doc_id, sig: array<long>) — element i is min over shingles of the
+    i-th hash of the shingle.  One explode + one groupBy."""
     sh = word_shingles(df, n, text_col, id_col)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_mode == "portable":
+        from .text import portable_hash
+
+        # stage the rolling hash so it computes once per shingle; the
+        # num_hashes scrambles are cheap integer expressions over the column
+        sh = sh.select("doc_id", portable_hash("shingle").alias("_fp"))
+        fp = F.col("_fp")
+        mins = []
+        for i in range(num_hashes):
+            a, b = _uh_params(i)
+            mins.append(F.min(F.pmod(fp * a + b, F.lit(FP_MOD))).alias(f"h{i}"))
+    else:
+        mins = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     agg = sh.groupBy("doc_id").agg(*mins)
     return agg.select(
         "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
@@ -148,6 +191,7 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     sig: DataFrame | None = None,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs sharing any band bucket.
 
@@ -157,22 +201,26 @@ def minhash_lsh_candidates(
 
     ``sig``: precomputed ``minhash_signatures`` output to share across the
     candidate and estimate passes (signature computation is the dominant
-    cost; cache it once, use it twice).
+    cost; cache it once, use it twice).  Pass the same ``hash_mode`` used to
+    build it: the portable mode keys buckets on the band's literal value
+    tuple (engine-portable) instead of an xxhash64 of it.
     """
     rows = num_hashes // bands
     if sig is None:
-        sig = minhash_signatures(df, num_hashes, n, text_col, id_col)
+        sig = minhash_signatures(df, num_hashes, n, text_col, id_col, hash_mode)
+
+    def band_bucket(bi: int) -> F.Column:
+        cols = [F.col("sig")[bi * rows + r] for r in range(rows)]
+        if hash_mode == "portable":
+            return F.concat_ws("|", *[c.cast("string") for c in cols])
+        return F.xxhash64(*cols).cast("string")
+
     banded = sig.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(*[F.col("sig")[bi * rows + r] for r in range(rows)]).alias(
-                            "bucket"
-                        ),
-                    )
+                    F.struct(F.lit(bi).alias("band"), band_bucket(bi).alias("bucket"))
                     for bi in range(bands)
                 ]
             )
@@ -201,11 +249,18 @@ def minhash_estimate_jaccard(
         pairs.join(sa, "a")
         .join(sb, "b")
         .withColumn(
-            "est_jaccard",
-            F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m))
-            / F.lit(num_hashes),
+            "n_matches",
+            F.size(
+                F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+            ).cast("long"),
         )
-        .select("a", "b", "est_jaccard")
+        .select(
+            "a",
+            "b",
+            "n_matches",
+            (F.col("n_matches") / F.lit(num_hashes)).alias("est_jaccard"),
+            F.expr(f"(n_matches * 1000000) div {num_hashes}").alias("est_jaccard_micro"),
+        )
     )
 
 
@@ -259,24 +314,36 @@ def resolve_duplicates(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
 
 # -- SimHash -----------------------------------------------------------------
 
+#: combined portable feature hash: low 30 bits from the seed-0 rolling hash,
+#: bits 30..47 from the seed-1 hash — (fp0 + fp1·2^30) stays well inside
+#: int64 (max ≈ 1.07e18) and gives 48 usable signature bits on any engine
+PH_SHIFT = 1 << 30
+
+
 def simhash(
     df: DataFrame,
     bits: int = 48,
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int | None = None,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """(doc_id, simhash) — classic Charikar simhash over feature hashes: bit p
-    of the signature is the sign of Σ_features (±1 by bit p of xxhash64(f)).
+    of the signature is the sign of Σ_features (±1 by bit p of hash(f)).
 
     ``shingle_n=None`` hashes distinct words (bag-of-words similarity);
     ``shingle_n=k`` hashes word k-grams, making the measure order-sensitive —
     the right setting for near-dup detection over a homogeneous corpus where
     everything shares vocabulary.
 
-    One projection over the token array — per-bit aggregates are plain column
-    expressions (bit positions are Python ints, so the whole thing stays in
-    codegen); no shuffle, no UDF.  48 bits keeps 1<<p in signed-long range.
+    ``hash_mode="portable"`` uses two seeded rolling hashes combined into a
+    48-bit feature hash (``fp0 + fp1·2^30``) — the DuckDB-checkable twin of
+    the production xxhash64 path; structure identical.
+
+    One shuffle-free projection: the feature-hash array is STAGED (computed
+    once per row), then the per-bit vote aggregates reference the
+    materialized column — a fused expression would re-evaluate the hash
+    array once per bit.  48 bits keeps 1<<p in signed-long range.
     """
     if shingle_n is None:
         w = F.array_distinct(tokens(text_col))
@@ -291,7 +358,16 @@ def simhash(
                 ),
             ).otherwise(F.array().cast("array<string>"))
         )
-    hashes = F.transform(w, lambda t: F.xxhash64(t))
+    if hash_mode == "portable":
+        from .text import portable_hash
+
+        hashes = F.transform(
+            w, lambda s: portable_hash(s, 0) + portable_hash(s, 1) * F.lit(PH_SHIFT)
+        )
+    else:
+        hashes = F.transform(w, lambda s: F.xxhash64(s))
+    staged = df.select(F.col(id_col).alias("doc_id"), hashes.alias("_hs"))
+    hs = F.col("_hs")
 
     def bit_vote(p: int):
         # closure (not a default arg: pyspark counts lambda params strictly)
@@ -301,11 +377,11 @@ def simhash(
 
     sig = F.lit(0).cast("long")
     for p in range(bits):
-        s_p = F.aggregate(hashes, F.lit(0), bit_vote(p))
+        s_p = F.aggregate(hs, F.lit(0), bit_vote(p))
         sig = sig.bitwiseOR(
             F.when(s_p > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
         )
-    return df.select(F.col(id_col).alias("doc_id"), sig.alias("simhash"))
+    return staged.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_neardup_pairs(

@@ -143,29 +143,76 @@ def neardup_pairs(
     return emb.select(id_col, vec_col).mapInPandas(score, "a long, b long, dot_micro2 long")
 
 
-def hyperplane_signature(vec_col, dims: int, planes: int = 16) -> F.Column:
+PLANE_MOD = 1_000_000_007
+
+
+def plane_mult(p: int) -> int:
+    """Deterministic per-plane multiplier for the portable ±1 pattern (the
+    parity of ``(dim_index · mult) mod 1e9+7`` — odd modulus, so parity is
+    balanced; expressible identically in any engine)."""
+    return (2654435761 * (p + 11)) % PLANE_MOD or 1
+
+
+def hyperplane_signature(
+    vec_col, dims: int, planes: int = 16, hash_mode: str = "xxhash64"
+) -> F.Column:
     """Random-hyperplane LSH signature: bit p = sign(v · h_p) where h_p's
-    components are deterministic ±1s derived from xxhash64(p, dim-index).
-    Pure column expressions — the hyperplanes are never materialized."""
+    components are deterministic ±1s — derived from xxhash64(p, dim-index)
+    in production, or from the parity of a multiplicative scramble in the
+    oracle-checkable ``portable`` mode (``lsh_plane_sign_sql`` is the DuckDB
+    twin).  Pure column expressions — the hyperplanes are never
+    materialized."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
 
     def plane_sign(p: int):
         # closure (not a default arg: pyspark counts lambda params strictly)
+        if hash_mode == "portable":
+            mult = plane_mult(p)
+            # i is INT from sequence(); widen before the ~1e9 multiply
+            return lambda x, i: F.when(
+                F.pmod(F.pmod(i.cast("long") * mult, F.lit(PLANE_MOD)), F.lit(2)) == 0, x
+            ).otherwise(-x)
         return lambda x, i: F.when(
             F.pmod(F.xxhash64(F.lit(p), i), F.lit(2)) == 0, x
         ).otherwise(-x)
 
     if planes == 0:  # degenerate: one global bucket (exhaustive comparison)
         return F.lit(0).cast("long")
+    # portable mode indexes dims 1-based so the SQL twin can use range(1, n+1)
+    lo = 1 if hash_mode == "portable" else 0
     bits = []
     for p in range(planes):
-        signed = F.zip_with(v, F.sequence(F.lit(0), F.lit(dims - 1)), plane_sign(p))
+        signed = F.zip_with(
+            v, F.sequence(F.lit(lo), F.lit(dims - 1 + lo)), plane_sign(p)
+        )
         s = F.aggregate(signed, F.lit(0).cast("long"), lambda acc, x: acc + x)
         bits.append(F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long")))
     out = bits[0]
     for b in bits[1:]:
         out = out.bitwiseOR(b)
     return out
+
+
+def lsh_plane_sign_sql(list_expr: str, p: int, dims: int) -> str:
+    """DuckDB twin of one plane's signed sum over a quantized list column."""
+    mult = plane_mult(p)
+    return (
+        f"list_sum(list_transform(range(1, {dims + 1}), i -> "
+        f"CASE WHEN ((i * {mult}) % {PLANE_MOD}) % 2 = 0 "
+        f"THEN {list_expr}[i] ELSE -{list_expr}[i] END))"
+    )
+
+
+def lsh_bucket_sql(list_expr: str, planes: int, dims: int) -> str:
+    """DuckDB twin of the full portable hyperplane signature."""
+    if planes == 0:
+        return "CAST(0 AS BIGINT)"
+    terms = [
+        f"(CASE WHEN {lsh_plane_sign_sql(list_expr, p, dims)} > 0 "
+        f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        for p in range(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
 
 
 def lsh_neardup_pairs(
@@ -175,6 +222,7 @@ def lsh_neardup_pairs(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Embedding near-dup pairs beyond broadcastable corpus sizes: candidates
     = same random-hyperplane bucket (high-cosine pairs land together with
@@ -187,7 +235,7 @@ def lsh_neardup_pairs(
     sig = emb.select(
         F.col(id_col).alias("_id"),
         quantized(vec_col).alias("_v"),
-        hyperplane_signature(quantized(vec_col), dims, planes).alias("bucket"),
+        hyperplane_signature(quantized(vec_col), dims, planes, hash_mode).alias("bucket"),
     )
     a = sig.select(F.col("_id").alias("a"), F.col("_v").alias("va"), "bucket")
     b = sig.select(F.col("_id").alias("b"), F.col("_v").alias("vb"), "bucket")
@@ -263,6 +311,7 @@ def lsh_ann_topk(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Bucketed ANN: exact ranking restricted to the query's LSH bucket.
 
@@ -274,7 +323,7 @@ def lsh_ann_topk(
     sig = emb.select(
         F.col(id_col).alias("neighbor_id"),
         quantized(vec_col).alias("ev"),
-        hyperplane_signature(quantized(vec_col), dims, planes).alias("bucket"),
+        hyperplane_signature(quantized(vec_col), dims, planes, hash_mode).alias("bucket"),
     )
     q = (
         sig.where(F.col("neighbor_id").isin([int(i) for i in query_ids]))

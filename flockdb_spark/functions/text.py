@@ -191,6 +191,40 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: bases for the seeded portable rolling hash (distinct odd primes; seed 0 is
+#: the classic Java-style 31, seed 1 gives an independent-enough second hash)
+PH_BASES = (31, 131, 257, 523)
+
+
+def portable_hash(col: Column | str, seed: int = 0) -> Column:
+    """Engine-portable string hash: polynomial rolling hash over the string's
+    characters, ``h = h*base + codepoint mod 1e9+7`` — expressible identically
+    in any SQL engine (DuckDB twin: :func:`portable_hash_sql`), which is what
+    makes the MinHash/SimHash/LSH family oracle-checkable.  The production
+    path uses ``xxhash64`` (JVM-intrinsic, better avalanche); this is the
+    verification twin, selected via each operator's ``hash_mode``.
+    ``seed`` picks an independent base from ``PH_BASES``."""
+    c = F.col(col) if isinstance(col, str) else col
+    base = PH_BASES[seed]
+    chars = F.filter(F.split(c, ""), lambda x: x != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda h, ch: F.pmod(h * base + F.ascii(ch), F.lit(FP_MOD)),
+    )
+
+
+def portable_hash_sql(expr: str, seed: int = 0) -> str:
+    """DuckDB twin of :func:`portable_hash` over a string SQL expression."""
+    base = PH_BASES[seed]
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(list_filter(string_split({expr}, ''), x -> x <> ''), "
+        "x -> CAST(ascii(x) AS BIGINT))), "
+        f"(h, c) -> (h * {base} + c) % {FP_MOD})"
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Polynomial rolling hash over the document's characters
     (h = h*31 + ascii(c) mod 1e9+7) — an engine-portable stand-in for a

@@ -117,49 +117,177 @@ def x17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# x03/x04 — MinHash-LSH candidates + SimHash signatures (xxhash64-based:
-# Spark-native scale path; rows-only check, no DuckDB twin)
+# x03/x04/x16 — MinHash-LSH candidates + SimHash signatures/near-dup.
+# Registered in PORTABLE hash mode (text.portable_hash family) so the DuckDB
+# oracle checks the ENTIRE pipeline — shingling, signatures, banding, bucket
+# join, estimates — value-for-value.  The production xxhash64 mode shares
+# every line of structure (hash_mode is the only switch) and keeps its
+# planted-duplicate recall tests in tests/test_functions.py.
 # ---------------------------------------------------------------------------
 
-@query("x03_minhash_lsh")
+_NH, _BANDS = 32, 8  # 8 bands × 4 rows
+
+
+def _planted_corpus_sql(drop_words: int) -> str:
+    """CTEs for the planted-near-duplicate corpus: the doc_id%10 subset plus
+    every doc_id%50==0 doc re-entered under doc_id+10M with its last
+    ``drop_words`` words dropped (mirrors the Spark fixture)."""
+    return f"""
+sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+wsub AS (SELECT doc_id, string_split(text, ' ') AS ws FROM sub),
+planted AS (
+  SELECT doc_id + 10000000 AS doc_id,
+         array_to_string(list_slice(ws, 1, greatest(length(ws) - {drop_words}, 1)), ' ') AS text
+  FROM wsub WHERE doc_id % 50 = 0
+),
+corpus AS (SELECT doc_id, text FROM sub UNION ALL SELECT doc_id, text FROM planted)
+""".strip()
+
+
+def _planted_corpus(spark: SparkSession, sf_dir: str, drop_words: int) -> DataFrame:
+    sub = _docs_subset(spark, sf_dir).select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+    planted = sub.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(w, 1, F.greatest(F.size(w) - drop_words, F.lit(1)))
+        ).alias("text"),
+    )
+    return sub.unionByName(planted)
+
+
+def _minhash_lsh_oracle_sql() -> str:
+    rows = _NH // _BANDS
+    fp = text.portable_hash_sql("shingle")
+    hs = ", ".join(f"min({dedup.uh_sql('f', i)}) AS h{i}" for i in range(_NH))
+    band_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band, concat_ws('|', "
+        + ", ".join(f"h{bi * rows + r}" for r in range(rows))
+        + ") AS bucket FROM sig"
+        for bi in range(_BANDS)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(_NH)
+    )
+    return f"""
+WITH {_planted_corpus_sql(2)},
+sh AS (SELECT doc_id, unnest(list_distinct({_TRIGRAMS})) AS shingle FROM corpus),
+fp AS (SELECT doc_id, {fp} AS f FROM sh),
+sig AS (SELECT doc_id, {hs} FROM fp GROUP BY doc_id),
+banded AS ({band_rows}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT a, b, ({matches}) AS m
+  FROM cand JOIN sig sa ON sa.doc_id = cand.a JOIN sig sb ON sb.doc_id = cand.b
+)
+SELECT a, b, CAST(m AS BIGINT) AS n_matches,
+       CAST((m * 1000000) // {_NH} AS BIGINT) AS est_jaccard_micro
+FROM est
+"""
+
+
+@query("x03_minhash_lsh", _minhash_lsh_oracle_sql())
 def x03(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self-validating: the synthetic corpus has no high-Jaccard pairs, so the
-    fixture plants deterministic near-duplicates — every doc_id%50==0 doc
-    re-enters with its last two words dropped (j≈0.9) under doc_id+10M.  LSH
-    at 8 bands × 4 rows recovers exactly those pairs (catch p≈0.9⁴ per band
-    → >99.99% over 8 bands) while the natural j<0.1 pairs stay out."""
-    sub = _docs_subset(spark, sf_dir).select("doc_id", "text")
-    w = F.split(F.col("text"), " ")
-    planted = sub.where(F.col("doc_id") % 50 == 0).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"),
-        F.concat_ws(" ", F.slice(w, 1, F.greatest(F.size(w) - 2, F.lit(1)))).alias("text"),
+    """Planted-duplicate fixture: every doc_id%50==0 doc re-enters with its
+    last two words dropped (j≈0.9) under doc_id+10M.  LSH at 8 bands × 4
+    rows recovers exactly those pairs (catch p≈0.9⁴ per band → >99.99% over
+    8 bands) while the natural j<0.1 pairs stay out; the oracle re-derives
+    the same signatures, buckets, and match counts in SQL."""
+    corpus = _planted_corpus(spark, sf_dir, drop_words=2)
+    sig = dedup.minhash_signatures(
+        corpus, num_hashes=_NH, hash_mode="portable"
+    ).cache()
+    pairs = dedup.minhash_lsh_candidates(
+        corpus, num_hashes=_NH, bands=_BANDS, sig=sig, hash_mode="portable"
     )
-    corpus = sub.unionByName(planted)
-    sig = dedup.minhash_signatures(corpus, num_hashes=32).cache()
-    pairs = dedup.minhash_lsh_candidates(corpus, num_hashes=32, bands=8, sig=sig)
-    return dedup.minhash_estimate_jaccard(corpus, pairs, num_hashes=32, sig=sig)
+    est = dedup.minhash_estimate_jaccard(corpus, pairs, num_hashes=_NH, sig=sig)
+    return est.select("a", "b", "n_matches", "est_jaccard_micro")
 
 
-@query("x04_simhash")
+_PH_FEATURE = (
+    f"{text.portable_hash_sql('w_', 0)} + {text.portable_hash_sql('w_', 1)} * {dedup.PH_SHIFT}"
+)
+
+
+def _simhash_sig_sql(hashes_expr: str, bits: int = 48) -> str:
+    """DuckDB twin of dedup.simhash's bit-vote signature over a feature-hash
+    list expression (reference the staged column, it is evaluated once)."""
+    terms = [
+        f"(CASE WHEN list_sum(list_transform({hashes_expr}, x -> "
+        f"CASE WHEN (x >> {p}) & 1 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        for p in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "x04_simhash",
+    f"""
+WITH hs AS (
+  SELECT doc_id,
+         list_transform(list_distinct({_W}), w_ -> {_PH_FEATURE}) AS h
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT doc_id, CAST({_simhash_sig_sql('h')} AS BIGINT) AS simhash FROM hs
+""",
+)
 def x04(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash(_docs_subset(spark, sf_dir))
+    return dedup.simhash(_docs_subset(spark, sf_dir), hash_mode="portable")
 
 
-@query("x16_simhash_neardup")
-def x16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self-validating like x03: every doc_id%50==0 doc re-enters with its
-    last word dropped (a few flipped simhash bits) under doc_id+10M; the
-    Hamming-bucket join must recover those pairs within distance 8 while
-    unrelated docs (expected distance 24 ± 3.5 of 48 bits, so ≥4.6σ away)
-    stay out."""
-    sub = _docs_subset(spark, sf_dir).select("doc_id", "text")
-    w = F.split(F.col("text"), " ")
-    planted = sub.where(F.col("doc_id") % 50 == 0).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"),
-        F.concat_ws(" ", F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(1)))).alias("text"),
+_X16_HAMMING = 8
+_X16_CHUNKS = _X16_HAMMING + 1
+_X16_CHUNK_BITS = 48 // _X16_CHUNKS  # 5 bits per chunk, mask 31
+
+
+def _simhash_neardup_oracle_sql() -> str:
+    w = "string_split(text, ' ')"
+    tri = (
+        f"list_transform(range(1, length({w}) - 1), "
+        f"i -> concat_ws(' ', {w}[i], {w}[i+1], {w}[i+2]))"
     )
-    sig = dedup.simhash(sub.unionByName(planted), shingle_n=3)
-    return dedup.simhash_neardup_pairs(sig, max_hamming=8)
+    mask = (1 << _X16_CHUNK_BITS) - 1
+    chunk_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {ci} AS chunk, "
+        f"(simhash >> {ci * _X16_CHUNK_BITS}) & {mask} AS val FROM sig"
+        for ci in range(_X16_CHUNKS)
+    )
+    return f"""
+WITH {_planted_corpus_sql(1)},
+hs AS (
+  SELECT doc_id, list_transform(list_distinct({tri}), w_ -> {_PH_FEATURE}) AS h
+  FROM corpus
+),
+sig AS (SELECT doc_id, CAST({_simhash_sig_sql('h')} AS BIGINT) AS simhash FROM hs),
+banded AS ({chunk_rows}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM banded a JOIN banded b
+    ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+)
+SELECT a, b, CAST(hamming AS BIGINT) AS hamming
+FROM pairs WHERE hamming <= {_X16_HAMMING}
+"""
+
+
+@query("x16_simhash_neardup", _simhash_neardup_oracle_sql())
+def x16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted fixture like x03 (last word dropped → a few flipped simhash
+    bits); the Hamming-bucket join must recover those pairs within distance
+    8 while unrelated docs (expected distance 24 ± 3.5 of 48 bits, ≥4.6σ
+    away) stay out.  The oracle re-derives signatures, pigeonhole chunks,
+    and popcounts in SQL."""
+    sig = dedup.simhash(
+        _planted_corpus(spark, sf_dir, drop_words=1), shingle_n=3, hash_mode="portable"
+    )
+    out = dedup.simhash_neardup_pairs(sig, max_hamming=_X16_HAMMING)
+    return out.select("a", "b", F.col("hamming").cast("long").alias("hamming"))
 
 
 # ---------------------------------------------------------------------------
@@ -196,13 +324,46 @@ def x05(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# x06 — LSH-bucketed ANN (hash-derived hyperplanes; rows-only check)
+# x06 — LSH-bucketed ANN.  Portable hyperplane signs (parity of a
+# multiplicative scramble) make the bucket assignment — and therefore the
+# whole candidate set and ranking — reproducible in the DuckDB oracle.
 # ---------------------------------------------------------------------------
 
-@query("x06_lsh_ann")
+_X06_PLANES = 6
+
+
+@query(
+    "x06_lsh_ann",
+    f"""
+WITH v AS (SELECT vec_id, {_QUANT} AS ev FROM embeddings),
+sig AS (
+  SELECT vec_id, ev,
+         CAST({{bucket}} AS BIGINT) AS bucket
+  FROM v
+),
+q AS (
+  SELECT vec_id AS query_id, ev AS qv, bucket AS qbucket FROM sig
+  WHERE vec_id IN ({", ".join(map(str, ANN_QUERY_IDS))})
+),
+scored AS (
+  SELECT query_id, s.vec_id AS neighbor_id,
+         CAST(list_dot_product(qv, s.ev) AS BIGINT) AS dot_micro2
+  FROM sig s JOIN q ON s.bucket = q.qbucket
+  WHERE s.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, dot_micro2,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY dot_micro2 DESC, neighbor_id ASC
+       ) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 10
+""".format(bucket=similarity.lsh_bucket_sql("ev", _X06_PLANES, 64)),
+)
 def x06(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
-    return similarity.lsh_ann_topk(emb, ANN_QUERY_IDS, k=10, planes=6)
+    return similarity.lsh_ann_topk(
+        emb, ANN_QUERY_IDS, k=10, planes=_X06_PLANES, hash_mode="portable"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -270,14 +431,32 @@ def x07(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # x18 — LSH-bucketed embedding near-dup pairs (beyond-broadcast scale twin of
-# x07; xxhash-derived hyperplanes → rows-only; precision is exact by
-# construction, tests pin the ⊆-of-exact relationship)
+# x07).  Portable hyperplane signs → the oracle re-derives buckets, candidate
+# pairs, and exact rescored dots; precision remains exact by construction and
+# tests pin the ⊆-of-exact relationship.
 # ---------------------------------------------------------------------------
 
-@query("x18_lsh_neardup")
+_X18_PLANES = 4
+
+
+@query(
+    "x18_lsh_neardup",
+    f"""
+WITH v AS (SELECT vec_id, {_QUANT} AS ev FROM embeddings),
+sig AS (
+  SELECT vec_id, ev, CAST({{bucket}} AS BIGINT) AS bucket FROM v
+)
+SELECT DISTINCT a.vec_id AS a, b.vec_id AS b,
+       CAST(list_dot_product(a.ev, b.ev) AS BIGINT) AS dot_micro2
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE CAST(list_dot_product(a.ev, b.ev) AS BIGINT) >= 450000000000
+""".format(bucket=similarity.lsh_bucket_sql("ev", _X18_PLANES, 64)),
+)
 def x18(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
-    return similarity.lsh_neardup_pairs(emb, threshold=0.45, planes=4)
+    return similarity.lsh_neardup_pairs(
+        emb, threshold=0.45, planes=_X18_PLANES, hash_mode="portable"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -333,3 +333,63 @@ def test_decontaminate_planted_overlap(spark):
     assert out[3]["n_eval_shingles"] == 0 and out[3]["is_contaminated"] == 0
     # every training doc appears exactly once
     assert set(out) == {1, 2, 3}
+
+
+def test_portable_hash_mode_equivalent_behavior(docs):
+    """The portable (oracle-checkable) hash mode must reproduce the same
+    structural guarantees as the production xxhash64 mode: exact dups always
+    collide in every band, identical text -> identical simhash, estimates
+    max out at 1."""
+    pairs = {
+        (r["a"], r["b"])
+        for r in dedup.minhash_lsh_candidates(
+            docs, num_hashes=16, bands=8, hash_mode="portable"
+        ).collect()
+    }
+    assert (0, 3) in pairs
+    sig = dedup.minhash_signatures(docs, num_hashes=16, hash_mode="portable")
+    est = {
+        (r["a"], r["b"]): r["n_matches"]
+        for r in dedup.minhash_estimate_jaccard(
+            docs,
+            dedup.minhash_lsh_candidates(
+                docs, num_hashes=16, bands=8, sig=sig, hash_mode="portable"
+            ),
+            num_hashes=16,
+            sig=sig,
+        ).collect()
+    }
+    assert est[(0, 3)] == 16
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, hash_mode="portable").collect()}
+    assert sh[0] == sh[3]
+
+
+def test_lsh_hyperplane_portable_planes0_matches_exact(spark):
+    """planes=0 degenerates to one bucket in both hash modes: the portable
+    bucketed near-dup must equal the exact broadcast baseline."""
+    import math
+
+    from flockdb_spark.functions.similarity import lsh_neardup_pairs, neardup_pairs
+
+    vecs = []
+    for i in range(40):
+        a = math.cos(i * 0.05)
+        b = math.sin(i * 0.05)
+        vecs.append((i, [a, b] + [0.0] * 62))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    exact = {(r["a"], r["b"]) for r in neardup_pairs(emb, threshold=0.9).collect()}
+    port = {
+        (r["a"], r["b"])
+        for r in lsh_neardup_pairs(
+            emb, threshold=0.9, planes=0, hash_mode="portable"
+        ).collect()
+    }
+    assert port == exact and len(exact) > 0
+    # with planes on, the portable bucketed set is a subset of exact
+    sub = {
+        (r["a"], r["b"])
+        for r in lsh_neardup_pairs(
+            emb, threshold=0.9, planes=4, hash_mode="portable"
+        ).collect()
+    }
+    assert sub <= exact
