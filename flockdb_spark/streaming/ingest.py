@@ -16,6 +16,7 @@ Spark-first mapping:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.merge import apply_oplog
@@ -47,42 +48,113 @@ def stream_writes(spark: SparkSession, ops_dir: str, max_files_per_trigger: int 
 class EdgeStreamIngestor:
     """Applies an op-log stream to an edge table with exactly-once batch
     semantics: each micro-batch runs the same commutative W2 merge as the
-    batch path and atomically replaces the stored table.
+    batch path and commits ONLY the hash buckets the batch touched.
 
-    At cluster scale the store would be a Delta/Iceberg table and the swap a
-    MERGE commit; with plain parquet we write-new-then-point (the table
-    location is versioned by batch id)."""
+    The store is parquet partitioned by ``bucket = pmod(xxhash64(source_id),
+    n_buckets)``.  Per batch:
 
-    def __init__(self, spark: SparkSession, table_dir: str, checkpoint_dir: str):
+    1. the touched bucket set is computed from the ops (for backward mass
+       ops, from a column-pruned scan for edges INTO the target vertices —
+       their rows live in their *sources'* buckets);
+    2. only those buckets are read (partition pruning), merged with the
+       batch via the same :func:`apply_oplog` as the batch path, and
+    3. written back with dynamic partition overwrite — untouched bucket
+       directories are never rewritten, so the commit is O(touched), not
+       O(table).
+
+    This is the parquet equivalent of the reference's per-edge delta applies
+    from the async queue (``doc/blog.md:110-119``): write cost scales with
+    the batch, not the table.  At cluster scale the store would be a
+    Delta/Iceberg table and step 3 a MERGE commit; the localCheckpoint that
+    makes self-overwrite safe here stands in for that transaction."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_dir: str,
+        checkpoint_dir: str,
+        n_buckets: int = 64,
+    ):
         self.spark = spark
         self.table_dir = table_dir
         self.checkpoint_dir = checkpoint_dir
+        self.n_buckets = n_buckets
+
+    def _bucket(self, col: str) -> F.Column:
+        return F.pmod(F.xxhash64(F.col(col)), F.lit(self.n_buckets)).cast("int")
 
     def _current(self) -> tuple[DataFrame, DataFrame]:
         try:
             edges = self.spark.read.parquet(f"{self.table_dir}/edges")
         except Exception:  # first batch: empty table
-            edges = self.spark.createDataFrame([], EDGE_SCHEMA)
+            edges = self.spark.createDataFrame([], EDGE_SCHEMA).withColumn(
+                "bucket", self._bucket("source_id")
+            )
         try:
             md = self.spark.read.parquet(f"{self.table_dir}/metadata")
         except Exception:
-            md = self.spark.createDataFrame([], METADATA_SCHEMA)
+            md = self.spark.createDataFrame([], METADATA_SCHEMA).withColumn(
+                "bucket", self._bucket("source_id")
+            )
         return edges, md
 
     def _apply_batch(self, ops: DataFrame, batch_id: int) -> None:
+        # the micro-batch is read 2-3×; materialize once (batch-sized)
+        ops = ops.localCheckpoint(eager=True)
         edges, md = self._current()
-        new_edges, new_md = apply_oplog(edges, md, ops)
-        # stage then swap: streaming epoch n writes to fresh dirs, then the
-        # reader paths are flipped by overwrite — idempotent on batch replay
-        # because the merge itself is idempotent.
-        new_edges.select(*EDGE_COLUMNS).write.mode("overwrite").parquet(
-            f"{self.table_dir}/edges_staging"
+
+        # touched buckets from the ops' own vertices: every single op's edge
+        # row, every forward mass expansion, and every metadata update lives
+        # in bucket(source_id)
+        vbuckets = {
+            r["b"]
+            for r in ops.select(self._bucket("source_id").alias("b")).distinct().collect()
+        }
+        ebuckets = set(vbuckets)
+        # a backward mass op rewrites edges INTO the vertex — rows stored in
+        # their sources' buckets; one column-pruned scan finds those buckets
+        if "is_forward" in ops.columns:
+            bwd = ops.where(
+                F.col("destination_id").isNull() & ~F.col("is_forward")
+            ).select(
+                F.col("graph_id").alias("_g"), F.col("source_id").alias("_v")
+            )
+            if bwd.limit(1).count():
+                ebuckets |= {
+                    r["b"]
+                    for r in edges.join(
+                        F.broadcast(bwd),
+                        on=(F.col("graph_id") == F.col("_g"))
+                        & (F.col("destination_id") == F.col("_v")),
+                        how="inner",
+                    )
+                    .select(F.col("bucket").alias("b"))
+                    .distinct()
+                    .collect()
+                }
+
+        sub_e = edges.where(F.col("bucket").isin(sorted(ebuckets))).drop("bucket")
+        sub_m = md.where(F.col("bucket").isin(sorted(vbuckets))).drop("bucket")
+        new_edges, new_md = apply_oplog(sub_e, sub_m, ops)
+
+        # materialize before overwriting the files the plan reads from; the
+        # merged subset is O(touched buckets), not O(table)
+        staged_e = (
+            new_edges.select(*EDGE_COLUMNS)
+            .withColumn("bucket", self._bucket("source_id"))
+            .localCheckpoint(eager=True)
         )
-        new_md.write.mode("overwrite").parquet(f"{self.table_dir}/metadata_staging")
-        staged_e = self.spark.read.parquet(f"{self.table_dir}/edges_staging")
-        staged_m = self.spark.read.parquet(f"{self.table_dir}/metadata_staging")
-        staged_e.write.mode("overwrite").parquet(f"{self.table_dir}/edges")
-        staged_m.write.mode("overwrite").parquet(f"{self.table_dir}/metadata")
+        staged_m = (
+            new_md.withColumn("bucket", self._bucket("source_id"))
+            .localCheckpoint(eager=True)
+        )
+        for df, name in ((staged_e, "edges"), (staged_m, "metadata")):
+            (
+                df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(f"{self.table_dir}/{name}")
+            )
 
     def run_available(self, ops_stream: DataFrame):
         """Process everything currently in the journal, then stop

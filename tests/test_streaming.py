@@ -171,3 +171,59 @@ def test_dedup_ops_within_watermark(spark, tmp_path):
     ).collect()
     got = sorted((r["destination_id"], r["position"], r["updated_at"]) for r in rows)
     assert got == [(10, 5, t0), (10, 7, t0 + 60), (11, 6, t0)]
+
+
+def test_incremental_commit_leaves_untouched_buckets_alone(spark, tmp_path):
+    """The O(batch) commit contract: a micro-batch rewrites ONLY the hash
+    buckets its ops touch — every parquet file in an untouched bucket
+    directory survives byte-identical (VERDICT r1 item 6)."""
+    import hashlib
+    from pathlib import Path
+
+    ops_dir = tmp_path / "journal"
+    # batch 1: 40 sources spread over the bucket space
+    write_batch(
+        ops_dir, "b1.json", [op(0, s, 100 + s, 1000, s) for s in range(1, 41)]
+    )
+    ing = EdgeStreamIngestor(
+        spark, str(tmp_path / "table"), str(tmp_path / "ckpt"), n_buckets=8
+    )
+    ing.run_available(stream_writes(spark, str(ops_dir)))
+
+    def snapshot(sub):
+        root = Path(tmp_path / "table" / sub)
+        return {
+            str(p.relative_to(root)): hashlib.sha256(p.read_bytes()).hexdigest()
+            for p in root.rglob("*.parquet")
+        }
+
+    before_e, before_m = snapshot("edges"), snapshot("metadata")
+    assert len({k.split("/")[0] for k in before_e}) > 1  # really multi-bucket
+
+    # batch 2: touch source 1 only
+    write_batch(ops_dir, "b2.json", [op(2, 1, 101, 2000)])
+    ing.run_available(stream_writes(spark, str(ops_dir)))
+    after_e, after_m = snapshot("edges"), snapshot("metadata")
+
+    from pyspark.sql import functions as F
+
+    touched = spark.range(1).select(
+        F.pmod(F.xxhash64(F.lit(1).cast("long")), F.lit(8)).cast("int").alias("b")
+    ).collect()[0]["b"]
+    for before, after in ((before_e, after_e), (before_m, after_m)):
+        untouched_before = {k: v for k, v in before.items() if not k.startswith(f"bucket={touched}/")}
+        untouched_after = {k: v for k, v in after.items() if not k.startswith(f"bucket={touched}/")}
+        assert untouched_before == untouched_after  # same files, same bytes
+    # and the touched bucket did change
+    assert {k: v for k, v in before_e.items() if k.startswith(f"bucket={touched}/")} != \
+           {k: v for k, v in after_e.items() if k.startswith(f"bucket={touched}/")}
+
+    # correctness of the merged state is unchanged by the bucketed layout
+    rows = {
+        r["destination_id"]: r
+        for r in spark.read.parquet(str(tmp_path / "table/edges")).collect()
+    }
+    assert rows[101]["state"] == 2 and rows[101]["updated_at"] == 2000
+    assert rows[101]["position"] == 1  # archive preserves position
+    assert rows[140]["state"] == 0
+    assert len(rows) == 40
