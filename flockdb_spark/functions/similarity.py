@@ -153,16 +153,9 @@ def plane_mult(p: int) -> int:
     return (2654435761 * (p + 11)) % PLANE_MOD or 1
 
 
-def hyperplane_signature(
-    vec_col, dims: int, planes: int = 16, hash_mode: str = "xxhash64"
-) -> F.Column:
-    """Random-hyperplane LSH signature: bit p = sign(v · h_p) where h_p's
-    components are deterministic ±1s — derived from xxhash64(p, dim-index)
-    in production, or from the parity of a multiplicative scramble in the
-    oracle-checkable ``portable`` mode (``lsh_plane_sign_sql`` is the DuckDB
-    twin).  Pure column expressions — the hyperplanes are never
-    materialized."""
-    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+def _plane_sums(v, dims: int, planes: int, hash_mode: str) -> list[F.Column]:
+    """Per-plane signed sums s_p = v · h_p (the quantity whose sign is bit p
+    and whose magnitude is the distance-to-hyperplane margin)."""
 
     def plane_sign(p: int):
         # closure (not a default arg: pyspark counts lambda params strictly)
@@ -176,21 +169,69 @@ def hyperplane_signature(
             F.pmod(F.xxhash64(F.lit(p), i), F.lit(2)) == 0, x
         ).otherwise(-x)
 
-    if planes == 0:  # degenerate: one global bucket (exhaustive comparison)
-        return F.lit(0).cast("long")
     # portable mode indexes dims 1-based so the SQL twin can use range(1, n+1)
     lo = 1 if hash_mode == "portable" else 0
-    bits = []
+    sums = []
     for p in range(planes):
         signed = F.zip_with(
             v, F.sequence(F.lit(lo), F.lit(dims - 1 + lo)), plane_sign(p)
         )
-        s = F.aggregate(signed, F.lit(0).cast("long"), lambda acc, x: acc + x)
-        bits.append(F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(F.lit(0).cast("long")))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
+        sums.append(F.aggregate(signed, F.lit(0).cast("long"), lambda acc, x: acc + x))
+    return sums
+
+
+def _bucket_of(sums: list[F.Column]) -> F.Column:
+    out = F.lit(0).cast("long")
+    for p, s_p in enumerate(sums):
+        out = out.bitwiseOR(
+            F.when(s_p > 0, F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
+        )
     return out
+
+
+def hyperplane_signature(
+    vec_col, dims: int, planes: int = 16, hash_mode: str = "xxhash64"
+) -> F.Column:
+    """Random-hyperplane LSH signature: bit p = sign(v · h_p) where h_p's
+    components are deterministic ±1s — derived from xxhash64(p, dim-index)
+    in production, or from the parity of a multiplicative scramble in the
+    oracle-checkable ``portable`` mode (``lsh_plane_sign_sql`` is the DuckDB
+    twin).  Pure column expressions — the hyperplanes are never
+    materialized."""
+    if planes == 0:  # degenerate: one global bucket (exhaustive comparison)
+        return F.lit(0).cast("long")
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    return _bucket_of(_plane_sums(v, dims, planes, hash_mode))
+
+
+def hyperplane_probes(
+    vec_col, dims: int, planes: int, n_probe: int, hash_mode: str = "xxhash64"
+) -> F.Column:
+    """Multi-probe bucket set (array<long>): the base signature plus the
+    ``n_probe - 1`` single-bit flips with the smallest margin |v · h_p| — the
+    planes the vector sits closest to, i.e. the neighboring buckets most
+    likely to hold near neighbors the base bucket missed (Lv et al.,
+    multi-probe LSH, VLDB'07).  Pure column expressions."""
+    if planes == 0:
+        return F.array(F.lit(0).cast("long"))
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    sums = _plane_sums(v, dims, planes, hash_mode)
+    base = _bucket_of(sums)
+    # rank planes by |margin| ascending; struct sort is lexicographic
+    by_margin = F.array_sort(
+        F.array(
+            *[
+                F.struct(F.abs(s_p).alias("m"), F.lit(p).alias("p"))
+                for p, s_p in enumerate(sums)
+            ]
+        )
+    )
+    pow2 = F.array(*[F.lit(1 << p).cast("long") for p in range(planes)])
+    probes = [base]
+    for j in range(min(n_probe - 1, planes)):
+        flip_bit = F.element_at(pow2, F.element_at(by_margin, j + 1)["p"] + 1)
+        probes.append(base.bitwiseXOR(flip_bit))
+    return F.array_distinct(F.array(*probes))
 
 
 def lsh_plane_sign_sql(list_expr: str, p: int, dims: int) -> str:
@@ -312,12 +353,17 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     hash_mode: str = "xxhash64",
+    n_probe: int = 1,
 ) -> DataFrame:
-    """Bucketed ANN: exact ranking restricted to the query's LSH bucket.
+    """Bucketed ANN: exact ranking restricted to the query's LSH bucket(s).
 
-    At corpus scale the bucket join touches ~corpus/2^planes rows per query
-    instead of the full table; recall is tunable via ``planes`` (and
-    multi-probe, not implemented here)."""
+    At corpus scale the bucket join touches ~corpus·n_probe/2^planes rows
+    per query instead of the full table; recall is tunable via ``planes``
+    and ``n_probe`` — with ``n_probe > 1`` each query also probes the
+    buckets reached by flipping its smallest-margin hyperplane bits
+    (:func:`hyperplane_probes`), the standard multi-probe trade: probe
+    count buys recall without re-hashing the corpus.  The corpus side stays
+    signed ONCE either way; only the tiny broadcast query side fans out."""
     from pyspark.sql import Window
 
     sig = emb.select(
@@ -325,17 +371,22 @@ def lsh_ann_topk(
         quantized(vec_col).alias("ev"),
         hyperplane_signature(quantized(vec_col), dims, planes, hash_mode).alias("bucket"),
     )
+    qids = [int(i) for i in query_ids]
     q = (
-        sig.where(F.col("neighbor_id").isin([int(i) for i in query_ids]))
+        emb.where(F.col(id_col).isin(qids))
         .select(
-            F.col("neighbor_id").alias("query_id"),
-            F.col("ev").alias("qv"),
-            F.col("bucket").alias("qbucket"),
+            F.col(id_col).alias("query_id"),
+            quantized(vec_col).alias("qv"),
+            F.explode(
+                hyperplane_probes(quantized(vec_col), dims, planes, n_probe, hash_mode)
+            ).alias("qbucket"),
         )
     )
     scored = (
         sig.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
         .where(F.col("neighbor_id") != F.col("query_id"))
+        # a neighbor found via two probes must rank once
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id", dot_q(F.col("qv"), F.col("ev")).alias("dot_micro2"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot_micro2"), F.asc("neighbor_id"))

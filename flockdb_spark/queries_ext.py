@@ -1097,3 +1097,73 @@ def x34(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.decontaminate(
         docs.where(F.col("doc_id") % 97 != 0), docs.where(F.col("doc_id") % 97 == 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# x35 — multi-probe LSH ANN (scale twin of x06 with recall bought by probe
+# count instead of fewer planes).  Portable hyperplane signs let the oracle
+# re-derive the margins, the probe bucket set (base + smallest-|margin| bit
+# flips), the candidate union, and the exact rerank.
+# ---------------------------------------------------------------------------
+
+_X35_NPROBE = 4
+
+
+def _multiprobe_oracle_sql() -> str:
+    planes = _X06_PLANES
+    sums = ", ".join(
+        similarity.lsh_plane_sign_sql("ev", p, 64) for p in range(planes)
+    )
+    base = " + ".join(
+        f"(CASE WHEN ss[{p + 1}] > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        for p in range(planes)
+    )
+    return f"""
+WITH v AS (SELECT vec_id, {_QUANT} AS ev FROM embeddings),
+sig AS (
+  SELECT vec_id, ev, CAST({similarity.lsh_bucket_sql("ev", planes, 64)} AS BIGINT) AS bucket
+  FROM v
+),
+qs AS (
+  SELECT vec_id AS query_id, ev AS qv, [{sums}] AS ss FROM v
+  WHERE vec_id IN ({", ".join(map(str, ANN_QUERY_IDS))})
+),
+qb AS (
+  SELECT query_id, qv, CAST({base} AS BIGINT) AS base,
+         list_sort(list_transform(range(0, {planes}), p -> abs(ss[p + 1]) * 64 + p)) AS keys
+  FROM qs
+),
+probes AS (
+  SELECT query_id, qv,
+         unnest(list_distinct(list_prepend(base,
+           list_transform(list_slice(keys, 1, {_X35_NPROBE - 1}),
+                          k -> xor(base, CAST(1 AS BIGINT) << CAST(k % 64 AS INT)))
+         ))) AS qbucket
+  FROM qb
+),
+scored AS (
+  SELECT DISTINCT query_id, s.vec_id AS neighbor_id,
+         CAST(list_dot_product(qv, s.ev) AS BIGINT) AS dot_micro2
+  FROM sig s JOIN probes p ON s.bucket = p.qbucket
+  WHERE s.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, dot_micro2,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY dot_micro2 DESC, neighbor_id ASC
+       ) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+@query("x35_multiprobe_ann", _multiprobe_oracle_sql())
+def x35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_topk(
+        emb,
+        ANN_QUERY_IDS,
+        k=10,
+        planes=_X06_PLANES,
+        n_probe=_X35_NPROBE,
+        hash_mode="portable",
+    )

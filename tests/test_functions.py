@@ -393,3 +393,45 @@ def test_lsh_hyperplane_portable_planes0_matches_exact(spark):
         ).collect()
     }
     assert sub <= exact
+
+
+def test_multiprobe_lsh_ann_recall(spark):
+    """Multi-probe LSH (VERDICT r1 item 8): probing the query's
+    smallest-margin bit flips buys recall without re-hashing the corpus.
+    On a planted-cluster corpus (where near neighbors actually exist),
+    recall vs the exact top-k must be >=0.9 at planes=6, and multi-probe
+    must never lose to single-probe."""
+    import math
+    import random
+
+    from flockdb_spark.functions.similarity import brute_force_topk, lsh_ann_topk
+
+    rng = random.Random(7)
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows, vid = [], 0
+    for _c in range(40):
+        center = [rng.gauss(0, 1) for _ in range(64)]
+        for _j in range(10):
+            rows.append((vid, unit([x + rng.gauss(0, 0.12) for x in center])))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qids = [0, 10, 20, 30, 40, 50, 60, 70]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, qids, k=5).collect()
+    }
+
+    def recall(n_probe):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_ann_topk(emb, qids, k=5, planes=6, n_probe=n_probe).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= 0.9
+    assert r4 >= r1
