@@ -244,6 +244,7 @@ def apply_oplog(
     resolve_with_metadata: bool = False,
     has_single: bool = True,
     has_mass: bool = True,
+    split_untouched: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Replay a batch of write operations (W1 single + W3 mass-action).
 
@@ -271,6 +272,15 @@ def apply_oplog(
     broadcasts, and their per-call plan-build/analysis cost — is pruned here
     at build time instead of executing empty at run time.  Both default to
     True (fully general).
+
+    ``split_untouched``: the pass-through split (touched-key distinct +
+    semi/anti joins) keeps merge cost O(batch) against a huge table —
+    essential in general, dead weight in two common caller shapes: a bulk
+    replay into an EMPTY store (q17: fresh-shard copy, the reference's
+    ``jobs/Copy.scala`` target side), and a caller that already restricted
+    ``edges``/``metadata`` to the touched vertices (q18's up-front
+    semi-join).  Pass False there: every input row enters the merge anyway,
+    so the distinct + two joins — three extra shuffles — are pruned.
 
     Returns (merged_edges, merged_metadata).
     """
@@ -372,6 +382,19 @@ def apply_oplog(
         writes = mass_writes.select(*EDGE_COLUMNS)
     else:
         writes = single.select(*EDGE_COLUMNS)
+    if not split_untouched:
+        merged_edges = sequenced_merge(edges, writes).select(*EDGE_COLUMNS)
+        # recount everything (all input is touched by assumption); vertices
+        # holding metadata but no edges must still survive
+        ekeys = merged_edges.select("graph_id", "source_id").distinct()
+        md_only = merged_md.join(ekeys, ["graph_id", "source_id"], "left_anti")
+        merged_md = (
+            derive_metadata(merged_edges, merged_md)
+            .unionByName(md_only.select(*METADATA_COLUMNS))
+            .select(*METADATA_COLUMNS)
+        )
+        return merged_edges, merged_md
+
     # Merge cost must scale with the WRITE BATCH, not the table: only rows of
     # touched vertices enter the fold; everything else passes through via an
     # anti-join (no shuffle — the touched-key set is join-broadcast-sized for

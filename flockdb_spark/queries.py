@@ -604,7 +604,11 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     empty_edges = spark.createDataFrame([], EDGE_SCHEMA)
     empty_md = spark.createDataFrame([], METADATA_SCHEMA)
-    merged, _ = apply_oplog(empty_edges, empty_md, ops, has_mass=False)
+    # fresh-store replay: every row is batch rows, so the touched-key
+    # split would be three dead shuffles (see apply_oplog docstring)
+    merged, _ = apply_oplog(
+        empty_edges, empty_md, ops, has_mass=False, split_untouched=False
+    )
     return merged.select(*EDGE_COLUMNS)
 
 
@@ -655,7 +659,9 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         ops,
         "op_state int, graph_id int, source_id long, destination_id long, position long, updated_at long",
     )
-    e2, _ = apply_oplog(g1, md, ops_df, has_single=False)
+    # g1/md are already restricted to the touched src10 vertices, so the
+    # pass-through split inside apply_oplog would be dead weight
+    e2, _ = apply_oplog(g1, md, ops_df, has_single=False, split_untouched=False)
     return e2.select(*EDGE_COLUMNS)
 
 

@@ -184,3 +184,47 @@ def test_compile_execute_backward_wildcard_keeps_direction(spark):
     # an all-forward program omits the column entirely (lean default plan)
     fwd = compile_execute(spark, [prog[1]], now=1234)
     assert "is_forward" not in fwd.columns
+
+
+def test_split_untouched_false_equals_true(spark):
+    """The ``split_untouched=False`` fast path (caller guarantees every
+    store row belongs to a touched vertex) must produce the same edges and
+    metadata as the general path — including metadata-only vertices."""
+    from flockdb_spark.operators.merge import apply_oplog
+    from flockdb_spark.schema import METADATA_SCHEMA
+
+    edges = edge_rows_df(
+        spark,
+        [
+            (1, 10, 20, 100, 1000, 0),
+            (1, 10, 21, 101, 1000, 2),
+            (1, 11, 20, 102, 1000, 0),
+        ],
+    )
+    # vertex 12 holds metadata but no edges; it is "touched" by a single op
+    md = spark.createDataFrame(
+        [(1, s, 1, 0, 1000) for s in (10, 11, 12)], METADATA_SCHEMA
+    )
+    ops = spark.createDataFrame(
+        [
+            (0, 1, 10, 22, 103, 2000, True),   # insert new edge
+            (1, 1, 11, 20, 0, 2000, True),     # remove existing
+            (0, 1, 12, 30, 104, 2000, True),   # first edge of md-only vertex
+            (2, 1, 10, None, 0, 2000, True),   # mass-archive vertex 10
+        ],
+        "op_state int, graph_id int, source_id long, destination_id long, "
+        "position long, updated_at long, is_forward boolean",
+    )
+
+    def snap(pair):
+        e, m = pair
+        ekey = lambda r: (r["graph_id"], r["source_id"], r["destination_id"])
+        mkey = lambda r: (r["graph_id"], r["source_id"])
+        return (
+            {ekey(r): (r["state"], r["position"], r["updated_at"]) for r in e.collect()},
+            {mkey(r): (r["state"], r["count"]) for r in m.collect()},
+        )
+
+    general = snap(apply_oplog(edges, md, ops))
+    fast = snap(apply_oplog(edges, md, ops, split_untouched=False))
+    assert fast == general
