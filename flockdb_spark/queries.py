@@ -27,7 +27,7 @@ from .plans.compiler import (
     SelectOperation,
     SelectOperationType,
 )
-from .schema import EDGE_COLUMNS, EDGE_SCHEMA, METADATA_SCHEMA
+from .schema import EDGE_COLUMNS, EDGE_SCHEMA, METADATA_SCHEMA, empty_df
 from .sources.edges import _read, build_edges, with_fixture_ctes
 
 # supplier pairs for the set-op queries (graph 3 is the only graph whose
@@ -602,8 +602,8 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("position"),
         (F.lit(1800000000) + F.pmod(F.col("event_id"), F.lit(16))).alias("updated_at"),
     )
-    empty_edges = spark.createDataFrame([], EDGE_SCHEMA)
-    empty_md = spark.createDataFrame([], METADATA_SCHEMA)
+    empty_edges = empty_df(spark, EDGE_SCHEMA)
+    empty_md = empty_df(spark, METADATA_SCHEMA)
     # fresh-store replay: every row is batch rows, so the touched-key
     # split would be three dead shuffles (see apply_oplog docstring)
     merged, _ = apply_oplog(
@@ -703,7 +703,7 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("state"),
         (F.lit(1900000000) + F.pmod(F.col("event_id"), F.lit(8))).alias("updated_at"),
     )
-    empty_md = spark.createDataFrame([], METADATA_SCHEMA)
+    empty_md = empty_df(spark, METADATA_SCHEMA)
     return metadata_merge(empty_md, writes)
 
 

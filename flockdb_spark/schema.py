@@ -86,6 +86,21 @@ METADATA_SCHEMA = T.StructType(
 EDGE_COLUMNS = [f.name for f in EDGE_SCHEMA.fields]
 METADATA_COLUMNS = [f.name for f in METADATA_SCHEMA.fields]
 
+
+def empty_df(spark, schema: T.StructType) -> "DataFrame":
+    """A truly-empty DataFrame that Catalyst can PRUNE.
+
+    ``spark.createDataFrame([], schema)`` is RDD-backed: it plans a
+    ``Scan ExistingRDD`` with ``defaultParallelism`` empty partitions, and a
+    union against it schedules every one as a real (empty) task — 32 dead
+    tasks per job on local[32], a pointless extra stage on a cluster.
+    A OneRowRelation filtered to false folds to an empty ``LocalRelation``
+    instead, which ``PropagateEmptyRelation`` erases from any union/join it
+    touches.  Flat schemas only (every field must be castable from 0).
+    """
+    cols = [F.lit(0).cast(f.dataType).alias(f.name) for f in schema.fields]
+    return spark.sql("select 1").where(F.lit(False)).select(*cols)
+
 #: position = millis << 20 | low-20-bits  (UuidGenerator.scala:26-39); we use a
 #: deterministic key-derived low word instead of random bits so tests can hash.
 POSITION_SHIFT = 1 << 20

@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators.merge import apply_oplog
-from ..schema import EDGE_COLUMNS, EDGE_SCHEMA, METADATA_SCHEMA
+from ..schema import EDGE_COLUMNS, EDGE_SCHEMA, METADATA_SCHEMA, empty_df
 
 OPS_SCHEMA = T.StructType(
     [
@@ -87,13 +87,13 @@ class EdgeStreamIngestor:
         try:
             edges = self.spark.read.parquet(f"{self.table_dir}/edges")
         except Exception:  # first batch: empty table
-            edges = self.spark.createDataFrame([], EDGE_SCHEMA).withColumn(
+            edges = empty_df(self.spark, EDGE_SCHEMA).withColumn(
                 "bucket", self._bucket("source_id")
             )
         try:
             md = self.spark.read.parquet(f"{self.table_dir}/metadata")
         except Exception:
-            md = self.spark.createDataFrame([], METADATA_SCHEMA).withColumn(
+            md = empty_df(self.spark, METADATA_SCHEMA).withColumn(
                 "bucket", self._bucket("source_id")
             )
         return edges, md

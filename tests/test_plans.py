@@ -161,3 +161,15 @@ def test_x19_pipeline_has_no_global_window_over_corpus(spark):
 
     plan = plan_str(QUERIES["x19_pipeline"](spark, SF_DIR), "simple")
     assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_empty_store_relations_are_pruned_from_plans(spark):
+    """q17's fresh-store replay unions the op batch with an EMPTY edge
+    table.  An RDD-backed empty DataFrame plans `Scan ExistingRDD` with
+    defaultParallelism empty partitions — dead tasks in every job.  The
+    empty_df LocalRelation must be erased by PropagateEmptyRelation."""
+    from flockdb_spark.queries import QUERIES
+
+    for q in ("q17_oplog_replay", "q19_metadata_merge"):
+        plan = plan_str(QUERIES[q](spark, SF_DIR), "simple")
+        assert "ExistingRDD" not in plan, q
