@@ -281,12 +281,15 @@ def lsh_neardup_pairs(
     a = sig.select(F.col("_id").alias("a"), F.col("_v").alias("va"), "bucket")
     b = sig.select(F.col("_id").alias("b"), F.col("_v").alias("vb"), "bucket")
     thresh = int(threshold * MICRO * MICRO)
+    # no dedup pass needed: each id carries exactly ONE bucket value, so a
+    # pair can only meet in one bucket — a distinct here would be a full
+    # extra shuffle of the output (the multi-probe ANN variant, where an id
+    # fans out to several buckets, is the one that must dropDuplicates)
     return (
         a.join(b, "bucket")
         .where(F.col("a") < F.col("b"))
         .select("a", "b", dot_q(F.col("va"), F.col("vb")).alias("dot_micro2"))
         .where(F.col("dot_micro2") >= thresh)
-        .distinct()
     )
 
 
