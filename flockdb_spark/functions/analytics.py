@@ -134,3 +134,77 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
         .groupBy("node_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """N-step ordered funnel: for each user, the earliest chain of events
+    matching ``steps`` in strict timestamp order (classic product-analytics
+    operator; no reference counterpart — extension surface).
+
+    step₁ = user's earliest ``steps[0]`` event; stepᵢ = earliest ``steps[i]``
+    STRICTLY AFTER stepᵢ₋₁.  Emits one row per user who completes the whole
+    chain, with each step's µs timestamp and the total span.
+
+    100 TB shape: ONE shuffle on ``user_col``.  Every step is an unordered
+    partition-wide conditional min over the same window spec, so Catalyst
+    evaluates all N in a single exchange (no sort — the frame is the whole
+    partition), and the closing groupBy on the same key reuses that
+    partitioning.  Timestamps are µs (the cross-engine portable grain, see
+    ``stats.event_time_features``).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col)
+    df = events.select(
+        user_col, F.expr("ts div 1000").alias("ts_us"), F.col(type_col).alias("_t")
+    )
+    prev = None
+    t_cols = []
+    for i, step in enumerate(steps):
+        name = f"t{i}_us"
+        cond = F.col("_t") == step
+        if prev is not None:
+            cond = cond & (F.col("ts_us") > F.col(prev))
+        # chained selects: each step's min is a plain column for the next
+        # (nested window expressions are not composable in one projection)
+        df = df.withColumn(name, F.min(F.when(cond, F.col("ts_us"))).over(w))
+        prev = name
+        t_cols.append(name)
+    out = (
+        df.where(F.col(t_cols[-1]).isNotNull())
+        .groupBy(user_col)
+        .agg(*[F.max(c).alias(c) for c in t_cols])
+    )
+    return out.withColumn(
+        "span_us", F.col(t_cols[-1]) - F.col(t_cols[0])
+    )
+
+
+def funnel_sql(steps: tuple[str, ...] = ("view", "click", "purchase")) -> str:
+    """DuckDB twin of :func:`funnel` over the ``events`` view."""
+    ctes = ["e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type AS _t FROM events)"]
+    prev_cte, prev_col = "e", None
+    for i, step in enumerate(steps):
+        cond = f"_t = '{step}'"
+        if prev_col is not None:
+            cond += f" AND ts_us > {prev_col}"
+        ctes.append(
+            f"s{i} AS (SELECT *, min(CASE WHEN {cond} THEN ts_us END) "
+            f"OVER (PARTITION BY user_id) AS t{i}_us FROM {prev_cte})"
+        )
+        prev_cte, prev_col = f"s{i}", f"t{i}_us"
+    t_cols = [f"t{i}_us" for i in range(len(steps))]
+    sel = ", ".join(f"max({c}) AS {c}" for c in t_cols)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT user_id, {sel}, max({t_cols[-1]}) - max({t_cols[0]}) AS span_us
+FROM {prev_cte} WHERE {t_cols[-1]} IS NOT NULL GROUP BY user_id
+"""
+    )

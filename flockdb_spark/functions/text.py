@@ -254,3 +254,98 @@ def lang_hits_sql(col: str, code: str) -> str:
     return (
         f"CAST(length(list_filter(string_split({col}, ' '), w -> w IN ({markers}))) AS BIGINT)"
     )
+
+
+def word_ngrams(col: Column | str, n: int = 5) -> Column:
+    """Distinct word ``n``-grams of a whitespace-tokenized text column, as a
+    single array expression (no explode yet — callers choose when to fan
+    out).  Staged by callers per the one-materialization rule: build the
+    token array once, then derive."""
+    w = tokens(col) if isinstance(col, str) else col
+    count = F.size(w) - (n - 1)
+    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — guard short docs
+    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j) for j in range(n)]
+            ),
+        )
+    )
+
+
+def boilerplate_coverage(
+    docs: DataFrame, n: int = 5, min_docs: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-document boilerplate coverage — the C4-style curation gate that
+    drops pages dominated by templated content (nav bars, footers, license
+    blocks).  A word ``n``-gram is *boilerplate* when it appears in at least
+    ``min_docs`` DISTINCT documents; each document reports how many of its
+    distinct n-grams are boilerplate.
+
+    100 TB shape: one explode to the (doc, gram) table, one hash-agg on the
+    gram key for document frequency (map-side partial combine first — grams
+    are distinct per doc already), one join back keyed on the same gram hash
+    (Catalyst reuses the aggregation's partitioning), one hash-agg back to
+    doc grain.  No driver materialization; the hot-gram skew cap pattern of
+    ``dedup.ngram_jaccard_pairs`` is unnecessary because grams are never
+    self-joined — document frequency is a count, not a pair blow-up.
+
+    Output: (doc_id, n_grams, n_boiler, boiler_micro) — integers only.
+    """
+    sh = (
+        docs.select("doc_id", tokens(text_col).alias("_w"))
+        .select("doc_id", word_ngrams(F.col("_w"), n).alias("_g"))
+        .select("doc_id", F.explode("_g").alias("gram"))
+    )
+    sh = sh.where(F.col("gram") != "")  # docs shorter than n words
+    df_counts = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    boiler = df_counts.where(F.col("df") >= min_docs).select("gram")
+    per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = (
+        sh.join(boiler, "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    return (
+        per_doc.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+            F.expr("coalesce(n_boiler, 0) * 1000000 div n_grams").alias(
+                "boiler_micro"
+            ),
+        )
+    )
+
+
+def boilerplate_coverage_sql(n: int = 5, min_docs: int = 3) -> str:
+    """DuckDB twin of :func:`boilerplate_coverage` over ``documents``."""
+    w = "string_split(text, ' ')"
+    grams = (
+        f"list_distinct(list_transform(range(1, greatest(length({w}) - {n - 2}, 1)), "
+        f"i -> concat_ws(chr(32), "
+        + ", ".join(f"{w}[i+{j}]" for j in range(n))
+        + ")))"
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({grams}) AS gram FROM documents
+),
+sh2 AS (SELECT doc_id, gram FROM sh WHERE gram <> ''),
+dfq AS (SELECT gram, count(*) AS df FROM sh2 GROUP BY gram),
+boiler AS (SELECT gram FROM dfq WHERE df >= {min_docs}),
+per_doc AS (SELECT doc_id, count(*) AS n_grams FROM sh2 GROUP BY doc_id),
+hits AS (
+  SELECT doc_id, count(*) AS n_boiler FROM sh2 JOIN boiler USING (gram)
+  GROUP BY doc_id
+)
+SELECT p.doc_id, CAST(p.n_grams AS BIGINT) AS n_grams,
+       CAST(coalesce(h.n_boiler, 0) AS BIGINT) AS n_boiler,
+       CAST(coalesce(h.n_boiler, 0) * 1000000 // p.n_grams AS BIGINT) AS boiler_micro
+FROM per_doc p LEFT JOIN hits h ON p.doc_id = h.doc_id
+"""

@@ -1167,3 +1167,80 @@ def x35(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_probe=_X35_NPROBE,
         hash_mode="portable",
     )
+
+
+# ---------------------------------------------------------------------------
+# x36 — semi-structured property rollup: typed extraction out of the JSON
+# props column + one-shuffle per-type aggregate (exact distinct users)
+# ---------------------------------------------------------------------------
+
+from .functions import semistructured  # noqa: E402 — grouped with its queries
+
+
+@query("x36_json_rollup", semistructured.props_rollup_sql())
+def x36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return semistructured.props_rollup(_read(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# x37 — boilerplate n-gram coverage: the C4-style templated-content gate
+# ---------------------------------------------------------------------------
+
+@query("x37_boilerplate", text.boilerplate_coverage_sql(n=5, min_docs=3))
+def x37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.boilerplate_coverage(
+        _read(spark, sf_dir, "documents"), n=5, min_docs=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# x38 — embedding near-dup CLUSTER resolution: LSH pairs (x18's operator at
+# a recall-oriented threshold) → connected components → canonical survivor
+# per cluster.  The end-to-end semantic-dedup decision a corpus pass ships.
+# ---------------------------------------------------------------------------
+
+_X38_THRESHOLD = 0.30
+
+
+@query(
+    "x38_embedding_dedup",
+    f"""
+WITH RECURSIVE v AS (SELECT vec_id, {_QUANT} AS ev FROM embeddings),
+sig AS (
+  SELECT vec_id, ev, CAST({{bucket}} AS BIGINT) AS bucket FROM v
+),
+pairs AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE CAST(list_dot_product(a.ev, b.ev) AS BIGINT) >= {int(_X38_THRESHOLD * 1_000_000_000_000)}
+),
+und AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach(id, root) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN und e ON e.src = r.id
+)
+SELECT id AS vec_id, min(root) AS canonical_id FROM reach GROUP BY id
+""".format(bucket=similarity.lsh_bucket_sql("ev", _X18_PLANES, 64)),
+)
+def x38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    pairs = similarity.lsh_neardup_pairs(
+        emb, threshold=_X38_THRESHOLD, planes=_X18_PLANES, hash_mode="portable"
+    )
+    return dedup.resolve_duplicates(pairs.select("a", "b")).withColumnRenamed(
+        "doc_id", "vec_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# x39 — N-step ordered funnel over the event stream (view → click →
+# purchase), one shuffle for all steps
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+@query("x39_funnel", analytics.funnel_sql(_FUNNEL_STEPS))
+def x39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics.funnel(_read(spark, sf_dir, "events"), _FUNNEL_STEPS)

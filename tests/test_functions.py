@@ -435,3 +435,54 @@ def test_multiprobe_lsh_ann_recall(spark):
     r1, r4 = recall(1), recall(4)
     assert r4 >= 0.9
     assert r4 >= r1
+
+
+def test_boilerplate_coverage_planted(spark):
+    """Three docs share a templated footer phrase; unique bodies differ.
+    The shared 5-gram must be flagged (min_docs=3) and per-doc counts must
+    reflect exactly the planted overlap."""
+    footer = "all rights reserved contact us"
+    rows = [
+        (1, f"alpha beta gamma delta epsilon zeta {footer}"),
+        (2, f"one two three four five six {footer}"),
+        (3, f"red orange yellow green blue indigo {footer}"),
+        (4, "totally unrelated words here nothing shared at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_boiler"])
+        for r in text.boilerplate_coverage(docs, n=5, min_docs=3).collect()
+    }
+    # 11 tokens -> 7 distinct 5-grams per templated doc; the only gram all
+    # three share is the one fully inside the 5-token footer
+    assert got[1] == (7, 1) and got[2] == (7, 1) and got[3] == (7, 1)
+    assert got[4] == (4, 0)
+
+
+def test_word_ngrams_short_doc(spark):
+    docs = spark.createDataFrame([(1, "only three words")], "doc_id long, text string")
+    out = text.boilerplate_coverage(docs, n=5, min_docs=2).collect()
+    assert out == []  # shorter than n -> no grams, no row, no crash
+
+
+def test_funnel_strict_ordering(spark):
+    us = 1_000_000_000  # ns per ms-ish step; funnel works in µs = ns div 1000
+    rows = [
+        # user 1: complete chain in order
+        (1, 1 * us, "view"), (1, 2 * us, "click"), (1, 3 * us, "purchase"),
+        # user 2: purchase BEFORE click -> incomplete
+        (2, 1 * us, "view"), (2, 3 * us, "click"), (2, 2 * us, "purchase"),
+        # user 3: click only
+        (3, 1 * us, "click"),
+        # user 4: two chains; earliest valid chain wins
+        (4, 5 * us, "view"), (4, 6 * us, "click"), (4, 7 * us, "purchase"),
+        (4, 1 * us, "view"), (4, 2 * us, "click"), (4, 9 * us, "purchase"),
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    got = {r["user_id"]: (r["t0_us"], r["t1_us"], r["t2_us"], r["span_us"])
+           for r in analytics.funnel(events).collect()}
+    assert set(got) == {1, 4}
+    assert got[1] == (1 * us // 1000, 2 * us // 1000, 3 * us // 1000, 2 * us // 1000)
+    # user 4: earliest view (1), earliest click after it (2), earliest
+    # purchase after that (7)
+    assert got[4] == (1 * us // 1000, 2 * us // 1000, 7 * us // 1000, 6 * us // 1000)

@@ -173,3 +173,14 @@ def test_empty_store_relations_are_pruned_from_plans(spark):
     for q in ("q17_oplog_replay", "q19_metadata_merge"):
         plan = plan_str(QUERIES[q](spark, SF_DIR), "simple")
         assert "ExistingRDD" not in plan, q
+
+
+def test_funnel_is_one_exchange_for_all_steps(spark):
+    """Every funnel step is a conditional min over the same unordered
+    partition-wide window, and the closing groupBy shares the key — one
+    shuffle total regardless of chain length."""
+    import flockdb_spark.queries_ext  # noqa: F401
+    from flockdb_spark.queries import QUERIES
+
+    plan = plan_str(QUERIES["x39_funnel"](spark, SF_DIR), "simple")
+    assert plan.count("Exchange") == 1
