@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "x32_repetition",
     "x33_seq_packing",
     "x34_decontaminate",
+    "x37_boilerplate",
+    "x39_funnel",
 ]
 
 
