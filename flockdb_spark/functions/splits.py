@@ -112,3 +112,43 @@ def stratified_sample_sql(
         f"CAST(CASE {strata_col} {whens} ELSE {default_per_mille} END AS INT) AS keep_per_mille "
         f"FROM {table}) WHERE bucket < keep_per_mille"
     )
+
+
+def mixture_upsample(
+    docs: DataFrame,
+    weights: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Data-mixing epoch upsampling: replicate each document ``weights[source]``
+    times (an integer epoch count per source), emitting an ``epoch`` column —
+    the standard way a training mix oversamples high-quality sources
+    (weights come from the mixing recipe, e.g. wiki×3, web×1).
+
+    Plan shape: the weight table is a literal map baked into the projection
+    (no join — sources are a handful of names), and the replication is a
+    generator (explode of a 0..w-1 sequence) that runs map-side with NO
+    shuffle: output partitioning follows the input.  Sources absent from
+    ``weights`` default to weight 1 (kept once).
+
+    Output: (doc_id, source, epoch) with epoch in [0, w).
+    """
+    w = F.lit(1)
+    for name, k in sorted(weights.items()):
+        w = F.when(F.col(source_col) == name, F.lit(int(k))).otherwise(w)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source"))
+        .withColumn("epoch", F.explode(F.sequence(F.lit(0), w - 1)))
+        .select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
+    )
+
+
+def mixture_upsample_sql(weights: dict[str, int]) -> str:
+    """DuckDB twin of :func:`mixture_upsample` over ``documents``."""
+    case = "CASE " + " ".join(
+        f"WHEN source = '{k}' THEN {int(v)}" for k, v in sorted(weights.items())
+    ) + " ELSE 1 END"
+    return f"""
+SELECT doc_id, source, CAST(unnest(range({case})) AS BIGINT) AS epoch
+FROM documents
+"""

@@ -349,3 +349,51 @@ SELECT p.doc_id, CAST(p.n_grams AS BIGINT) AS n_grams,
        CAST(coalesce(h.n_boiler, 0) * 1000000 // p.n_grams AS BIGINT) AS boiler_micro
 FROM per_doc p LEFT JOIN hits h ON p.doc_id = h.doc_id
 """
+
+
+def bigram_stats(docs: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
+    """Corpus-wide adjacent-token pair frequencies, top-``k`` — the counting
+    step a BPE/WordPiece vocabulary induction runs per merge round (the
+    most frequent pair becomes the next merge rule).
+
+    Plan shape: pair generation is a map-side generator (zip of the token
+    array with its own tail, then explode — no shuffle); the frequency
+    count is one partial-agg shuffle on the pair key; the top-k is
+    ``TakeOrderedAndProject`` — every partition keeps only its local k, so
+    the driver receives partitions × k rows, never the pair table.  Ties
+    break on the pair string for cross-engine determinism.
+
+    Output: (pair, freq), freq DESC, pair ASC, exactly ``k`` rows (or fewer
+    on tiny corpora).
+    """
+    w = tokens(text_col)
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("pair"))
+        .limit(k)
+    )
+
+
+def bigram_stats_sql(k: int = 50) -> str:
+    """DuckDB twin of :func:`bigram_stats` over ``documents``."""
+    w = "string_split(text, ' ')"
+    return f"""
+WITH t AS (SELECT {w} AS w FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(range(1, greatest(length(w), 1)),
+                i -> concat_ws(chr(32), w[i], w[i+1]))) AS pair
+  FROM t
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS freq FROM pairs GROUP BY pair
+ORDER BY freq DESC, pair ASC LIMIT {k}
+"""

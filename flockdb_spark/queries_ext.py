@@ -1244,3 +1244,26 @@ _FUNNEL_STEPS = ("view", "click", "purchase")
 @query("x39_funnel", analytics.funnel_sql(_FUNNEL_STEPS))
 def x39(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.funnel(_read(spark, sf_dir, "events"), _FUNNEL_STEPS)
+
+
+# ---------------------------------------------------------------------------
+# x40 — data-mixing epoch upsampling: per-source integer epoch counts,
+# map-side generator, no shuffle
+# ---------------------------------------------------------------------------
+
+_MIX_WEIGHTS = {"src0": 3, "src1": 2, "src10": 4}
+
+
+@query("x40_mixture_upsample", splits.mixture_upsample_sql(_MIX_WEIGHTS))
+def x40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return splits.mixture_upsample(_read(spark, sf_dir, "documents"), _MIX_WEIGHTS)
+
+
+# ---------------------------------------------------------------------------
+# x41 — BPE-style vocabulary induction counting step: top-k adjacent token
+# pairs via partial-agg + TakeOrderedAndProject (local k per partition)
+# ---------------------------------------------------------------------------
+
+@query("x41_bigram_vocab", text.bigram_stats_sql(k=50))
+def x41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bigram_stats(_read(spark, sf_dir, "documents"), k=50)

@@ -486,3 +486,29 @@ def test_funnel_strict_ordering(spark):
     # user 4: earliest view (1), earliest click after it (2), earliest
     # purchase after that (7)
     assert got[4] == (1 * us // 1000, 2 * us // 1000, 7 * us // 1000, 6 * us // 1000)
+
+
+def test_mixture_upsample_epochs(spark):
+    from flockdb_spark.functions import splits
+
+    docs = spark.createDataFrame(
+        [(1, "wiki"), (2, "web"), (3, "code")], "doc_id long, source string"
+    )
+    out = splits.mixture_upsample(docs, {"wiki": 3, "code": 2}).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(r["epoch"])
+    assert sorted(got[1]) == [0, 1, 2]      # weighted 3
+    assert sorted(got[2]) == [0]            # absent -> kept once
+    assert sorted(got[3]) == [0, 1]         # weighted 2
+
+
+def test_bigram_stats_counts_and_ties(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x")], "doc_id long, text string"
+    )
+    rows = text.bigram_stats(docs, k=3).collect()
+    # pairs: doc1 -> "a b","b a","a b","b c"; doc2 -> "a b","b x"
+    assert [(r["pair"], r["freq"]) for r in rows] == [
+        ("a b", 3), ("b a", 1), ("b c", 1)  # ties break on pair ASC
+    ]
