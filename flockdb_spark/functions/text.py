@@ -256,27 +256,6 @@ def lang_hits_sql(col: str, code: str) -> str:
     )
 
 
-def word_ngrams(col: Column | str, n: int = 5) -> Column:
-    """Distinct word ``n``-grams of a whitespace-tokenized text column, as a
-    single array expression (no explode yet — callers choose when to fan
-    out).  Staged by callers per the one-materialization rule: build the
-    token array once, then derive."""
-    w = tokens(col) if isinstance(col, str) else col
-    count = F.size(w) - (n - 1)
-    # sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — guard short docs
-    idx = F.when(count >= 1, F.sequence(F.lit(1), count)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.array_distinct(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(w, i + j) for j in range(n)]
-            ),
-        )
-    )
-
-
 def boilerplate_coverage(
     docs: DataFrame, n: int = 5, min_docs: int = 3, text_col: str = "text"
 ) -> DataFrame:
@@ -286,31 +265,31 @@ def boilerplate_coverage(
     ``min_docs`` DISTINCT documents; each document reports how many of its
     distinct n-grams are boilerplate.
 
-    100 TB shape: one explode to the (doc, gram) table, one hash-agg on the
-    gram key for document frequency (map-side partial combine first — grams
-    are distinct per doc already), one join back keyed on the same gram hash
-    (Catalyst reuses the aggregation's partitioning), one hash-agg back to
-    doc grain.  No driver materialization; the hot-gram skew cap pattern of
-    ``dedup.ngram_jaccard_pairs`` is unnecessary because grams are never
-    self-joined — document frequency is a count, not a pair blow-up.
+    100 TB shape: one explode to the (doc, gram) table — built once and
+    CACHED, because three consumers read it (document frequency, per-doc
+    totals, per-doc boilerplate hits) and the gram generation is the
+    expensive per-row work; then one hash-agg on the gram key (map-side
+    partial combine — grams are distinct per doc already), one join back on
+    the same key, one hash-agg to doc grain.  No driver materialization; no
+    pair blow-up, so no skew cap needed.  Cache lifetime follows the
+    ``dedup`` convention: the cached frame rides on the result as
+    ``_flockdb_caches`` — release with :func:`flockdb_spark.functions.dedup.
+    release_caches` once materialized, or leave it to the ContextCleaner.
 
     Output: (doc_id, n_grams, n_boiler, boiler_micro) — integers only.
     """
-    sh = (
-        docs.select("doc_id", tokens(text_col).alias("_w"))
-        .select("doc_id", word_ngrams(F.col("_w"), n).alias("_g"))
-        .select("doc_id", F.explode("_g").alias("gram"))
-    )
-    sh = sh.where(F.col("gram") != "")  # docs shorter than n words
-    df_counts = sh.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    boiler = df_counts.where(F.col("df") >= min_docs).select("gram")
+    from .dedup import word_shingles
+
+    sh = word_shingles(docs, n, text_col).cache()
+    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    boiler = df_counts.where(F.col("df") >= min_docs).select("shingle")
     per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     hits = (
-        sh.join(boiler, "gram")
+        sh.join(boiler, "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_boiler"))
     )
-    return (
+    out = (
         per_doc.join(hits, "doc_id", "left")
         .select(
             "doc_id",
@@ -321,6 +300,8 @@ def boilerplate_coverage(
             ),
         )
     )
+    out._flockdb_caches = [sh]  # release after materializing (see docstring)
+    return out
 
 
 def boilerplate_coverage_sql(n: int = 5, min_docs: int = 3) -> str:
