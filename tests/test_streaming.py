@@ -227,3 +227,42 @@ def test_incremental_commit_leaves_untouched_buckets_alone(spark, tmp_path):
     assert rows[101]["position"] == 1  # archive preserves position
     assert rows[140]["state"] == 0
     assert len(rows) == 40
+
+
+def test_streaming_curation_gates_match_batch(spark, tmp_path):
+    """The gate stages must produce identical results under readStream and
+    plain read — they are stateless projections, the contract the module
+    documents."""
+    import json
+
+    from flockdb_spark.sources import corpus
+    from flockdb_spark.streaming.curation import curation_gates, stream_curated_corpus
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    docs = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog",
+         "lang": "en", "source": "s", "n_chars": 43},
+        {"doc_id": 2, "text": "no marker words here at all frankly",
+         "lang": "xx", "source": "s", "n_chars": 35},      # fails lang gate
+        {"doc_id": 3, "text": "the the the the the the the the",
+         "lang": "en", "source": "s", "n_chars": 31},       # fails distinct ratio
+        {"doc_id": 4, "text": "the cat", "lang": "en", "source": "s",
+         "n_chars": 7},                                       # too short (< 5 tokens)
+    ]
+    (src / "batch0.json").write_text("\n".join(json.dumps(d) for d in docs))
+
+    sink = str(tmp_path / "curated")
+    q = stream_curated_corpus(
+        spark, str(src), sink, str(tmp_path / "ckpt"), trigger_available_now=True
+    )
+    q.awaitTermination(120)
+
+    streamed = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    batch = {
+        r["doc_id"]
+        for r in curation_gates(
+            corpus.read_documents_jsonl(spark, str(src), keep_corrupt=False)
+        ).collect()
+    }
+    assert streamed == batch == {1}
