@@ -74,9 +74,11 @@ class EdgeStreamIngestor:
         table_dir: str,
         checkpoint_dir: str,
         n_buckets: int = 64,
+        error_dir: str | None = None,
     ):
         self.spark = spark
         self.table_dir = table_dir
+        self.error_dir = error_dir
         self.checkpoint_dir = checkpoint_dir
         self.n_buckets = n_buckets
 
@@ -101,6 +103,8 @@ class EdgeStreamIngestor:
     def _apply_batch(self, ops: DataFrame, batch_id: int) -> None:
         # the micro-batch is read 2-3×; materialize once (batch-sized)
         ops = ops.localCheckpoint(eager=True)
+        if self.error_dir is not None:
+            ops = self._quarantine(ops, batch_id)
         edges, md = self._current()
 
         # touched buckets from the ops' own vertices: every single op's edge
@@ -156,6 +160,78 @@ class EdgeStreamIngestor:
                 .parquet(f"{self.table_dir}/{name}")
             )
 
+    # -- error-queue parity (ErrorHandlingJobQueue: a failed job is shunted
+    # to an error journal and periodically re-injected, doc/blog.md:110-119).
+    # A malformed op must QUARANTINE — not sink the micro-batch (the
+    # whole-batch retry Spark already does would fail forever on a poison
+    # record).  Enabled by passing error_dir.
+
+
+    def _quarantine(self, ops: DataFrame, batch_id: int) -> DataFrame:
+        flagged = ops.withColumn("_err", op_error_reason())
+        bad = flagged.where(F.col("_err").isNotNull())
+        if bad.limit(1).count():
+            (
+                bad.select(
+                    "*",
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                )
+                .withColumnRenamed("_err", "error_reason")
+                .write.mode("append")
+                .json(self.error_dir)
+            )
+        return flagged.where(F.col("_err").isNull()).drop("_err")
+
+    def errors(self) -> DataFrame:
+        """The current error journal (empty frame when nothing ever failed).
+        Schema is PINNED — inference would widen ints to long and poison the
+        edge table's parquet types on re-injection."""
+        schema = T.StructType(
+            [
+                *OPS_SCHEMA.fields,
+                T.StructField("error_reason", T.StringType()),
+                T.StructField("batch_id", T.LongType()),
+            ]
+        )
+        try:
+            df = self.spark.read.schema(schema).json(self.error_dir)
+            df.limit(1).count()  # surface missing-path errors eagerly
+            return df
+        except Exception:  # no errors written yet
+            return empty_df(self.spark, schema)
+
+    def retry_errors(self, fix=None) -> int:
+        """Re-inject journaled error ops (the reference's periodic error-queue
+        flush).  ``fix``: optional DataFrame→DataFrame repair hook applied
+        first (e.g. clamp states, fill timestamps).  Ops that now validate
+        are applied through the normal merge; the journal is rewritten with
+        only the still-invalid remainder.  Returns the number re-applied."""
+        errs = self.errors()
+        if not errs.limit(1).count():
+            return 0
+        candidates = errs.select(*[f.name for f in OPS_SCHEMA.fields])
+        if fix is not None:
+            candidates = fix(candidates)
+        flagged = candidates.withColumn("_err", op_error_reason()).localCheckpoint(
+            eager=True
+        )
+        good = flagged.where(F.col("_err").isNull()).drop("_err")
+        n_good = good.count()
+        if n_good:
+            saved, self.error_dir = self.error_dir, None  # already journaled
+            try:
+                self._apply_batch(good, batch_id=-1)
+            finally:
+                self.error_dir = saved
+        still_bad = (
+            flagged.where(F.col("_err").isNotNull())
+            .withColumnRenamed("_err", "error_reason")
+            .withColumn("batch_id", F.lit(-1).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        still_bad.write.mode("overwrite").json(self.error_dir)
+        return n_good
+
     def run_available(self, ops_stream: DataFrame):
         """Process everything currently in the journal, then stop
         (Trigger.AvailableNow) — the pattern for incremental batch ingestion;
@@ -168,3 +244,18 @@ class EdgeStreamIngestor:
         )
         q.awaitTermination()
         return q
+
+
+#: per-op validity — the checks the reference's job parser enforces before a
+#: Single/Multi job is enqueued (jobs/single/Single.scala:66-91 rejects
+#: malformed payloads into the error queue rather than failing the worker)
+def op_error_reason() -> F.Column:
+    """NULL for a valid op, else a diagnostic reason string."""
+    return (
+        F.when(F.col("source_id").isNull() | F.col("graph_id").isNull(), "null_vertex")
+        .when(~F.col("op_state").isin(0, 1, 2, 3), "bad_state")
+        .when(F.col("updated_at").isNull(), "no_timestamp")
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+

@@ -266,3 +266,53 @@ def test_streaming_curation_gates_match_batch(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch == {1}
+
+
+def test_error_queue_quarantine_and_retry(spark, tmp_path):
+    """ErrorHandlingJobQueue parity: malformed ops divert to the error
+    journal instead of sinking the micro-batch; a repair hook re-injects
+    them through the normal merge; unfixable ops stay journaled."""
+    import json
+
+    from flockdb_spark.streaming.ingest import EdgeStreamIngestor, stream_writes
+
+    ops_dir = tmp_path / "journal"
+    ops_dir.mkdir()
+    ops = [
+        {"op_state": 0, "graph_id": 1, "source_id": 10, "destination_id": 20,
+         "position": 1, "updated_at": 1000},                     # good
+        {"op_state": 9, "graph_id": 1, "source_id": 11, "destination_id": 21,
+         "position": 2, "updated_at": 1000},                     # bad_state
+        {"op_state": 0, "graph_id": None, "source_id": None,
+         "destination_id": 22, "position": 3, "updated_at": 1000},  # null_vertex
+    ]
+    (ops_dir / "b0.json").write_text("\n".join(json.dumps(o) for o in ops))
+
+    ing = EdgeStreamIngestor(
+        spark,
+        str(tmp_path / "table"),
+        str(tmp_path / "ckpt"),
+        n_buckets=4,
+        error_dir=str(tmp_path / "errors"),
+    )
+    ing.run_available(stream_writes(spark, str(ops_dir)))
+
+    edges = spark.read.parquet(str(tmp_path / "table/edges"))
+    assert {r["source_id"] for r in edges.collect()} == {10}  # only the good op
+    errs = {r["source_id"]: r["error_reason"] for r in ing.errors().collect()}
+    assert errs == {11: "bad_state", None: "null_vertex"}
+
+    # repair: clamp bad states to Normal; the null-vertex op stays broken
+    from pyspark.sql import functions as F
+
+    n = ing.retry_errors(
+        fix=lambda df: df.withColumn(
+            "op_state",
+            F.when(F.col("op_state").isin(0, 1, 2, 3), F.col("op_state")).otherwise(0),
+        )
+    )
+    assert n == 1
+    edges = spark.read.parquet(str(tmp_path / "table/edges"))
+    assert {r["source_id"] for r in edges.collect()} == {10, 11}
+    left = {r["error_reason"] for r in ing.errors().collect()}
+    assert left == {"null_vertex"}
