@@ -232,6 +232,49 @@ class EdgeStreamIngestor:
         still_bad.write.mode("overwrite").json(self.error_dir)
         return n_good
 
+    def compact(self, max_files_per_bucket: int = 1) -> int:
+        """Small-file compaction — the OPTIMIZE pass every streaming table
+        needs: each micro-batch commit adds a file per touched bucket, and
+        scan cost degrades as the file count grows (per-file open cost +
+        footer reads dominate tiny files).  Rewrites only buckets holding
+        more than ``max_files_per_bucket`` files, coalesced to one sorted
+        file each — untouched buckets keep their files byte-identical, the
+        same O(touched) contract as the batch commit.  Returns the number of
+        buckets compacted.  (Delta/Iceberg ship this as OPTIMIZE /
+        rewrite_data_files; same loop, transactional commit.)"""
+        import glob as _glob
+        import os as _os
+
+        compacted = 0
+        for name, sort_cols in (
+            ("edges", ["source_id", "position"]),
+            ("metadata", ["source_id"]),
+        ):
+            root = f"{self.table_dir}/{name}"
+            fat = [
+                d
+                for d in _glob.glob(f"{root}/bucket=*")
+                if len(_glob.glob(f"{d}/*.parquet")) > max_files_per_bucket
+            ]
+            if not fat:
+                continue
+            buckets = [int(_os.path.basename(d).split("=", 1)[1]) for d in fat]
+            sub = (
+                self.spark.read.parquet(root)
+                .where(F.col("bucket").isin(buckets))
+                .repartition("bucket")
+                .sortWithinPartitions("bucket", *sort_cols)
+                .localCheckpoint(eager=True)  # read fully before overwrite
+            )
+            (
+                sub.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(root)
+            )
+            compacted += len(fat)
+        return compacted
+
     def run_available(self, ops_stream: DataFrame):
         """Process everything currently in the journal, then stop
         (Trigger.AvailableNow) — the pattern for incremental batch ingestion;

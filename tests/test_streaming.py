@@ -316,3 +316,57 @@ def test_error_queue_quarantine_and_retry(spark, tmp_path):
     assert {r["source_id"] for r in edges.collect()} == {10, 11}
     left = {r["error_reason"] for r in ing.errors().collect()}
     assert left == {"null_vertex"}
+
+
+def test_compaction_one_file_per_bucket_data_identical(spark, tmp_path):
+    """Per-batch commits accumulate one file per touched bucket; compact()
+    must coalesce fat buckets to a single sorted file, leave thin buckets'
+    files untouched on disk, and preserve the table contents exactly."""
+    import glob
+    import json
+
+    from flockdb_spark.streaming.ingest import EdgeStreamIngestor, stream_writes
+
+    ops_dir = tmp_path / "journal"
+    ops_dir.mkdir()
+    # 3 journal files -> 3 micro-batches, all touching source 10 (same
+    # bucket); source 99 touched once (thin bucket stays as-is)
+    for i in range(3):
+        batch = [{"op_state": 0, "graph_id": 1, "source_id": 10,
+                  "destination_id": 20 + i, "position": i, "updated_at": 1000 + i}]
+        if i == 0:
+            batch.append({"op_state": 0, "graph_id": 1, "source_id": 99,
+                          "destination_id": 1, "position": 0, "updated_at": 1000})
+        (ops_dir / f"b{i}.json").write_text("\n".join(json.dumps(o) for o in batch))
+
+    ing = EdgeStreamIngestor(
+        spark, str(tmp_path / "table"), str(tmp_path / "ckpt"), n_buckets=4
+    )
+    ing.run_available(stream_writes(spark, str(ops_dir), max_files_per_trigger=1))
+
+    root = f"{ing.table_dir}/edges"
+    # fragment the hot bucket the way a task-parallel bulk commit or an
+    # external append would: extra files landing in an existing bucket dir
+    from flockdb_spark.schema import EDGE_SCHEMA
+    from pyspark.sql import functions as F
+
+    extra = spark.createDataFrame(
+        [(1, 10, 50, 50, 2000, 0, 0), (1, 10, 51, 51, 2000, 0, 0)],
+        EDGE_SCHEMA,
+    ).withColumn("bucket", F.pmod(F.xxhash64(F.col("source_id")), F.lit(4)).cast("int"))
+    extra.coalesce(1).write.mode("append").partitionBy("bucket").parquet(root)
+
+    files_before = {d: sorted(glob.glob(f"{d}/*.parquet")) for d in glob.glob(f"{root}/bucket=*")}
+    assert any(len(f) > 1 for f in files_before.values())  # fat bucket exists
+    before = sorted(map(tuple, spark.read.parquet(root).drop("bucket").collect()))
+
+    n = ing.compact()
+    assert n >= 1
+    files_after = {d: sorted(glob.glob(f"{d}/*.parquet")) for d in glob.glob(f"{root}/bucket=*")}
+    assert all(len(f) == 1 for f in files_after.values())
+    # thin buckets were not rewritten (same file paths survive)
+    for d, fs in files_before.items():
+        if len(fs) == 1:
+            assert files_after[d] == fs, d
+    after = sorted(map(tuple, spark.read.parquet(root).drop("bucket").collect()))
+    assert after == before
