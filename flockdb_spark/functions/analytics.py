@@ -208,3 +208,44 @@ SELECT user_id, {sel}, max({t_cols[-1]}) - max({t_cols[0]}) AS span_us
 FROM {prev_cte} WHERE {t_cols[-1]} IS NOT NULL GROUP BY user_id
 """
     )
+
+
+def k_hop(
+    edges: DataFrame, graph_id: int, seeds: DataFrame, k: int = 2
+) -> DataFrame:
+    """K-hop neighborhood expansion: every vertex reachable from each seed
+    within ``k`` hops over Normal edges, with its BFS (minimum) depth — the
+    multi-hop generalization of the reference's single-hop adjacency scans
+    (its compound queries intersect 1-hop sets; transitive expansion was a
+    client-side loop, ``queries/SimpleQuery.scala:23-47``).
+
+    Frontier BFS: each round joins the CURRENT frontier (not the visited
+    set) against the adjacency list and anti-joins the visited set, so a
+    vertex enters at its minimum depth and each round's join input only
+    shrinks.  k is small and fixed — lineage stays shallow; shuffles are
+    keyed on vertex id throughout (the partitioning Catalyst reuses
+    round-to-round).
+
+    ``seeds``: one ``seed`` column.  Output: (seed, vertex, depth), the
+    seed itself at depth 0.
+    """
+    adj = edges.where((F.col("graph_id") == graph_id) & (F.col("state") == 0)).select(
+        "source_id", "destination_id"
+    )
+    frontier = seeds.select(
+        F.col("seed").cast("long").alias("seed"),
+        F.col("seed").cast("long").alias("vertex"),
+        F.lit(0).cast("long").alias("depth"),
+    )
+    visited = frontier
+    for depth in range(1, k + 1):
+        nxt = (
+            frontier.join(adj, frontier["vertex"] == adj["source_id"])
+            .select("seed", F.col("destination_id").alias("vertex"))
+            .distinct()
+            .join(visited.select("seed", "vertex"), ["seed", "vertex"], "left_anti")
+            .withColumn("depth", F.lit(depth).cast("long"))
+        )
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited

@@ -1267,3 +1267,40 @@ def x40(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("x41_bigram_vocab", text.bigram_stats_sql(k=50))
 def x41(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_stats(_read(spark, sf_dir, "documents"), k=50)
+
+
+# ---------------------------------------------------------------------------
+# x42 — k-hop neighborhood expansion (frontier BFS with min-depth), the
+# multi-hop generalization of the reference's 1-hop adjacency operators
+# ---------------------------------------------------------------------------
+
+@query(
+    "x42_khop",
+    with_fixture_ctes("""
+SELECT seed, vertex, CAST(min(depth) AS BIGINT) AS depth
+FROM reach GROUP BY seed, vertex
+""", """seeds AS (
+  SELECT source_id AS seed FROM (
+    SELECT DISTINCT source_id FROM edges WHERE graph_id = 1
+    ORDER BY source_id LIMIT 3
+  )
+)""", """adj AS (
+  SELECT source_id AS s, destination_id AS d FROM edges
+  WHERE graph_id = 1 AND state = 0
+)""", """reach(seed, vertex, depth) AS (
+  SELECT seed, seed, 0 FROM seeds
+  UNION
+  SELECT r.seed, a.d, r.depth + 1 FROM reach r JOIN adj a ON a.s = r.vertex
+  WHERE r.depth < 2
+)""").replace("WITH ", "WITH RECURSIVE ", 1),
+)
+def x42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = store_for(spark, sf_dir)
+    seeds = (
+        st.edges.where(F.col("graph_id") == 1)
+        .select(F.col("source_id").alias("seed"))
+        .distinct()
+        .orderBy("seed")
+        .limit(3)
+    )
+    return analytics.k_hop(st.edges, 1, seeds, k=2)

@@ -512,3 +512,21 @@ def test_bigram_stats_counts_and_ties(spark):
     assert [(r["pair"], r["freq"]) for r in rows] == [
         ("a b", 3), ("b a", 1), ("b c", 1)  # ties break on pair ASC
     ]
+
+
+def test_k_hop_min_depth_bfs(spark):
+    """Diamond + back-edge: a vertex reachable at depths 1 AND 2 must report
+    1 (BFS min), the seed stays at 0 despite the cycle, and depth-3 vertices
+    are out of a k=2 horizon."""
+    rows = [
+        (1, 1, 2, 0, 100, 0), (1, 1, 3, 0, 100, 0),   # seed -> 2, 3
+        (1, 2, 4, 0, 100, 0), (1, 3, 4, 0, 100, 0),   # diamond join at 4
+        (1, 2, 3, 0, 100, 0),                          # 3 also at depth 2 -> min 1
+        (1, 2, 1, 0, 100, 0),                          # back-edge to the seed
+        (1, 4, 5, 0, 100, 0),                          # depth 3 — beyond k
+        (1, 1, 9, 0, 100, 2),                          # archived: not traversed
+    ]
+    edges = edge_rows_df(spark, rows)
+    seeds = spark.createDataFrame([(1,)], "seed long")
+    got = {r["vertex"]: r["depth"] for r in analytics.k_hop(edges, 1, seeds, k=2).collect()}
+    assert got == {1: 0, 2: 1, 3: 1, 4: 2}
