@@ -112,3 +112,43 @@ def test_sequenced_merge_split_invariant(spark, ops):
     assert spark_sequenced(spark, ops[:half], ops[half:]) == spark_sequenced(
         spark, ops[half:], ops[:half]
     )
+
+
+# --- funnel vs a direct python reference ------------------------------------
+
+event_strategy = st_.tuples(
+    st_.integers(min_value=1, max_value=4),            # user_id
+    st_.integers(min_value=0, max_value=20),           # ts (ns; µs = ts//1000)
+    st_.sampled_from(["view", "click", "purchase", "error"]),
+)
+
+
+def _funnel_ref(rows, steps=("view", "click", "purchase")):
+    """Direct per-user reference: chained earliest-strictly-after scans."""
+    out = {}
+    users = {u for u, _, _ in rows}
+    for u in users:
+        evs = [(t // 1000, e) for uu, t, e in rows if uu == u]
+        prev, ts = None, []
+        for step in steps:
+            cand = [t for t, e in evs if e == step and (prev is None or t > prev)]
+            if not cand:
+                break
+            prev = min(cand)
+            ts.append(prev)
+        if len(ts) == len(steps):
+            out[u] = (*ts, ts[-1] - ts[0])
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(st_.lists(event_strategy, min_size=1, max_size=30))
+def test_funnel_matches_python_reference(spark, rows):
+    from flockdb_spark.functions.analytics import funnel
+
+    events = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    got = {
+        r["user_id"]: (r["t0_us"], r["t1_us"], r["t2_us"], r["span_us"])
+        for r in funnel(events).collect()
+    }
+    assert got == _funnel_ref(rows)
