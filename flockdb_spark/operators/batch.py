@@ -3,9 +3,18 @@ reference's ``select2`` multi-query batch (R18, ``EdgesService.scala:86-100``).
 
 The reference answers N compound queries by running N independent paged
 evaluations in parallel.  On Spark, N small set-ops over the same edge table
-should be ONE plan: broadcast the (tiny) pair list, join it into the edge
-scan, and evaluate every pair's intersection/union/difference in a single
-pass with one shuffle — at 100 TB this turns N table scans into one.
+should be ONE plan — and one PASS: the pair list is unpivoted into a
+(source → pair, side) role table, broadcast into a single edge scan, and
+every pair's membership flags come out of one hash aggregation.  All three
+set operations are then filters over the same flags frame:
+
+    intersection  =  has-A AND has-B
+    union         =  any row (the group key set IS the union)
+    difference    =  has-A AND NOT has-B
+
+One table scan + one broadcast join + one shuffle for any number of pairs
+and any of the three ops — at 100 TB this is the difference between 2N scans
+(reference), 2 scans (two tagged sides semi-joined), and 1.
 """
 
 from __future__ import annotations
@@ -16,45 +25,55 @@ from pyspark.sql import functions as F
 from ..graph import EdgeStore
 
 
-def _sides(store: EdgeStore, graph_id: int, pairs: list[tuple[int, int]], states: tuple[int, ...]):
+def _pair_flags(
+    store: EdgeStore, graph_id: int, pairs: list[tuple[int, int]], states: tuple[int, ...]
+) -> DataFrame:
+    """(a, b, id, ha, hb): for each pair and destination id, whether it is
+    reachable from the pair's A side / B side.  Grouping key (a, b, id) is
+    already distinct — downstream ops are pure filters, no extra shuffle."""
     ed = (
         store.graph(graph_id)
         .where(F.col("state").isin(list(states)))
         .select("source_id", F.col("destination_id").alias("id"))
     )
-    pairs_df = store.spark.createDataFrame([(int(a), int(b)) for a, b in pairs], "a long, b long")
-    # tag every edge of an a-side / b-side source with its pair (broadcast join)
-    a_side = ed.join(F.broadcast(pairs_df), ed.source_id == F.col("a")).select("a", "b", "id")
-    b_side = ed.join(F.broadcast(pairs_df), ed.source_id == F.col("b")).select(
-        F.col("a").alias("a2"), F.col("b").alias("b2"), F.col("id").alias("id2")
+    roles = store.spark.createDataFrame(
+        [(int(a), int(a), int(b), 0) for a, b in pairs]
+        + [(int(b), int(a), int(b), 1) for a, b in pairs],
+        "src long, a long, b long, side int",
     )
-    return a_side, b_side
+    tagged = ed.join(F.broadcast(roles), ed.source_id == F.col("src")).select(
+        "a", "b", "id", "side"
+    )
+    return tagged.groupBy("a", "b", "id").agg(
+        F.max(F.when(F.col("side") == 0, 1).otherwise(0)).alias("ha"),
+        F.max(F.when(F.col("side") == 1, 1).otherwise(0)).alias("hb"),
+    )
 
 
 def batch_intersection(
     store: EdgeStore, graph_id: int, pairs: list[tuple[int, int]], states: tuple[int, ...] = (0,)
 ) -> DataFrame:
-    """(a, b, id) for every pair's A ∩ B — one shuffle for all pairs."""
-    a_side, b_side = _sides(store, graph_id, pairs, states)
-    cond = (F.col("a") == F.col("a2")) & (F.col("b") == F.col("b2")) & (F.col("id") == F.col("id2"))
-    return a_side.join(b_side, cond, "left_semi")
+    """(a, b, id) for every pair's A ∩ B — one scan + one shuffle for all pairs."""
+    return (
+        _pair_flags(store, graph_id, pairs, states)
+        .where("ha = 1 AND hb = 1")
+        .select("a", "b", "id")
+    )
 
 
 def batch_union(
     store: EdgeStore, graph_id: int, pairs: list[tuple[int, int]], states: tuple[int, ...] = (0,)
 ) -> DataFrame:
-    """(a, b, id) for every pair's A ∪ B (dedup)."""
-    a_side, b_side = _sides(store, graph_id, pairs, states)
-    both = a_side.unionByName(
-        b_side.select(F.col("a2").alias("a"), F.col("b2").alias("b"), F.col("id2").alias("id"))
-    )
-    return both.distinct()
+    """(a, b, id) for every pair's A ∪ B (dedup by the aggregation key)."""
+    return _pair_flags(store, graph_id, pairs, states).select("a", "b", "id")
 
 
 def batch_difference(
     store: EdgeStore, graph_id: int, pairs: list[tuple[int, int]], states: tuple[int, ...] = (0,)
 ) -> DataFrame:
     """(a, b, id) for every pair's A − B."""
-    a_side, b_side = _sides(store, graph_id, pairs, states)
-    cond = (F.col("a") == F.col("a2")) & (F.col("b") == F.col("b2")) & (F.col("id") == F.col("id2"))
-    return a_side.join(b_side, cond, "left_anti")
+    return (
+        _pair_flags(store, graph_id, pairs, states)
+        .where("ha = 1 AND hb = 0")
+        .select("a", "b", "id")
+    )
