@@ -249,3 +249,31 @@ def k_hop(
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
+
+
+def mutual_edges(edges: DataFrame, graph_id: int) -> DataFrame:
+    """Reciprocal (mutual) edge pairs: every (a, b), a < b, where BOTH
+    directions exist as Normal edges — the reference's marquee semantic
+    ("who do you follow who follows you back": its blog motivates compound
+    queries with exactly this intersection, ``doc/blog.md:33-41``).
+
+    One shuffle: each directed edge maps to its canonical undirected key
+    (least, greatest) plus a direction bit, then one hash-agg checks both
+    bits — no self-join, so the table is scanned and shuffled once (the
+    self-join formulation scans twice and shuffles both copies).
+
+    Output: (a, b) with a < b, both edges Normal.
+    """
+    e = edges.where((F.col("graph_id") == graph_id) & (F.col("state") == 0)).select(
+        F.least("source_id", "destination_id").alias("a"),
+        F.greatest("source_id", "destination_id").alias("b"),
+        (F.col("source_id") < F.col("destination_id")).cast("int").alias("fwd"),
+    )
+    # self-loops have no direction; a single loop edge must not count as mutual
+    e = e.where(F.col("a") != F.col("b"))
+    return (
+        e.groupBy("a", "b")
+        .agg(F.max("fwd").alias("_f"), F.min("fwd").alias("_r"))
+        .where((F.col("_f") == 1) & (F.col("_r") == 0))
+        .select("a", "b")
+    )

@@ -1304,3 +1304,26 @@ def x42(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(3)
     )
     return analytics.k_hop(st.edges, 1, seeds, k=2)
+
+
+# ---------------------------------------------------------------------------
+# x43 — reciprocal (mutual) edges: the reference's "follows you back"
+# semantic as one scan + one shuffle (canonical-key direction bits)
+# ---------------------------------------------------------------------------
+
+@query(
+    "x43_mutual_edges",
+    with_fixture_ctes("""
+SELECT e1.source_id AS a, e1.destination_id AS b
+FROM edges e1 JOIN edges e2
+  ON e1.graph_id = 3 AND e2.graph_id = 3
+ AND e1.state = 0 AND e2.state = 0
+ AND e1.source_id = e2.destination_id AND e1.destination_id = e2.source_id
+WHERE e1.source_id < e1.destination_id
+"""),
+)
+def x43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # graph 3 (the supplier interaction graph) is the one with reciprocal
+    # structure in the synthetic data — graphs 1/2 are acyclic by construction
+    st = store_for(spark, sf_dir)
+    return analytics.mutual_edges(st.edges, 3)

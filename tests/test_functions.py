@@ -530,3 +530,15 @@ def test_k_hop_min_depth_bfs(spark):
     seeds = spark.createDataFrame([(1,)], "seed long")
     got = {r["vertex"]: r["depth"] for r in analytics.k_hop(edges, 1, seeds, k=2).collect()}
     assert got == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_mutual_edges_directions_and_self_loops(spark):
+    rows = [
+        (1, 1, 2, 0, 100, 0), (1, 2, 1, 0, 100, 0),   # mutual
+        (1, 3, 4, 0, 100, 0),                          # one-way
+        (1, 5, 6, 0, 100, 0), (1, 6, 5, 0, 100, 2),   # reverse archived -> not mutual
+        (1, 7, 7, 0, 100, 0),                          # self-loop never mutual
+    ]
+    got = {(r["a"], r["b"]) for r in
+           analytics.mutual_edges(edge_rows_df(spark, rows), 1).collect()}
+    assert got == {(1, 2)}
