@@ -1,3 +1,25 @@
-from . import text, dedup, similarity, multimodal, analytics
+from . import (
+    analytics,
+    dedup,
+    multimodal,
+    packing,
+    relevance,
+    semistructured,
+    similarity,
+    splits,
+    stats,
+    text,
+)
 
-__all__ = ["text", "dedup", "similarity", "multimodal", "analytics"]
+__all__ = [
+    "analytics",
+    "dedup",
+    "multimodal",
+    "packing",
+    "relevance",
+    "semistructured",
+    "similarity",
+    "splits",
+    "stats",
+    "text",
+]
