@@ -660,8 +660,11 @@ WITH e AS (
 ),
 marked AS (
   SELECT user_id, ts_s,
+         -- STRICT >: Spark's session_window merges an event landing exactly
+         -- at prev + gap (sessions merge when next_start <= prev_end); an
+         -- event 1800s after the previous is the same session in both engines
          CASE WHEN ts_s - lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s)
-                   >= {_SESSION_GAP_S}
+                   > {_SESSION_GAP_S}
               OR lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM e

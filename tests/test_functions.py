@@ -542,3 +542,20 @@ def test_mutual_edges_directions_and_self_loops(spark):
     got = {(r["a"], r["b"]) for r in
            analytics.mutual_edges(edge_rows_df(spark, rows), 1).collect()}
     assert got == {(1, 2)}
+
+
+def test_session_window_merges_event_exactly_at_gap(spark):
+    """Pins the boundary semantic the x20 oracle must mirror: Spark's
+    session_window MERGES an event landing exactly at prev + gap (sessions
+    merge when next_start <= prev_end), so the gaps-and-islands oracle must
+    split only on STRICTLY greater gaps.  Found as a 1-row divergence at
+    sf0.1; sf0.01 never hits the boundary."""
+    rows = [(1, 1000), (1, 1000 + 1800), (1, 1000 + 1800 + 1801)]
+    df = spark.createDataFrame(rows, "user_id long, ts_s long")
+    out = (
+        df.select("user_id", F.timestamp_seconds("ts_s").alias("t"))
+        .groupBy(F.session_window("t", "1800 seconds"), "user_id")
+        .count()
+        .collect()
+    )
+    assert sorted(r["count"] for r in out) == [1, 2]  # merge at ==gap, split at >gap
