@@ -184,3 +184,27 @@ def test_funnel_is_one_exchange_for_all_steps(spark):
 
     plan = plan_str(QUERIES["x39_funnel"](spark, SF_DIR), "simple")
     assert plan.count("Exchange") == 1
+
+
+def test_flat_compound_tree_is_one_scan_one_shuffle(spark, store):
+    """An arbitrary set-op tree must evaluate as one tagged scan + one flags
+    aggregation — not one scan branch and one shuffle PER NODE (q13's two
+    3-leaf trees planned 19 exchanges under the join composition)."""
+    from flockdb_spark.operators.algebra import (
+        Difference, Intersection, Simple, Term, Union,
+    )
+
+    tree = Union(
+        Intersection(Simple(Term(3, 1)), Simple(Term(3, 2))),
+        Difference(Simple(Term(3, 3)), Simple(Term(3, 4))),
+    )
+    df = tree.ids(store)
+    plan = plan_str(df, "simple")
+    # one flags hash-agg plus at most the store derivation's own exchanges
+    # (their count depends on whether an earlier test already cached the
+    # store) — nothing like the join composition's 9+
+    assert plan.count("Exchange") <= 3
+    # the join composition is gone entirely — membership is flag arithmetic
+    assert "Join" not in plan
+    # and the store's edge relation appears ONCE, not once per leaf
+    assert plan.count("InMemoryTableScan") <= 1
