@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "x34_decontaminate",
     "x37_boilerplate",
     "x39_funnel",
+    "x43_mutual_edges",
 ]
 
 
