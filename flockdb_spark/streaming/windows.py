@@ -47,3 +47,36 @@ def windowed_write_rates(
             "n_ops",
         )
     )
+
+
+def streaming_sessions(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    time_col: str = "event_time",
+) -> DataFrame:
+    """Gap-based sessionization as a STREAM — the same ``session_window``
+    expression as the batch operator (queries_ext x20), made stateful by the
+    watermark: a session closes (and emits, in append mode) once the
+    watermark passes its end, which is exactly last-event + gap.
+
+    State per (user, open session) is one window + one count; memory is
+    bounded by active users within the watermark horizon, not stream
+    history.  An event landing exactly at prev + gap MERGES into the session
+    (the boundary semantic the batch oracle mirrors).
+
+    Output: (user_id, session_start, session_end, n_events) — the batch
+    operator's schema, so downstream consumers are engine-mode agnostic.
+    """
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(F.session_window(time_col, gap), F.col(user_col))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            user_col,
+            F.unix_seconds(F.col("session_window.start")).alias("session_start"),
+            F.unix_seconds(F.col("session_window.end")).alias("session_end"),
+            "n_events",
+        )
+    )

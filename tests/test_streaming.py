@@ -370,3 +370,68 @@ def test_compaction_one_file_per_bucket_data_identical(spark, tmp_path):
             assert files_after[d] == fs, d
     after = sorted(map(tuple, spark.read.parquet(root).drop("bucket").collect()))
     assert after == before
+
+
+def test_streaming_sessions_match_batch_x20_shape(spark, tmp_path):
+    """session_window under readStream must produce the same sessions the
+    batch operator computes on the same events once the watermark closes
+    them (availableNow drains everything, so all sessions emit)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from flockdb_spark.streaming.windows import streaming_sessions
+
+    src = tmp_path / "events"
+    src.mkdir()
+    rows = [
+        {"user_id": 1, "ts_s": 1000}, {"user_id": 1, "ts_s": 1400},  # one session
+        {"user_id": 1, "ts_s": 1000 + 7200},                          # gap -> new
+        {"user_id": 2, "ts_s": 5000},
+    ]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+    # append mode only emits a session once the watermark passes its end; a
+    # second batch far in the future closes all of batch 1's sessions (its
+    # own never emits — the stream drains first)
+    (src / "b.json").write_text(json.dumps({"user_id": 9, "ts_s": 1_000_000}))
+    import os
+
+    os.utime(src / "a.json", (1_000_000_000,) * 2)
+    os.utime(src / "b.json", (1_000_000_100,) * 2)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts_s long")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .select("user_id", F.timestamp_seconds("ts_s").alias("event_time"))
+    )
+    q = (
+        streaming_sessions(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    batch = (
+        spark.read.json(str(src / "a.json"))
+        .select("user_id", F.timestamp_seconds("ts_s").alias("event_time"))
+        .groupBy(F.session_window("event_time", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_seconds(F.col("session_window.start")).alias("session_start"),
+            F.unix_seconds(F.col("session_window.end")).alias("session_end"),
+            "n_events",
+        )
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert got == want and len(got) == 3
