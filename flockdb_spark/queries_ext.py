@@ -1330,3 +1330,54 @@ def x43(spark: SparkSession, sf_dir: str) -> DataFrame:
     # structure in the synthetic data — graphs 1/2 are acyclic by construction
     st = store_for(spark, sf_dir)
     return analytics.mutual_edges(st.edges, 3)
+
+
+# ---------------------------------------------------------------------------
+# x44 — weakly-connected components of the interaction graph: the dedup
+# cluster machinery (min-label propagation) applied to the edge table
+# ---------------------------------------------------------------------------
+
+@query(
+    "x44_components",
+    with_fixture_ctes("""
+SELECT id AS vertex_id, min(root) AS component_id FROM reach GROUP BY id
+""", """pairs AS (
+  SELECT least(source_id, destination_id) AS a,
+         greatest(source_id, destination_id) AS b
+  FROM edges WHERE graph_id = 3 AND state = 0 AND source_id <> destination_id
+    AND (source_id + destination_id) % 20 = 0
+  GROUP BY 1, 2
+)""", """und AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs)""",
+"""reach(id, root) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN und e ON e.src = r.id
+)""").replace("WITH ", "WITH RECURSIVE ", 1),
+)
+def x44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of graph 3 treated as undirected: canonical-pair
+    dedup of the edge list, then the same min-label propagation that powers
+    duplicate-cluster resolution (x17/x38) — one shuffle per round, rounds
+    bounded by component diameter."""
+    st = store_for(spark, sf_dir)
+    # the full interaction graph is one giant component (dull, and its
+    # recursive-CTE oracle closure is O(V^2)); the 5% subgraph fragments
+    # into many small components — the shape the operator exists for
+    pairs = (
+        st.graph(3)
+        .where(
+            (F.col("state") == 0)
+            & (F.col("source_id") != F.col("destination_id"))
+            & (F.pmod(F.col("source_id") + F.col("destination_id"), F.lit(20)) == 0)
+        )
+        .select(
+            F.least("source_id", "destination_id").alias("a"),
+            F.greatest("source_id", "destination_id").alias("b"),
+        )
+        .distinct()
+    )
+    return (
+        dedup.resolve_duplicates(pairs)
+        .withColumnRenamed("doc_id", "vertex_id")
+        .withColumnRenamed("canonical_id", "component_id")
+    )
