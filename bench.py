@@ -101,11 +101,12 @@ def main() -> None:
     # comparison stays apples-to-apples on the data path)
     dfs = {name: qs[name](spark, SF_DIR) for name in BENCH_QUERIES}
 
-    # two passes, keep the per-query minimum: pass 1 pays one-off physical
+    # three passes, keep the per-query minimum: pass 1 pays one-off physical
     # planning / codegen / cache materialization; the min is the stable
-    # operator cost (run-to-run wall variance on a shared box is ±40%)
+    # operator cost (run-to-run wall variance on a shared box is ±40%, and
+    # min-of-3 cuts the tail a single noisy pass leaves in min-of-2)
     times: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in BENCH_QUERIES:
             t0 = time.perf_counter()
             dfs[name].write.format("noop").mode("overwrite").save()
@@ -130,7 +131,7 @@ def main() -> None:
 
     # single-node DuckDB baseline on the same queries (where an oracle
     # exists) — AFTER spark.stop() so the idle 32-thread JVM doesn't steal
-    # cores from the baseline, and min-of-2 to mirror the Spark timing
+    # cores from the baseline, and min-of-3 to mirror the Spark timing
     spark.stop()
     duck_times: dict[str, float] = {}
     try:
@@ -144,7 +145,7 @@ def main() -> None:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
             )
-        for _ in range(2):
+        for _ in range(3):
             for name in BENCH_QUERIES:
                 if name in oracles:
                     t0 = time.perf_counter()
