@@ -152,3 +152,55 @@ def test_funnel_matches_python_reference(spark, rows):
         for r in funnel(events).collect()
     }
     assert got == _funnel_ref(rows)
+
+
+# --- flat compound-tree evaluation vs the join composition ------------------
+
+# random binary set-op trees over a tiny vertex universe, mixed directions
+_leaf = st_.tuples(
+    st_.integers(min_value=1, max_value=5),     # source vertex
+    st_.booleans(),                             # forward / backward
+)
+
+
+@st_.composite
+def tree_strategy(draw, max_leaves=4):
+    from flockdb_spark.operators.algebra import (
+        Difference, Intersection, Simple, Term, Union,
+    )
+
+    n = draw(st_.integers(min_value=2, max_value=max_leaves))
+    nodes = []
+    for _ in range(n):
+        src, fwd = draw(_leaf)
+        nodes.append(Simple(Term(1, src, fwd, (0,))))
+    while len(nodes) > 1:
+        right, left = nodes.pop(), nodes.pop()
+        op = draw(st_.sampled_from([Intersection, Union, Difference]))
+        nodes.append(op(left, right))
+    return nodes[0]
+
+
+@settings(max_examples=10, deadline=None)
+@given(tree_strategy())
+def test_flat_tree_equals_join_composition(spark, tree):
+    """The one-scan flags evaluation must agree with the recursive join
+    composition on ANY tree shape, including mixed forward/backward leaves
+    and repeated vertices."""
+    import unittest.mock as mock
+
+    from conftest import edge_rows_df
+    from flockdb_spark.graph import EdgeStore
+    import flockdb_spark.operators.algebra as A
+
+    # a small graph with overlap, reciprocal edges, and non-Normal states
+    rows = [
+        (1, 1, 2, 0, 10, 0), (1, 1, 3, 0, 10, 0), (1, 2, 3, 0, 10, 0),
+        (1, 2, 4, 0, 10, 0), (1, 3, 1, 0, 10, 0), (1, 4, 1, 0, 10, 0),
+        (1, 4, 5, 0, 10, 2), (1, 5, 2, 0, 10, 0), (1, 1, 5, 0, 10, 1),
+    ]
+    store = EdgeStore.from_edges(spark, edge_rows_df(spark, rows))
+    flat = {r["id"] for r in tree.ids(store).collect()}
+    with mock.patch.object(A, "flat_ids", lambda *_: None):  # force fallback
+        joined = {r["id"] for r in tree.ids(store).collect()}
+    assert flat == joined
