@@ -378,3 +378,133 @@ pairs AS (
 SELECT pair, CAST(count(*) AS BIGINT) AS freq FROM pairs GROUP BY pair
 ORDER BY freq DESC, pair ASC LIMIT {k}
 """
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 20,
+    overlap: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into overlapping fixed-token-count chunks — the
+    standard context-window prep before embedding or training on long
+    documents.  Chunk i covers tokens [i·step, i·step + chunk_tokens) with
+    step = chunk_tokens − overlap; the final chunk is the remainder (never
+    empty, never duplicated).
+
+    Map-side generator: the token array materializes once per row (staged
+    projection), chunks come from one transform + explode — no shuffle,
+    output partitioning follows the input.
+
+    Output: (doc_id, chunk_id, chunk_text, n_tokens).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    w = F.col("_w")
+    n = F.size(w)
+    # 1 chunk when the doc fits; else 1 + ceil((len - chunk)/step)
+    n_chunks = F.when(
+        n <= chunk_tokens, F.lit(1)
+    ).otherwise((n - chunk_tokens + step - 1).cast("long") / step + 1).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.struct(
+            i.cast("long").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(w, i * step + 1, chunk_tokens)).alias(
+                "chunk_text"
+            ),
+            F.least(F.lit(chunk_tokens), n - i * step).cast("long").alias("n_tokens"),
+        ),
+    )
+    return (
+        docs.select("doc_id", tokens(text_col).alias("_w"))
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select("doc_id", "c.chunk_id", "c.chunk_text", "c.n_tokens")
+    )
+
+
+def chunk_documents_sql(chunk_tokens: int = 20, overlap: int = 5) -> str:
+    """DuckDB twin of :func:`chunk_documents` over ``documents``."""
+    step = chunk_tokens - overlap
+    w = "string_split(text, ' ')"
+    return f"""
+WITH t AS (SELECT doc_id, {w} AS w, length({w}) AS n FROM documents),
+c AS (
+  SELECT doc_id, n,
+         unnest(range(CASE WHEN n <= {chunk_tokens} THEN 1
+                      ELSE 1 + (n - {chunk_tokens} + {step} - 1) // {step} END)) AS i,
+         w
+  FROM t
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(w, i * {step} + 1, i * {step} + {chunk_tokens}), ' ') AS chunk_text,
+       CAST(least({chunk_tokens}, n - i * {step}) AS BIGINT) AS n_tokens
+FROM c
+"""
+
+
+def token_id_sequences(
+    docs: DataFrame,
+    seq_len: int = 32,
+    vocab_size: int = 32_768,
+    text_col: str = "text",
+) -> DataFrame:
+    """Fixed-length token-id rows — the tensor-shaped final product of the
+    pipeline: each document's tokens map to ids via the portable hash
+    (1..vocab_size; 0 is the pad id), truncated/padded to ``seq_len``.
+
+    Ids and mask are emitted space-joined (engine-portable string form; a
+    training loader splits them back — at 100 TB the write would be a
+    petastorm/arrow-style binary sink instead, same upstream plan).
+    Map-side only: one staged token array, no shuffle.
+
+    Output: (doc_id, ids_str, mask_str, n_real).
+    """
+    w = F.col("_w")
+    ids = F.transform(
+        F.slice(w, 1, seq_len),
+        lambda t: F.pmod(portable_hash(t), F.lit(vocab_size)) + 1,
+    )
+    n_real = F.least(F.size(w), F.lit(seq_len)).cast("long")
+    padded = F.concat(
+        ids,
+        F.array_repeat(
+            F.lit(0).cast("long"),
+            F.greatest(F.lit(seq_len) - F.size(w), F.lit(0)).cast("int"),
+        ),
+    )
+    mask = F.transform(
+        F.sequence(F.lit(1), F.lit(seq_len)), lambda i: (i <= n_real).cast("int")
+    )
+    return (
+        docs.select("doc_id", tokens(text_col).alias("_w"))
+        .select(
+            "doc_id",
+            F.concat_ws(" ", padded).alias("ids_str"),
+            F.concat_ws(" ", mask).alias("mask_str"),
+            n_real.alias("n_real"),
+        )
+    )
+
+
+def token_id_sequences_sql(seq_len: int = 32, vocab_size: int = 32_768) -> str:
+    """DuckDB twin of :func:`token_id_sequences` over ``documents``."""
+    w = "string_split(text, ' ')"
+    ph = portable_hash_sql("t")
+    return f"""
+WITH d AS (SELECT doc_id, {w} AS w FROM documents),
+s AS (
+  SELECT doc_id, least(length(w), {seq_len}) AS n_real,
+         list_transform(list_slice(w, 1, {seq_len}), t -> ({ph}) % {vocab_size} + 1) AS ids,
+         length(w) AS n
+  FROM d
+)
+SELECT doc_id,
+       array_to_string(list_concat(ids,
+         list_transform(range(greatest({seq_len} - n, 0)), x -> 0)), ' ') AS ids_str,
+       array_to_string(list_transform(range(1, {seq_len} + 1),
+         i -> CASE WHEN i <= n_real THEN 1 ELSE 0 END), ' ') AS mask_str,
+       CAST(n_real AS BIGINT) AS n_real
+FROM s
+"""

@@ -1381,3 +1381,22 @@ def x44(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("doc_id", "vertex_id")
         .withColumnRenamed("canonical_id", "component_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x45 — overlapping fixed-token chunking (context-window prep); x46 — the
+# tensor-shaped end product: fixed-length token-id rows with pad + mask
+# ---------------------------------------------------------------------------
+
+@query("x45_chunking", text.chunk_documents_sql(chunk_tokens=20, overlap=5))
+def x45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.chunk_documents(
+        _read(spark, sf_dir, "documents"), chunk_tokens=20, overlap=5
+    )
+
+
+@query("x46_token_ids", text.token_id_sequences_sql(seq_len=32, vocab_size=32_768))
+def x46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_id_sequences(
+        _read(spark, sf_dir, "documents"), seq_len=32, vocab_size=32_768
+    )

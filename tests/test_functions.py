@@ -559,3 +559,47 @@ def test_session_window_merges_event_exactly_at_gap(spark):
         .collect()
     )
     assert sorted(r["count"] for r in out) == [1, 2]  # merge at ==gap, split at >gap
+
+
+def test_chunk_documents_boundaries(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens: 2 chunks (step 3)
+            (2, "a b c"),                                # fits in one chunk
+            (3, " ".join(f"w{i}" for i in range(5))),   # exactly chunk_tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = text.chunk_documents(docs, chunk_tokens=5, overlap=2)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"], r["n_tokens"]))
+    # doc 1: starts at 0,3,6 (ceil((10-5)/3)+1 = 3 chunks); last is remainder
+    assert [c[0] for c in sorted(got[1])] == [0, 1, 2]
+    assert sorted(got[1])[0][1] == "w0 w1 w2 w3 w4"
+    assert sorted(got[1])[1][1] == "w3 w4 w5 w6 w7"
+    assert sorted(got[1])[2] == (2, "w6 w7 w8 w9", 4)
+    assert got[2] == [(0, "a b c", 3)]
+    assert got[3] == [(0, "w0 w1 w2 w3 w4", 5)]
+    # every consecutive pair overlaps by exactly `overlap` tokens
+    c1 = [c[1].split() for c in sorted(got[1])]
+    assert c1[0][-2:] == c1[1][:2] and c1[1][-2:] == c1[2][:2]
+
+
+def test_token_id_sequences_pad_truncate(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, " ".join(f"w{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.token_id_sequences(docs, seq_len=8).collect()}
+    ids1, mask1 = out[1]["ids_str"].split(), out[1]["mask_str"].split()
+    assert len(ids1) == 8 and len(mask1) == 8
+    assert out[1]["n_real"] == 3 and mask1 == ["1", "1", "1", "0", "0", "0", "0", "0"]
+    assert ids1[3:] == ["0"] * 5 and all(int(t) > 0 for t in ids1[:3])  # 0 = pad only
+    ids2 = out[2]["ids_str"].split()
+    assert len(ids2) == 8 and out[2]["n_real"] == 8 and all(int(t) > 0 for t in ids2)
+    # same token -> same id (portable hash is a pure function)
+    docs2 = spark.createDataFrame([(3, "a a b")], "doc_id long, text string")
+    ids3 = {r["doc_id"]: r["ids_str"].split() for r in
+            text.token_id_sequences(docs2, seq_len=4).collect()}[3]
+    assert ids3[0] == ids3[1] != ids3[2]
