@@ -508,3 +508,72 @@ SELECT doc_id,
        CAST(n_real AS BIGINT) AS n_real
 FROM s
 """
+
+
+def bigram_surprisal(
+    docs: DataFrame, text_col: str = "text", vocab_mod: int = 1_000_000
+) -> DataFrame:
+    """Corpus-LM quality proxy: how surprising each document's adjacent
+    token pairs are under the corpus's own bigram distribution — fluent,
+    in-distribution text scores low; shuffled or degenerate text scores
+    high.  The integer stand-in for a perplexity gate when no external LM
+    is available at corpus scale.
+
+    surprisal(doc) = mean over its bigrams of (N / count(bigram)), in
+    integer micros (N = total bigram occurrences corpus-wide) — a pure
+    frequency ratio, no logs, so the result is exact and engine-portable.
+
+    Plan: the bigram generator is map-side (zip-with-tail, as
+    :func:`bigram_stats`); corpus counts are one partial-agg shuffle; the
+    doc-side join is keyed on the bigram and reuses that partitioning; one
+    final agg back to doc grain.  The count table is corpus-sized — it
+    stays a shuffle join (broadcasting it would assume a small vocabulary).
+
+    Output: (doc_id, n_bigrams, surprisal_micro).
+    """
+    w = F.col("_w")
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (
+        docs.select("doc_id", tokens(text_col).alias("_w"))
+        .select("doc_id", F.explode(pairs).alias("pair"))
+    )
+    counts = bg.groupBy("pair").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("n")).select("n")
+    return (
+        bg.join(counts, "pair")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            # mean of per-bigram integer ratios, floored at each step for
+            # cross-engine exactness
+            F.expr("sum(n * 1000000 div c) div count(*)").alias("surprisal_micro"),
+        )
+    )
+
+
+def bigram_surprisal_sql() -> str:
+    """DuckDB twin of :func:`bigram_surprisal` over ``documents``."""
+    w = "string_split(text, ' ')"
+    return f"""
+WITH t AS (SELECT doc_id, {w} AS w FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(length(w), 1)),
+                i -> concat_ws(chr(32), w[i], w[i+1]))) AS pair
+  FROM t
+),
+counts AS (SELECT pair, count(*) AS c FROM bg GROUP BY pair),
+total AS (SELECT sum(c) AS n FROM counts)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(n * 1000000 // c) // count(*) AS BIGINT) AS surprisal_micro
+FROM bg JOIN counts USING (pair) CROSS JOIN total
+GROUP BY doc_id
+"""

@@ -1400,3 +1400,13 @@ def x46(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_id_sequences(
         _read(spark, sf_dir, "documents"), seq_len=32, vocab_size=32_768
     )
+
+
+# ---------------------------------------------------------------------------
+# x47 — corpus-LM surprisal proxy: mean inverse bigram frequency (integer),
+# the no-external-model stand-in for a perplexity quality gate
+# ---------------------------------------------------------------------------
+
+@query("x47_bigram_surprisal", text.bigram_surprisal_sql())
+def x47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bigram_surprisal(_read(spark, sf_dir, "documents"))
