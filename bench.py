@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "x37_boilerplate",
     "x39_funnel",
     "x43_mutual_edges",
+    "x45_chunking",
+    "x47_bigram_surprisal",
 ]
 
 
