@@ -1410,3 +1410,95 @@ def x46(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("x47_bigram_surprisal", text.bigram_surprisal_sql())
 def x47(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_surprisal(_read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# x48 — the modern curation DAG, composed end-to-end: language gate →
+# repetition gate → corpus-wide boilerplate gate → overlapping chunking.
+# x19's successor with this round's gates; every stage is an operator
+# proven above, and the boilerplate stage is deliberately CORPUS-dependent
+# (document frequency over the full corpus, applied to the gated subset).
+# ---------------------------------------------------------------------------
+
+@query(
+    "x48_curation_dag",
+    f"""
+WITH w AS (SELECT doc_id, text, {_W} AS ws FROM documents),
+lang AS (
+  SELECT doc_id, text, ws FROM w
+  WHERE length(list_filter(ws, t -> t IN ('the','a','of','and','to'))) >= 1
+),
+rep AS (
+  SELECT doc_id, text, ws,
+         length({_TRIGRAMS}) AS n_tri,
+         length(list_distinct({_TRIGRAMS})) AS nd_tri
+  FROM lang
+),
+rep_ok AS (
+  SELECT doc_id, text, ws FROM rep
+  WHERE n_tri = 0 OR (n_tri - nd_tri) * 1000 // n_tri < 150
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(length(ws) - 3, 1)),
+         i -> concat_ws(chr(32), ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])))) AS gram
+  FROM w
+),
+sh2 AS (SELECT doc_id, gram FROM sh WHERE gram <> ''),
+dfq AS (SELECT gram, count(*) AS df FROM sh2 GROUP BY gram),
+boiler AS (SELECT gram FROM dfq WHERE df >= 3),
+cov AS (
+  SELECT s.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+  FROM sh2 s LEFT JOIN boiler b ON s.gram = b.gram
+  GROUP BY s.doc_id
+),
+keep AS (
+  SELECT r.doc_id, r.ws, length(r.ws) AS n
+  FROM rep_ok r JOIN cov c ON c.doc_id = r.doc_id
+  WHERE c.n_boiler * 1000000 // c.n_grams < 300000
+),
+c AS (
+  SELECT doc_id, n, w AS ws,
+         unnest(range(CASE WHEN n <= 20 THEN 1 ELSE 1 + (n - 20 + 14) // 15 END)) AS i
+  FROM (SELECT doc_id, ws AS w, n FROM keep)
+)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(ws, i * 15 + 1, i * 15 + 20), ' ') AS chunk_text,
+       CAST(least(20, n - i * 15) AS BIGINT) AS n_tokens
+FROM c
+""",
+)
+def x48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    # stage 1+2: language and repetition gates (stateless projections)
+    w = F.col("_w")
+    tri = F.when(
+        F.size(w) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 3),
+            lambda i: F.concat_ws(" ", F.slice(w, i + 1, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = (
+        docs.select("doc_id", "text", text.tokens("text").alias("_w"))
+        .select("doc_id", "text", "_w", tri.alias("_tri"))
+        .select(
+            "doc_id",
+            "text",
+            "_w",
+            text._count_in(w, text.LANG_MARKERS["en"]).alias("_hits"),
+            F.size("_tri").alias("_n_tri"),
+            F.size(F.array_distinct("_tri")).alias("_nd_tri"),
+        )
+    )
+    gated = staged.where(F.col("_hits") >= 1).where(
+        (F.col("_n_tri") == 0)
+        | (F.expr("(_n_tri - _nd_tri) * 1000 div _n_tri") < 150)
+    )
+    # stage 3: corpus-wide boilerplate coverage, applied to the gated subset
+    cov = text.boilerplate_coverage(docs, n=5, min_docs=3)
+    keep = gated.join(
+        cov.where(F.col("boiler_micro") < 300_000).select("doc_id"), "doc_id"
+    )
+    # stage 4: overlapping chunking of the survivors
+    return text.chunk_documents(keep.select("doc_id", "text"), chunk_tokens=20, overlap=5)
