@@ -273,14 +273,17 @@ def lsh_neardup_pairs(
     here both sides shuffle once on the bucket key and the quadratic blow-up
     is bounded per bucket — recall is tunable via ``planes``.
     Output: (a, b, dot_micro2) with a < b, dot ≥ threshold."""
-    # staged: quantize once, then sign the column (see lsh_ann_topk)
+    # staged: quantize once, then sign the column (see lsh_ann_topk); CACHED
+    # because the self-join reads it twice — without the cache each join
+    # branch re-runs the scan + quantize + signing.  Lifetime follows the
+    # dedup convention (result._flockdb_caches / release_caches).
     sig = emb.select(
         F.col(id_col).alias("_id"), quantized(vec_col).alias("_v")
     ).select(
         "_id",
         "_v",
         hyperplane_signature(F.col("_v"), dims, planes, hash_mode).alias("bucket"),
-    )
+    ).cache()
     a = sig.select(F.col("_id").alias("a"), F.col("_v").alias("va"), "bucket")
     b = sig.select(F.col("_id").alias("b"), F.col("_v").alias("vb"), "bucket")
     thresh = int(threshold * MICRO * MICRO)
@@ -288,12 +291,14 @@ def lsh_neardup_pairs(
     # pair can only meet in one bucket — a distinct here would be a full
     # extra shuffle of the output (the multi-probe ANN variant, where an id
     # fans out to several buckets, is the one that must dropDuplicates)
-    return (
+    out = (
         a.join(b, "bucket")
         .where(F.col("a") < F.col("b"))
         .select("a", "b", dot_q(F.col("va"), F.col("vb")).alias("dot_micro2"))
         .where(F.col("dot_micro2") >= thresh)
     )
+    out._flockdb_caches = [sig]  # release after materializing
+    return out
 
 
 def ivf_ann_topk(
