@@ -1502,3 +1502,77 @@ def x48(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # stage 4: overlapping chunking of the survivors
     return text.chunk_documents(keep.select("doc_id", "text"), chunk_tokens=20, overlap=5)
+
+
+# ---------------------------------------------------------------------------
+# x49 — quality-aware canonical selection: within each near-dup cluster keep
+# the HIGHEST-QUALITY member (longest distinct-token count, doc_id tiebreak),
+# not the smallest id — the keep-rule real curation pipelines ship
+# ---------------------------------------------------------------------------
+
+@query(
+    "x49_quality_canonical",
+    f"""
+WITH RECURSIVE sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+sh AS (
+  SELECT doc_id, unnest(list_distinct({_TRIGRAMS})) AS shingle FROM sub
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT a, b FROM inter
+  JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+  WHERE (n_inter * 1000000) // (sa.n_sh + sb.n_sh - n_inter) >= 20000
+),
+und AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach(id, root) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN und e ON e.src = r.id
+),
+clusters AS (SELECT id AS doc_id, min(root) AS cluster_id FROM reach GROUP BY id),
+q AS (
+  SELECT c.doc_id, c.cluster_id,
+         length(list_distinct(string_split(s.text, ' '))) AS nd
+  FROM clusters c JOIN sub s ON s.doc_id = c.doc_id
+)
+SELECT doc_id, cluster_id,
+       CAST(nd AS BIGINT) AS n_distinct,
+       CAST(CASE WHEN (nd, -doc_id) = (SELECT max((q2.nd, -q2.doc_id)) FROM q q2
+                                       WHERE q2.cluster_id = q.cluster_id)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+FROM q
+""",
+)
+def x49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every clustered document with its cluster id, quality score
+    (distinct-token count), and whether it is the cluster's keeper —
+    argmax(quality, then smallest id).  One window over the cluster key
+    after the cluster resolution; the quality join is doc-grain."""
+    docs = _docs_subset(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.02)
+    clusters = dedup.resolve_duplicates(pairs.select("a", "b")).withColumnRenamed(
+        "canonical_id", "cluster_id"
+    )
+    q = clusters.join(
+        docs.select(
+            "doc_id",
+            F.size(F.array_distinct(F.split("text", " "))).cast("long").alias(
+                "n_distinct"
+            ),
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_distinct"), F.asc("doc_id")
+    )
+    return q.select(
+        "doc_id",
+        "cluster_id",
+        "n_distinct",
+        (F.row_number().over(w) == 1).cast("long").alias("is_kept"),
+    )
