@@ -117,9 +117,25 @@ def ngram_jaccard_pairs(
 
 def release_caches(df: DataFrame) -> None:
     """Unpersist any internal caches attached to a result frame by the
-    functions in this module (safe only after the result is materialized)."""
+    functions in this module (safe only after the result is materialized).
+
+    The handle is a plain Python attribute, so ANY transformation
+    (``df.select(...)``, a join, a rename) returns a new frame WITHOUT it —
+    composed consumers must re-attach it with :func:`carry_caches` or the
+    cache silently lives until driver-side GC."""
     for cached in getattr(df, "_flockdb_caches", []):
         cached.unpersist()
+
+
+def carry_caches(dst: DataFrame, *srcs: DataFrame) -> DataFrame:
+    """Propagate the ``_flockdb_caches`` handles from ``srcs`` onto ``dst``
+    and return ``dst`` — use whenever a cached-producing result is further
+    transformed, so :func:`release_caches` on the final frame still finds
+    every internal cache."""
+    handles = [c for s in srcs for c in getattr(s, "_flockdb_caches", [])]
+    if handles:
+        dst._flockdb_caches = [*getattr(dst, "_flockdb_caches", []), *handles]
+    return dst
 
 
 # -- MinHash + LSH -----------------------------------------------------------

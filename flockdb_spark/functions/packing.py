@@ -87,7 +87,11 @@ def ordered_prefix_sum(
     totals table recursively).  ``order_col`` must be unique per row for the
     result to be deterministic.
     """
-    d = df.withColumn("_shard", F.floor(F.col(order_col) / F.lit(chunk)))
+    # Integer `div`, not floor(x/chunk): float division is exact only below
+    # 2^53 and this repo's position scheme is millis<<20 (~2^60), where a
+    # rounded quotient can land a boundary row in the wrong shard and corrupt
+    # the global running total (same overflow-safe style as splits.split_bucket).
+    d = df.withColumn("_shard", F.expr(f"`{order_col}` div {int(chunk)}"))
     totals = d.groupBy("_shard").agg(F.sum(value_col).alias("_st"))
     w_base = Window.orderBy("_shard").rowsBetween(Window.unboundedPreceding, -1)
     base = totals.select(

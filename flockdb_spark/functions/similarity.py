@@ -276,7 +276,9 @@ def lsh_neardup_pairs(
     # staged: quantize once, then sign the column (see lsh_ann_topk); CACHED
     # because the self-join reads it twice — without the cache each join
     # branch re-runs the scan + quantize + signing.  Lifetime follows the
-    # dedup convention (result._flockdb_caches / release_caches).
+    # dedup convention (result._flockdb_caches / release_caches); note the
+    # handle is severed by any further transformation — composed callers must
+    # dedup.carry_caches(transformed, pairs) to keep release_caches working.
     sig = emb.select(
         F.col(id_col).alias("_id"), quantized(vec_col).alias("_v")
     ).select(

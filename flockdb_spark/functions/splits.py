@@ -136,9 +136,15 @@ def mixture_upsample(
     w = F.lit(1)
     for name, k in sorted(weights.items()):
         w = F.when(F.col(source_col) == name, F.lit(int(k))).otherwise(w)
+    # sequence(0, w-1) with w <= 0 generates a DESCENDING sequence [0, -1, ...]
+    # instead of an empty one, so a weight-0 source would be kept (twice) rather
+    # than dropped; guard it the same way dedup.word_shingles guards shingling.
+    epochs = F.when(w > 0, F.sequence(F.lit(0), w - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source"))
-        .withColumn("epoch", F.explode(F.sequence(F.lit(0), w - 1)))
+        .withColumn("epoch", F.explode(epochs))
         .select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
     )
 

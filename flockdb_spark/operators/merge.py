@@ -298,6 +298,14 @@ def apply_oplog(
     bmass = None
     if has_mass:
         mass_all = ops.where(F.col("destination_id").isNull())
+        # A NULL direction bit must not drop the op's edge expansion while its
+        # metadata write (mass_all) still lands — that would be a partial
+        # apply.  Default NULL to forward, the reference's default direction
+        # (Select.scala forward default), so the split below is exhaustive.
+        if has_direction:
+            mass_all = mass_all.withColumn(
+                "is_forward", F.coalesce(F.col("is_forward"), F.lit(True))
+            )
         fwd_mass = (
             mass_all.where(F.col("is_forward")) if has_direction else mass_all
         )

@@ -1231,9 +1231,11 @@ def x38(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = similarity.lsh_neardup_pairs(
         emb, threshold=_X38_THRESHOLD, planes=_X18_PLANES, hash_mode="portable"
     )
-    return dedup.resolve_duplicates(pairs.select("a", "b")).withColumnRenamed(
+    out = dedup.resolve_duplicates(pairs.select("a", "b")).withColumnRenamed(
         "doc_id", "vec_id"
     )
+    # .select() severed pairs' cache handle — re-attach so release_caches works
+    return dedup.carry_caches(out, pairs)
 
 
 # ---------------------------------------------------------------------------

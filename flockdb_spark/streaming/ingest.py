@@ -171,14 +171,18 @@ class EdgeStreamIngestor:
         flagged = ops.withColumn("_err", op_error_reason())
         bad = flagged.where(F.col("_err").isNotNull())
         if bad.limit(1).count():
+            # foreachBatch is at-least-once: a replayed micro-batch must not
+            # re-append the same poison records.  Keying the write on batch_id
+            # with overwrite makes the journal idempotent per batch — the
+            # replay rewrites its own subdirectory instead of duplicating it.
             (
                 bad.select(
                     "*",
                     F.lit(batch_id).cast("long").alias("batch_id"),
                 )
                 .withColumnRenamed("_err", "error_reason")
-                .write.mode("append")
-                .json(self.error_dir)
+                .write.mode("overwrite")
+                .json(f"{self.error_dir}/batch-{batch_id}")
             )
         return flagged.where(F.col("_err").isNull()).drop("_err")
 
@@ -194,7 +198,11 @@ class EdgeStreamIngestor:
             ]
         )
         try:
-            df = self.spark.read.schema(schema).json(self.error_dir)
+            df = (
+                self.spark.read.schema(schema)
+                .option("recursiveFileLookup", "true")  # batch-N subdirs
+                .json(self.error_dir)
+            )
             df.limit(1).count()  # surface missing-path errors eagerly
             return df
         except Exception:  # no errors written yet

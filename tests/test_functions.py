@@ -503,6 +503,18 @@ def test_mixture_upsample_epochs(spark):
     assert sorted(got[3]) == [0, 1]         # weighted 2
 
 
+def test_mixture_upsample_zero_weight_drops_source(spark):
+    # weight 0 means "exclude this source" — sequence(0, -1) would instead
+    # generate a DESCENDING [0, -1] and keep the doc twice (ADVICE r2)
+    from flockdb_spark.functions import splits
+
+    docs = spark.createDataFrame(
+        [(1, "wiki"), (2, "spam")], "doc_id long, source string"
+    )
+    out = splits.mixture_upsample(docs, {"spam": 0}).collect()
+    assert sorted((r["doc_id"], r["epoch"]) for r in out) == [(1, 0)]
+
+
 def test_bigram_stats_counts_and_ties(spark):
     docs = spark.createDataFrame(
         [(1, "a b a b c"), (2, "a b x")], "doc_id long, text string"

@@ -155,6 +155,23 @@ def test_ordered_prefix_sum_sharded_no_global_window(spark):
     assert got == want
 
 
+def test_ordered_prefix_sum_exact_above_2_53(spark):
+    # position scheme is millis<<20 (~2^60); float floor(x/chunk) misassigns
+    # boundary rows up there (ADVICE r2) — shard key must use integer div
+    from pyspark.sql import Window
+
+    from flockdb_spark.functions import packing
+
+    base = (1 << 60) + (1 << 20)  # beyond float53, straddles a chunk boundary
+    rows = [(base + i, 1) for i in range(-3, 4)]
+    docs = spark.createDataFrame(rows, "pos long, n long")
+    out = packing.ordered_prefix_sum(docs, "pos", "n", out_col="cum", chunk=1 << 20)
+    expect = docs.withColumn("cum", F.sum("n").over(Window.orderBy("pos")))
+    got = {(r["pos"], r["cum"]) for r in out.collect()}
+    want = {(r["pos"], r["cum"]) for r in expect.collect()}
+    assert got == want
+
+
 def test_x19_pipeline_has_no_global_window_over_corpus(spark):
     import flockdb_spark.queries_ext  # noqa: F401 — registers x-series
     from flockdb_spark.queries import QUERIES
