@@ -19,7 +19,7 @@ and any of the three ops — at 100 TB this is the difference between 2N scans
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..graph import EdgeStore
@@ -76,4 +76,49 @@ def batch_difference(
         _pair_flags(store, graph_id, pairs, states)
         .where("ha = 1 AND hb = 0")
         .select("a", "b", "id")
+    )
+
+
+def batch_select2(
+    store: EdgeStore,
+    graph_id: int,
+    programs: list[tuple[str, int, int]],
+    page_count: int = 20,
+    states: tuple[int, ...] = (0,),
+) -> DataFrame:
+    """The full select2 batch (R18, ``EdgesService.scala:86-100``): N compound
+    paged queries — here ``programs`` of mixed op kinds over (a, b) pairs —
+    answered in ONE pass.  Every program's membership flags come from the same
+    scan + aggregation; the op kind is a per-program filter and the page is a
+    per-program window, both over that one flags frame.
+
+    Returns (qix, op, a, b, id): the first ``page_count`` ids of each
+    program's result in the reference's canonical set-op page order
+    (ascending destination id, ``shards/SqlShard.scala:240-244``).
+    """
+    ops = {"intersection", "union", "difference"}
+    bad = [p for p in programs if p[0] not in ops]
+    if bad:
+        raise ValueError(f"unknown select2 ops: {bad}; expected one of {sorted(ops)}")
+    pairs = [(a, b) for _, a, b in programs]
+    flags = _pair_flags(store, graph_id, pairs, states)
+    prog = store.spark.createDataFrame(
+        [(i, op, int(a), int(b)) for i, (op, a, b) in enumerate(programs)],
+        "qix int, op string, a long, b long",
+    )
+    # one program per (qix): broadcast the tiny program table onto the flags
+    # frame, keep rows the program's op selects, page with a per-program
+    # window.  The window repartitions by qix — N·page_count candidate rows
+    # at most after AQE, never the edge table.
+    tagged = flags.join(F.broadcast(prog), ["a", "b"])
+    selected = tagged.where(
+        (F.col("op") == "union")
+        | ((F.col("op") == "intersection") & (F.col("ha") == 1) & (F.col("hb") == 1))
+        | ((F.col("op") == "difference") & (F.col("ha") == 1) & (F.col("hb") == 0))
+    )
+    w = Window.partitionBy("qix").orderBy("id")
+    return (
+        selected.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= page_count)
+        .select("qix", "op", "a", "b", "id")
     )

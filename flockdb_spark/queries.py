@@ -780,3 +780,72 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "a long, b long, est_intersection long, est_union long, est_difference long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — selectAll ordered full-table scan, the copy/repair source (R16,
+# SqlShard.scala:216-238).  The oracle is the whole derived graph-2 table;
+# the Spark side goes through the service facade so the gate covers the API
+# path, not just the store scan.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q22_select_all",
+    with_fixture_ctes("""
+SELECT graph_id, source_id, destination_id, position, updated_at, "count", state
+FROM edges
+WHERE graph_id = 2
+ORDER BY source_id, destination_id
+"""),
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .service import FlockService
+
+    svc = FlockService(store_for(spark, sf_dir))
+    return svc.select_all(graph_id=2).select(*EDGE_COLUMNS)
+
+
+# ---------------------------------------------------------------------------
+# Q23 — select2 multi-query batch (R18, EdgesService.scala:86-100): five
+# compound programs of mixed op kinds, each paged to its first 20 ids in
+# canonical order, all answered by ONE scan + ONE flags aggregation
+# (operators/batch.py).  The oracle reproduces the batch with a VALUES
+# program table + window paging.
+# ---------------------------------------------------------------------------
+
+# one program per PAIRS entry, cycling through the three op kinds
+_Q23_PROGRAMS = [
+    ("intersection", 1, 2),
+    ("union", 2, 3),
+    ("difference", 3, 4),
+    ("intersection", 4, 5),
+    ("difference", 1, 3),
+]
+
+@query(
+    "q23_select2_batch",
+    with_fixture_ctes(f"""
+SELECT qix, op, a, b, id FROM (
+  SELECT f.*, row_number() OVER (PARTITION BY qix ORDER BY id) AS rn
+  FROM (
+    SELECT p.qix, p.op, p.a, p.b, e.destination_id AS id,
+           max(CASE WHEN e.source_id = p.a THEN 1 ELSE 0 END) AS ha,
+           max(CASE WHEN e.source_id = p.b THEN 1 ELSE 0 END) AS hb
+    FROM (VALUES {", ".join(f"({i}, '{op}', {a}, {b})" for i, (op, a, b) in enumerate(_Q23_PROGRAMS))}) p(qix, op, a, b)
+    JOIN edges e
+      ON e.graph_id = 3 AND e.state = 0 AND e.source_id IN (p.a, p.b)
+    GROUP BY p.qix, p.op, p.a, p.b, e.destination_id
+  ) f
+  WHERE (op = 'union')
+     OR (op = 'intersection' AND ha = 1 AND hb = 1)
+     OR (op = 'difference' AND ha = 1 AND hb = 0)
+) WHERE rn <= 20
+"""),
+)
+def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.batch import batch_select2
+
+    out = batch_select2(store_for(spark, sf_dir), 3, _Q23_PROGRAMS, page_count=20)
+    return out.select(
+        F.col("qix").cast("int").alias("qix"), "op", "a", "b", "id"
+    )

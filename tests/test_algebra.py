@@ -71,3 +71,33 @@ def test_count2_formulas(spark):
     assert size_estimate(st, Union(s1, s2)) == 4
     assert size_estimate(st, Difference(s1, s2)) == 4
     assert size_estimate(st, WhereIn(Term(1, 1), (1, 2, 3))) == 3
+
+
+def test_batch_select2_mixed_programs(spark):
+    """R18 one-pass batch: mixed op kinds share a single scan + flags agg,
+    each program paged independently in canonical id order."""
+    from flockdb_spark.operators.batch import batch_select2
+
+    st = make_store(spark)
+    programs = [
+        ("intersection", 1, 2),
+        ("union", 2, 3),
+        ("difference", 1, 2),
+        ("difference", 2, 1),
+    ]
+    out = batch_select2(st, 1, programs, page_count=2)
+    got = {
+        (r["qix"], r["op"]): []
+        for r in out.select("qix", "op").distinct().collect()
+    }
+    for r in out.orderBy("qix", "id").collect():
+        got[(r["qix"], r["op"])].append(r["id"])
+    assert got[(0, "intersection")] == [12, 13]
+    assert got[(1, "union")] == [12, 13]  # first page of {12,13,14,99}
+    assert got[(2, "difference")] == [10, 11]
+    assert got[(3, "difference")] == [14]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        batch_select2(st, 1, [("xor", 1, 2)])
