@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .. import tsutil
+
 PR_UNIT = 1_000_000_000  # initial rank mass per node, in nano-units
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # d = 0.85
 
@@ -161,7 +163,9 @@ def funnel(
 
     w = Window.partitionBy(user_col)
     df = events.select(
-        user_col, F.expr("ts div 1000").alias("ts_us"), F.col(type_col).alias("_t")
+        user_col,
+        tsutil.epoch_col(events, "ts", "us").alias("ts_us"),
+        F.col(type_col).alias("_t"),
     )
     prev = None
     t_cols = []

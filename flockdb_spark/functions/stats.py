@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .. import tsutil
+
 #: dyadic quartile grid — exact in binary floating point, so Spark's
 #: ``percentile`` and DuckDB's ``quantile_cont`` agree to the last bit
 QUARTILES = (0.25, 0.5, 0.75)
@@ -84,7 +86,7 @@ def event_time_features(events: DataFrame, window_rows: int = 3) -> DataFrame:
         events.select(
             "event_id",
             "user_id",
-            F.expr("ts div 1000").alias("ts_us"),
+            tsutil.epoch_col(events, "ts", "us").alias("ts_us"),
             "value",
         )
         .withColumn("cents", cents)

@@ -19,6 +19,7 @@ from .functions import (
     analytics, dedup, multimodal, packing, relevance, similarity, splits, stats,
     text,
 )
+from . import tsutil
 from .queries import query, store_for
 from .sources.edges import _read, with_fixture_ctes
 
@@ -689,7 +690,7 @@ def x20(spark: SparkSession, sf_dir: str) -> DataFrame:
     derives.  In streaming the same expression runs stateful with watermark
     eviction; in batch it's one shuffle on (user, merged-window)."""
     events = _read(spark, sf_dir, "events")
-    ts_s = F.expr("ts div 1000000000")
+    ts_s = tsutil.epoch_col(events, "ts", "s")
     return (
         events.select("user_id", F.timestamp_seconds(ts_s).alias("event_time"))
         .groupBy(F.session_window("event_time", f"{_SESSION_GAP_S} seconds"), "user_id")
@@ -841,9 +842,10 @@ def x24(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch bucketing keeps it engine-portable; count(distinct) is Spark's
     two-phase exact distinct, partial-aggregated map-side."""
     events = _read(spark, sf_dir, "events")
-    return events.groupBy(
+    ev = events.select("user_id", tsutil.epoch_col(events, "ts", "ms").alias("ts_ms"))
+    return ev.groupBy(
         F.pmod(F.col("user_id"), F.lit(16)).alias("cohort"),
-        F.expr("(ts div 1000000000) div 3600").alias("hour_bucket"),
+        F.expr("ts_ms div 3600000").alias("hour_bucket"),
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.count_distinct(F.col("user_id")).cast("long").alias("n_users"),

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import tsutil
 from ..schema import EDGE_COLUMNS, POSITION_SHIFT
 
 NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
@@ -31,17 +32,7 @@ NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
 def _epoch_cols(df: DataFrame, name: str) -> tuple[Column, Column]:
     """(epoch_seconds, epoch_millis) for a timestamp column regardless of how
     the parquet reader surfaced it (int64 nanos / timestamp_ntz / timestamp)."""
-    dtype = dict(df.dtypes)[name]
-    c = F.col(name)
-    if dtype in ("bigint", "long"):  # raw nanoseconds via nanosAsLong
-        # integer `div` keeps the arithmetic exact (a double divide would
-        # wobble near millisecond boundaries)
-        return (
-            F.expr(f"`{name}` div 1000000000"),
-            F.expr(f"`{name}` div 1000000"),
-        )
-    ts = c.cast("timestamp")  # session tz is UTC, so ntz→ts is identity
-    return F.unix_seconds(ts), F.unix_millis(ts)
+    return tsutil.epoch_col(df, name, "s"), tsutil.epoch_col(df, name, "ms")
 
 
 def _position(ms: Column, key: Column) -> Column:
