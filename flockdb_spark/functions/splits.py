@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..schema import local_df
+
 HASH_MULT = 2654435761
 HASH_MOD = 1_000_000_007
 N_BUCKETS = 1000
@@ -79,8 +81,8 @@ def stratified_sample(
     re-running on re-partitioned data would sample different rows.
     """
     spark = df.sparkSession
-    rates = spark.createDataFrame(
-        list(rates_per_mille.items()), f"{strata_col} string, keep_per_mille int"
+    rates = local_df(
+        spark, list(rates_per_mille.items()), f"{strata_col} string, keep_per_mille int"
     )
     return (
         df.withColumn("bucket", split_bucket(id_col))

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..graph import EdgeStore
+from ..schema import local_df
 
 #: IN-lists up to this size stay inline literals (the reference routes ≤50-id
 #: lists to its low-latency query class, ``shards/SqlShard.scala:36-45,323-329``);
@@ -99,8 +100,8 @@ class WhereIn(QueryNode):
             out = base.where(idc.isin(list(self.in_ids)))
         else:
             # large list: broadcast semi-join (SqlShard's >50-id class)
-            ids_df = store.spark.createDataFrame(
-                [(int(i),) for i in self.in_ids], f"{self.term.id_col} long"
+            ids_df = local_df(
+                store.spark, [(int(i),) for i in self.in_ids], f"{self.term.id_col} long"
             )
             out = base.join(F.broadcast(ids_df), on=self.term.id_col, how="left_semi")
         return out.select(idc.alias("id"))

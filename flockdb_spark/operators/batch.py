@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..graph import EdgeStore
+from ..schema import local_df
 
 
 def _pair_flags(
@@ -36,7 +37,8 @@ def _pair_flags(
         .where(F.col("state").isin(list(states)))
         .select("source_id", F.col("destination_id").alias("id"))
     )
-    roles = store.spark.createDataFrame(
+    roles = local_df(
+        store.spark,
         [(int(a), int(a), int(b), 0) for a, b in pairs]
         + [(int(b), int(a), int(b), 1) for a, b in pairs],
         "src long, a long, b long, side int",
@@ -92,17 +94,22 @@ def batch_select2(
     scan + aggregation; the op kind is a per-program filter and the page is a
     per-program window, both over that one flags frame.
 
-    Returns (qix, op, a, b, id): the first ``page_count`` ids of each
-    program's result in the reference's canonical set-op page order
-    (ascending destination id, ``shards/SqlShard.scala:240-244``).
+    Returns (qix, op, a, b, id): each program's Cursor.Start page — the
+    first ``page_count`` ids in the reference's page order, descending
+    destination id (``SqlShard.select`` orders DESC unless the cursor walks
+    backward, Cursor.Start = -1; ``queries/WhereInQuery.scala`` likewise
+    ORDER BY destination_id DESC).
     """
     ops = {"intersection", "union", "difference"}
     bad = [p for p in programs if p[0] not in ops]
     if bad:
         raise ValueError(f"unknown select2 ops: {bad}; expected one of {sorted(ops)}")
-    pairs = [(a, b) for _, a, b in programs]
+    # programs may share an (a, b) pair; dedupe so _pair_flags's broadcast
+    # role table carries each role once (duplicates multiply the join output)
+    pairs = list(dict.fromkeys((a, b) for _, a, b in programs))
     flags = _pair_flags(store, graph_id, pairs, states)
-    prog = store.spark.createDataFrame(
+    prog = local_df(
+        store.spark,
         [(i, op, int(a), int(b)) for i, (op, a, b) in enumerate(programs)],
         "qix int, op string, a long, b long",
     )
@@ -116,7 +123,7 @@ def batch_select2(
         | ((F.col("op") == "intersection") & (F.col("ha") == 1) & (F.col("hb") == 1))
         | ((F.col("op") == "difference") & (F.col("ha") == 1) & (F.col("hb") == 0))
     )
-    w = Window.partitionBy("qix").orderBy("id")
+    w = Window.partitionBy("qix").orderBy(F.desc("id"))
     return (
         selected.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= page_count)

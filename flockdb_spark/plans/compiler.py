@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.algebra import Difference, Intersection, QueryNode, Simple, Term, Union, WhereIn
-from ..schema import State
+from ..schema import State, local_df
 
 
 class InvalidQueryError(ValueError):
@@ -146,12 +146,14 @@ def compile_execute(
     # its presence is what tells apply_oplog to build the backward-expansion
     # branch, so the common all-forward batch keeps the lean plan
     if any(r[3] is None and not r[6] for r in rows):
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             rows,
             "op_state int, graph_id int, source_id long, destination_id long, "
             "position long, updated_at long, is_forward boolean",
         )
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [r[:6] for r in rows],
         "op_state int, graph_id int, source_id long, destination_id long, "
         "position long, updated_at long",

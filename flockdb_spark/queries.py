@@ -27,8 +27,8 @@ from .plans.compiler import (
     SelectOperation,
     SelectOperationType,
 )
-from .schema import EDGE_COLUMNS, EDGE_SCHEMA, METADATA_SCHEMA, empty_df
-from .sources.edges import _read, build_edges, with_fixture_ctes
+from .schema import EDGE_COLUMNS, EDGE_SCHEMA, METADATA_SCHEMA, empty_df, local_df
+from .sources.edges import _read, build_edges, build_metadata, with_fixture_ctes
 
 # supplier pairs for the set-op queries (graph 3 is the only graph whose
 # destinations are shared between sources); suppliers 1..5 exist at every sf
@@ -52,10 +52,22 @@ def query(name: str, oracle: str | None = None):
 
 
 def store_for(spark: SparkSession, sf_dir: str) -> EdgeStore:
+    """Memoized fixture store, materialized ONCE per sf_dir.
+
+    ``localCheckpoint`` (eager) truncates the derivation lineage — the
+    union-of-three-graphs build plus the g3 LWW window (sources/edges.py) —
+    so every gate query's physical plan starts from the materialized edge
+    table instead of replaying the derivation's shuffles per call.  This is
+    the in-session analogue of the production layout: a real deployment
+    reads ``write_optimized`` parquet (one index-shaped scan per query,
+    mirroring the reference's ``shards/SqlShard.scala:64-67``), and the gate
+    plans should look the same.
+    """
     st = _STORES.get(sf_dir)
     if st is None:
-        st = EdgeStore.from_sf_dir(spark, sf_dir, cache=True)
-        st.metadata = st.metadata.cache()
+        st = EdgeStore.from_sf_dir(spark, sf_dir)
+        st.edges = st.edges.localCheckpoint(eager=True)
+        st.metadata = build_metadata(spark, sf_dir, st.edges).localCheckpoint(eager=True)
         _STORES[sf_dir] = st
     return st
 
@@ -91,7 +103,7 @@ def params_for(spark: SparkSession, sf_dir: str) -> dict:
 
 def _src10_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ids = params_for(spark, sf_dir)["src10"]
-    return spark.createDataFrame([(int(i),) for i in ids], "source_id long")
+    return local_df(spark, [(int(i),) for i in ids], "source_id long")
 
 
 # ---------------------------------------------------------------------------
@@ -279,7 +291,8 @@ def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows[(int(src), int(dest))][2] = back_idx
             back_idx += 1
             cur = bp.prev_cursor
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(s, d, p, i, b) for (s, d), (p, i, b) in rows.items()],
         "source_id long, destination_id long, position long, page_idx int, page_back int",
     )
@@ -655,7 +668,8 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops = [(2, 1, int(s), None, 0, 3_000_000_000) for s in p["src10"]] + [
         (0, 1, int(s), None, 0, 3_100_000_000) for s in p["src5"]
     ]
-    ops_df = spark.createDataFrame(
+    ops_df = local_df(
+        spark,
         ops,
         "op_state int, graph_id int, source_id long, destination_id long, position long, updated_at long",
     )
@@ -777,8 +791,8 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
                 size_estimate(st, Difference(sa, sb)),
             )
         )
-    return spark.createDataFrame(
-        rows, "a long, b long, est_intersection long, est_union long, est_difference long"
+    return local_df(
+        spark, rows, "a long, b long, est_intersection long, est_union long, est_difference long"
     )
 
 
@@ -826,7 +840,7 @@ _Q23_PROGRAMS = [
     "q23_select2_batch",
     with_fixture_ctes(f"""
 SELECT qix, op, a, b, id FROM (
-  SELECT f.*, row_number() OVER (PARTITION BY qix ORDER BY id) AS rn
+  SELECT f.*, row_number() OVER (PARTITION BY qix ORDER BY id DESC) AS rn
   FROM (
     SELECT p.qix, p.op, p.a, p.b, e.destination_id AS id,
            max(CASE WHEN e.source_id = p.a THEN 1 ELSE 0 END) AS ha,

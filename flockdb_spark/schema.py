@@ -101,6 +101,43 @@ def empty_df(spark, schema: T.StructType) -> "DataFrame":
     cols = [F.lit(0).cast(f.dataType).alias(f.name) for f in schema.fields]
     return spark.sql("select 1").where(F.lit(False)).select(*cols)
 
+def local_df(spark, rows, schema_ddl: str) -> "DataFrame":
+    """A driver-side fixture table as a LocalRelation, not an RDD.
+
+    ``spark.createDataFrame(rows)`` parallelizes even a 10-row list into
+    ``defaultParallelism`` RDD partitions — every broadcast built from it
+    schedules a 32-task stage on local[32] (and a real stage on a cluster)
+    just to ship a handful of driver-known constants.  Rendering the rows as
+    a ``VALUES`` relation plans a ``LocalTableScan``: zero tasks, and a
+    broadcast over it is built driver-side.  Driver-sized inputs only
+    (query parameters, op batches, program lists — the same things the
+    reference passes in a thrift request).
+
+    Supported cell types: int/float/bool/str/None (flat schemas).
+    """
+    fields = [f.strip().rsplit(None, 1) for f in schema_ddl.split(",")]
+
+    def cell(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, (int, float)):
+            return repr(v)
+        return "'" + str(v).replace("'", "''") + "'"
+
+    tuples = ", ".join("(" + ", ".join(cell(v) for v in r) + ")" for r in rows)
+    cols = ", ".join(
+        f"CAST(c{i} AS {typ}) AS `{name}`" for i, (name, typ) in enumerate(fields)
+    )
+    names = ", ".join(f"c{i}" for i in range(len(fields)))
+    if not rows:
+        import pyspark.sql.types as T
+
+        return empty_df(spark, T._parse_datatype_string(schema_ddl))
+    return spark.sql(f"SELECT {cols} FROM VALUES {tuples} AS t({names})")
+
+
 #: position = millis << 20 | low-20-bits  (UuidGenerator.scala:26-39); we use a
 #: deterministic key-derived low word instead of random bits so tests can hash.
 POSITION_SHIFT = 1 << 20

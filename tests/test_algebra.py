@@ -75,7 +75,8 @@ def test_count2_formulas(spark):
 
 def test_batch_select2_mixed_programs(spark):
     """R18 one-pass batch: mixed op kinds share a single scan + flags agg,
-    each program paged independently in canonical id order."""
+    each program paged independently in the reference's Cursor.Start page
+    order (destination id DESC, SqlShard.select's default)."""
     from flockdb_spark.operators.batch import batch_select2
 
     st = make_store(spark)
@@ -93,7 +94,7 @@ def test_batch_select2_mixed_programs(spark):
     for r in out.orderBy("qix", "id").collect():
         got[(r["qix"], r["op"])].append(r["id"])
     assert got[(0, "intersection")] == [12, 13]
-    assert got[(1, "union")] == [12, 13]  # first page of {12,13,14,99}
+    assert got[(1, "union")] == [14, 99]  # Start page of {12,13,14,99}, id DESC
     assert got[(2, "difference")] == [10, 11]
     assert got[(3, "difference")] == [14]
 
