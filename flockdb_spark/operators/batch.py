@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..graph import EdgeStore
 from ..schema import local_df
+from .algebra import Difference, Intersection, QueryNode, Simple, Union, WhereIn, _flat_leaves
 
 
 def _pair_flags(
@@ -128,4 +129,106 @@ def batch_select2(
         selected.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= page_count)
         .select("qix", "op", "a", "b", "id")
+    )
+
+
+def batch_flat_pages(
+    store: EdgeStore, programs: list[tuple[QueryNode, int]]
+) -> DataFrame | None:
+    """N compound queries' Cursor.Start pages from ONE edge scan.
+
+    The general form of :func:`batch_select2` — each program is any
+    flattenable set-op tree (``algebra._flat_leaves``: Simple / inline
+    WhereIn leaves, any mix of graphs, directions, state filters, any
+    depth).  Every leaf across every program becomes one membership tag in
+    a single coarse-filtered scan; per-(program, id) flags come out of one
+    hash aggregation; each program's tree is a boolean over its own flags;
+    pages are per-program windows in the reference's Start-page order
+    (destination id DESC, ``SqlShard.select``'s default direction).
+
+    Returns (qix, id, rn) with ``rn`` ≤ page_count+1 — the +1 row is the
+    caller's has-more probe (same trick as ``SqlShard.scala:263-278``), or
+    ``None`` if any program is not flattenable (caller falls back to
+    per-program evaluation).
+
+    This is the reference's real N-query batch shape
+    (``Flockdb.thrift:151-152`` takes the whole query list): N compound
+    queries are one scan + one shuffle instead of N× both.
+    """
+    flat = [_flat_leaves(tree) for tree, _ in programs]
+    if any(
+        leaves is None or not isinstance(tree, (Intersection, Union, Difference))
+        for leaves, (tree, _) in zip(flat, programs)
+    ):
+        return None
+
+    preds, entries, base = [], [], 0
+    starts: list[int] = []
+    for qix, leaves in enumerate(flat):
+        starts.append(base)
+        for j, leaf in enumerate(leaves):
+            t = leaf.term
+            p = (
+                (F.col("graph_id") == t.graph_id)
+                & (F.col(t.vertex_col) == t.source_id)
+                & F.col("state").isin(list(t.states))
+            )
+            if isinstance(leaf, WhereIn):
+                p = p & F.col(t.id_col).isin(list(leaf.in_ids))
+            preds.append(p)
+            entries.append(
+                F.when(
+                    p,
+                    F.struct(
+                        F.lit(qix).alias("qix"),
+                        F.lit(base + j).alias("leaf"),
+                        F.col(t.id_col).alias("id"),
+                    ),
+                )
+            )
+        base += len(leaves)
+
+    coarse = preds[0]
+    for p in preds[1:]:
+        coarse = coarse | p
+    tagged = (
+        store.edges.where(coarse)
+        .select(F.explode(F.array(*entries)).alias("e"))
+        .where(F.col("e").isNotNull())
+        .select("e.qix", "e.leaf", "e.id")
+    )
+    nleaves = base
+    flags = tagged.groupBy("qix", "id").agg(
+        *[
+            F.max(F.when(F.col("leaf") == i, 1).otherwise(0)).alias(f"f{i}")
+            for i in range(nleaves)
+        ]
+    )
+
+    def expr(n: QueryNode, counter) -> "F.Column":
+        if isinstance(n, (Simple, WhereIn)):
+            return F.col(f"f{next(counter)}") == 1
+        left, right = expr(n.left, counter), expr(n.right, counter)
+        if isinstance(n, Intersection):
+            return left & right
+        if isinstance(n, Union):
+            return left | right
+        return left & ~right
+
+    keep = F.lit(False)
+    for qix, (tree, _) in enumerate(programs):
+        keep = keep | ((F.col("qix") == qix) & expr(tree, iter(range(starts[qix], base))))
+
+    limits = local_df(
+        store.spark,
+        [(qix, int(count)) for qix, (_, count) in enumerate(programs)],
+        "qix int, page_count int",
+    )
+    w = Window.partitionBy("qix").orderBy(F.desc("id"))
+    return (
+        flags.where(keep)
+        .withColumn("rn", F.row_number().over(w))
+        .join(F.broadcast(limits), "qix")
+        .where(F.col("rn") <= F.col("page_count") + 1)
+        .select("qix", "id", "rn")
     )

@@ -15,9 +15,10 @@ from pyspark.sql import functions as F
 
 from .graph import EdgeStore
 from .operators.algebra import QueryNode, Simple, Term, WhereIn
+from .operators.batch import batch_flat_pages
 from .operators.counts import fetch_leaf_counts, size_estimate
 from .operators.merge import apply_oplog
-from .operators.paging import CURSOR_START, Cursor, Page, paginate
+from .operators.paging import CURSOR_END, CURSOR_START, Cursor, Page, paginate
 from .plans.compiler import (
     ExecuteOperation,
     SelectOperation,
@@ -83,12 +84,34 @@ class FlockService:
 
     def select2(self, queries: list[SelectQuery]) -> list[Page]:
         """R14/R18 — N independent compound paged queries
-        (``EdgesService.scala:86-100``).  Each compiles to one Catalyst plan;
-        compound results page by destination id, the reference's canonical
-        set-op order (``shards/SqlShard.scala:240-244``)."""
+        (``EdgesService.scala:86-100``).  The whole batch of Start-cursor
+        flattenable programs (any set-op tree over Simple / inline-IN leaves)
+        runs as ONE scan + ONE shuffle (``operators/batch.batch_flat_pages``,
+        q23's proven plan shape); anything else — mid-walk cursors, broadcast
+        IN-lists — falls back to one Catalyst plan per program.  Pages are in
+        the reference's order, destination id DESC (``SqlShard.select``)."""
+        trees = [compile_select(q.operations) for q in queries]
+        batched = None
+        if all(q.cursor == CURSOR_START for q in queries):
+            batched = batch_flat_pages(
+                self.store, [(t, q.page_count) for t, q in zip(trees, queries)]
+            )
+        if batched is not None:
+            by_qix: dict[int, list[int]] = {i: [] for i in range(len(queries))}
+            for r in batched.collect():
+                by_qix[r["qix"]].append(r["id"])
+            out = []
+            for i, q in enumerate(queries):
+                ids = sorted(by_qix[i], reverse=True)
+                has_more = len(ids) > q.page_count
+                ids = ids[: q.page_count]
+                next_cursor: Cursor | str = (
+                    Cursor(ids[-1], ids[-1]) if ids and has_more else CURSOR_END
+                )
+                out.append(Page([(v, v) for v in ids], next_cursor, CURSOR_START))
+            return out
         out = []
-        for q in queries:
-            tree = compile_select(q.operations)
+        for q, tree in zip(queries, trees):
             ids = tree.ids(self.store)
             # set-op results are id-ordered; reuse id as the sort key
             df = ids.select(F.col("id").alias("_sort"), F.col("id").alias("_id"))

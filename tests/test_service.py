@@ -113,3 +113,55 @@ def test_select_all_and_bulk_load(svc, spark):
     # and reconcile/merge is the documented way to repair afterwards
     svc.bulk_load(edge_rows_df(spark, [(1, 3, 30, 300, 50, 2)]))
     assert svc.store.edges.where("source_id = 3").count() == 2
+
+
+def test_select2_batch_one_scan(svc):
+    """R18 — an N-program Start-cursor batch runs as ONE edge-table scan
+    (batch_flat_pages), and the facade's pages match per-program evaluation."""
+    from flockdb_spark.operators.batch import batch_flat_pages
+    from flockdb_spark.plans.compiler import compile_select
+
+    S, I, U, D = (
+        SelectOperationType.SIMPLE_QUERY,
+        SelectOperationType.INTERSECTION,
+        SelectOperationType.UNION,
+        SelectOperationType.DIFFERENCE,
+    )
+
+    p_int = [SelectOperation(S, QueryTerm(1, 1)), SelectOperation(S, QueryTerm(2, 1)), SelectOperation(I)]
+    p_uni = [SelectOperation(S, QueryTerm(1, 1)), SelectOperation(S, QueryTerm(2, 1)), SelectOperation(U)]
+    p_dif = [SelectOperation(S, QueryTerm(2, 1)), SelectOperation(S, QueryTerm(1, 1)), SelectOperation(D)]
+    # nested: (1 ∪ 2) − (1 ∩ 2) — 4 leaves, depth 3
+    p_nested = [
+        SelectOperation(S, QueryTerm(1, 1)),
+        SelectOperation(S, QueryTerm(2, 1)),
+        SelectOperation(U),
+        SelectOperation(S, QueryTerm(1, 1)),
+        SelectOperation(S, QueryTerm(2, 1)),
+        SelectOperation(I),
+        SelectOperation(D),
+    ]
+    queries = [SelectQuery(p, page_count=2) for p in (p_int, p_uni, p_dif, p_nested)]
+
+    # the batched plan scans the edge table exactly once
+    trees = [compile_select(q.operations) for q in queries]
+    df = batch_flat_pages(svc.store, [(t, q.page_count) for t, q in zip(trees, queries)])
+    assert df is not None
+    jvm = df.sparkSession._jvm
+    simple = jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple"
+    )
+    assert simple.count("Scan ExistingRDD") == 1, simple
+
+    # s1={10,11,12}, s2={11,12,13}; pages are id DESC (SqlShard.select default)
+    pages = svc.select2(queries)
+    assert [r[1] for r in pages[0].rows] == [12, 11]  # 1∩2
+    assert pages[0].next_cursor == "end"
+    assert [r[1] for r in pages[1].rows] == [13, 12]  # 1∪2, more behind
+    assert isinstance(pages[1].next_cursor, Cursor)
+    assert [r[1] for r in pages[2].rows] == [13]  # 2−1
+    assert [r[1] for r in pages[3].rows] == [13, 10]  # (1∪2)−(1∩2)
+
+    # cursor continuation falls back to the per-program path, page-coherently
+    [page2] = svc.select2([SelectQuery(p_uni, page_count=2, cursor=pages[1].next_cursor)])
+    assert [r[1] for r in page2.rows] == [11, 10]
