@@ -50,23 +50,35 @@ class EdgeStreamIngestor:
     semantics: each micro-batch runs the same commutative W2 merge as the
     batch path and commits ONLY the hash buckets the batch touched.
 
-    The store is parquet partitioned by ``bucket = pmod(xxhash64(source_id),
-    n_buckets)``.  Per batch:
+    The store is a versioned bucket layout under a single commit log — a
+    minimal Delta-style transaction log, which is what gives the ATOMIC
+    cross-table commit the reference gets from its journaled write queue
+    (``doc/blog.md:110-119``: a queued job either applies or stays queued;
+    edges and counts never diverge):
+
+    - ``{table_dir}/data/v{N}/{edges,metadata}/bucket=K/`` — immutable data
+      written by commit N (bucket = ``pmod(xxhash64(source_id), n_buckets)``);
+    - ``{table_dir}/_commits/{N:08d}.json`` — ONE manifest per commit
+      mapping every live bucket of BOTH tables to the version that last
+      wrote it.  Readers resolve the newest manifest; the commit point is a
+      single atomic ``os.replace`` of that file.
+
+    Per batch:
 
     1. the touched bucket set is computed from the ops (for backward mass
        ops, from a column-pruned scan for edges INTO the target vertices —
        their rows live in their *sources'* buckets);
-    2. only those buckets are read (partition pruning), merged with the
-       batch via the same :func:`apply_oplog` as the batch path, and
-    3. written back with dynamic partition overwrite — untouched bucket
-       directories are never rewritten, so the commit is O(touched), not
-       O(table).
+    2. only those buckets are read (the manifest prunes paths), merged with
+       the batch via the same :func:`apply_oplog` as the batch path;
+    3. both tables' merged buckets are staged into the NEW version dir —
+       existing data is never overwritten — and the manifest rename commits
+       them together.  A crash anywhere before the rename leaves readers on
+       the previous manifest: all-old or all-new, never edges@N with
+       metadata@N−1.
 
-    This is the parquet equivalent of the reference's per-edge delta applies
-    from the async queue (``doc/blog.md:110-119``): write cost scales with
-    the batch, not the table.  At cluster scale the store would be a
-    Delta/Iceberg table and step 3 a MERGE commit; the localCheckpoint that
-    makes self-overwrite safe here stands in for that transaction."""
+    Write cost scales with the batch, not the table; at cluster scale the
+    same layout is a Delta/Iceberg table and the manifest rename is its
+    transactional MERGE commit."""
 
     def __init__(
         self,
@@ -85,20 +97,78 @@ class EdgeStreamIngestor:
     def _bucket(self, col: str) -> F.Column:
         return F.pmod(F.xxhash64(F.col(col)), F.lit(self.n_buckets)).cast("int")
 
+    # -- commit log ---------------------------------------------------------
+
+    def _commits_dir(self) -> str:
+        return f"{self.table_dir}/_commits"
+
+    def _version_dir(self, version: int, name: str) -> str:
+        return f"{self.table_dir}/data/v{version}/{name}"
+
+    def latest_commit(self) -> tuple[int, dict]:
+        """(version, {"edges": {bucket: version}, "metadata": {...}}) of the
+        newest complete manifest; (0, empty) before the first commit."""
+        import glob
+        import json
+
+        files = sorted(glob.glob(f"{self._commits_dir()}/*.json"))
+        if not files:
+            return 0, {"edges": {}, "metadata": {}}
+        with open(files[-1]) as f:
+            m = json.load(f)
+        return m["version"], m["tables"]
+
+    def _commit(self, version: int, tables: dict, batch_id: int) -> None:
+        """THE commit point: stage the manifest, then one atomic rename.
+        Everything before this is invisible to readers; everything after is
+        fully visible for both tables at once."""
+        import json
+        import os
+
+        os.makedirs(self._commits_dir(), exist_ok=True)
+        tmp = f"{self._commits_dir()}/.tmp-{version}.json"
+        with open(tmp, "w") as f:
+            json.dump({"version": version, "batch_id": batch_id, "tables": tables}, f)
+        os.replace(tmp, f"{self._commits_dir()}/{version:08d}.json")
+
+    def bucket_paths(self, name: str, tables: dict | None = None) -> dict[int, str]:
+        """bucket → committed data directory, per the (latest) manifest."""
+        if tables is None:
+            _, tables = self.latest_commit()
+        return {
+            int(b): f"{self._version_dir(v, name)}/bucket={b}"
+            for b, v in tables[name].items()
+        }
+
+    def _read_table(self, name: str, tables: dict | None = None) -> DataFrame:
+        paths = self.bucket_paths(name, tables)
+        schema = EDGE_SCHEMA if name == "edges" else METADATA_SCHEMA
+        if not paths:
+            return empty_df(self.spark, schema).withColumn(
+                "bucket", self._bucket("source_id")
+            )
+        by_version: dict[str, list[str]] = {}
+        for p in paths.values():
+            by_version.setdefault(p.rsplit("/bucket=", 1)[0], []).append(p)
+        parts = [
+            self.spark.read.option("basePath", base).parquet(*ps)
+            for base, ps in sorted(by_version.items())
+        ]
+        df = parts[0]
+        for other in parts[1:]:
+            df = df.unionByName(other)
+        return df
+
+    def edges(self) -> DataFrame:
+        """The committed edge table (snapshot of the latest manifest)."""
+        return self._read_table("edges").drop("bucket")
+
+    def metadata(self) -> DataFrame:
+        return self._read_table("metadata").drop("bucket")
+
     def _current(self) -> tuple[DataFrame, DataFrame]:
-        try:
-            edges = self.spark.read.parquet(f"{self.table_dir}/edges")
-        except Exception:  # first batch: empty table
-            edges = empty_df(self.spark, EDGE_SCHEMA).withColumn(
-                "bucket", self._bucket("source_id")
-            )
-        try:
-            md = self.spark.read.parquet(f"{self.table_dir}/metadata")
-        except Exception:
-            md = empty_df(self.spark, METADATA_SCHEMA).withColumn(
-                "bucket", self._bucket("source_id")
-            )
-        return edges, md
+        _, tables = self.latest_commit()
+        return self._read_table("edges", tables), self._read_table("metadata", tables)
 
     def _apply_batch(self, ops: DataFrame, batch_id: int) -> None:
         # the micro-batch is read 2-3×; materialize once (batch-sized)
@@ -141,8 +211,10 @@ class EdgeStreamIngestor:
         sub_m = md.where(F.col("bucket").isin(sorted(vbuckets))).drop("bucket")
         new_edges, new_md = apply_oplog(sub_e, sub_m, ops)
 
-        # materialize before overwriting the files the plan reads from; the
-        # merged subset is O(touched buckets), not O(table)
+        # stage both tables into the NEW version dir (never touching committed
+        # data), then commit both with one manifest rename.  The merged subset
+        # is O(touched buckets), not O(table); the localCheckpoint keeps the
+        # metadata write from re-running the merge lineage.
         staged_e = (
             new_edges.select(*EDGE_COLUMNS)
             .withColumn("bucket", self._bucket("source_id"))
@@ -152,13 +224,38 @@ class EdgeStreamIngestor:
             new_md.withColumn("bucket", self._bucket("source_id"))
             .localCheckpoint(eager=True)
         )
-        for df, name in ((staged_e, "edges"), (staged_m, "metadata")):
-            (
-                df.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy("bucket")
-                .parquet(f"{self.table_dir}/{name}")
-            )
+        version, tables = self.latest_commit()
+        new_v = version + 1
+        touched = {"edges": ebuckets, "metadata": vbuckets}
+        new_tables = self._stage(
+            new_v, {"edges": staged_e, "metadata": staged_m}, touched, tables
+        )
+        self._commit(new_v, new_tables, batch_id)
+
+    def _stage(
+        self, new_v: int, staged: dict[str, DataFrame], touched: dict, tables: dict
+    ) -> dict:
+        """Write each table's merged buckets under version ``new_v`` (mode
+        overwrite clobbers leftovers of a crashed attempt at the same
+        version — they were never committed) and return the next manifest:
+        touched-and-now-empty buckets drop out, written buckets point at
+        ``new_v``, untouched buckets keep their version."""
+        import glob
+
+        new_tables: dict[str, dict] = {}
+        for name, df in staged.items():
+            out = self._version_dir(new_v, name)
+            df.write.mode("overwrite").partitionBy("bucket").parquet(out)
+            written = {
+                int(d.rsplit("=", 1)[1]) for d in glob.glob(f"{out}/bucket=*")
+            }
+            mapping = dict(tables[name])
+            for b in touched[name]:
+                mapping.pop(str(b), None)
+            for b in written:
+                mapping[str(b)] = new_v
+            new_tables[name] = mapping
+        return new_tables
 
     # -- error-queue parity (ErrorHandlingJobQueue: a failed job is shunted
     # to an error journal and periodically re-injected, doc/blog.md:110-119).
@@ -242,46 +339,65 @@ class EdgeStreamIngestor:
 
     def compact(self, max_files_per_bucket: int = 1) -> int:
         """Small-file compaction — the OPTIMIZE pass every streaming table
-        needs: each micro-batch commit adds a file per touched bucket, and
-        scan cost degrades as the file count grows (per-file open cost +
-        footer reads dominate tiny files).  Rewrites only buckets holding
-        more than ``max_files_per_bucket`` files, coalesced to one sorted
-        file each — untouched buckets keep their files byte-identical, the
-        same O(touched) contract as the batch commit.  Returns the number of
-        buckets compacted.  (Delta/Iceberg ship this as OPTIMIZE /
-        rewrite_data_files; same loop, transactional commit.)"""
+        needs: a multi-task commit (or bulk load) can leave several files in
+        one bucket, and scan cost degrades as the file count grows (per-file
+        open cost + footer reads dominate tiny files).  Rewrites only buckets
+        holding more than ``max_files_per_bucket`` files, coalesced to one
+        sorted file each, into a fresh version committed atomically for both
+        tables; untouched buckets keep their committed files byte-identical —
+        the same O(touched) contract as the batch commit.  Returns the number
+        of buckets compacted.  (Delta/Iceberg ship this as OPTIMIZE /
+        rewrite_data_files; same loop, same transactional commit.)"""
         import glob as _glob
-        import os as _os
 
+        version, tables = self.latest_commit()
+        new_v = version + 1
+        new_tables = {n: dict(m) for n, m in tables.items()}
         compacted = 0
         for name, sort_cols in (
             ("edges", ["source_id", "position"]),
             ("metadata", ["source_id"]),
         ):
-            root = f"{self.table_dir}/{name}"
             fat = [
-                d
-                for d in _glob.glob(f"{root}/bucket=*")
+                b
+                for b, d in self.bucket_paths(name, tables).items()
                 if len(_glob.glob(f"{d}/*.parquet")) > max_files_per_bucket
             ]
             if not fat:
                 continue
-            buckets = [int(_os.path.basename(d).split("=", 1)[1]) for d in fat]
-            sub = (
-                self.spark.read.parquet(root)
-                .where(F.col("bucket").isin(buckets))
+            out = self._version_dir(new_v, name)
+            (
+                self._read_table(name, tables)
+                .where(F.col("bucket").isin(fat))
                 .repartition("bucket")
                 .sortWithinPartitions("bucket", *sort_cols)
-                .localCheckpoint(eager=True)  # read fully before overwrite
-            )
-            (
-                sub.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
+                .write.mode("overwrite")
                 .partitionBy("bucket")
-                .parquet(root)
+                .parquet(out)
             )
+            for b in _glob.glob(f"{out}/bucket=*"):
+                new_tables[name][b.rsplit("=", 1)[1]] = new_v
             compacted += len(fat)
+        if compacted:
+            self._commit(new_v, new_tables, batch_id=-2)
         return compacted
+
+    def vacuum(self) -> int:
+        """Remove data version directories no longer referenced by the latest
+        manifest (Delta's VACUUM).  Returns the number of versions removed.
+        Safe at any time: committed readers only resolve referenced paths."""
+        import glob as _glob
+        import os as _os
+        import shutil as _shutil
+
+        _, tables = self.latest_commit()
+        live = {int(v) for m in tables.values() for v in m.values()}
+        removed = 0
+        for d in _glob.glob(f"{self.table_dir}/data/v*"):
+            if int(_os.path.basename(d)[1:]) not in live:
+                _shutil.rmtree(d)
+                removed += 1
+        return removed
 
     def run_available(self, ops_stream: DataFrame):
         """Process everything currently in the journal, then stop

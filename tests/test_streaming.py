@@ -30,8 +30,7 @@ def test_stream_ingest_merges(spark, tmp_path):
 
     ing = EdgeStreamIngestor(spark, str(tmp_path / "table"), str(tmp_path / "ckpt"))
     ing.run_available(stream_writes(spark, str(ops_dir)))
-    edges = spark.read.parquet(str(tmp_path / "table/edges"))
-    assert edges.count() == 2
+    assert ing.edges().count() == 2
 
     # second journal batch: remove one edge, replay the other (idempotent),
     # and deliver an out-of-order stale op that must lose
@@ -41,10 +40,10 @@ def test_stream_ingest_merges(spark, tmp_path):
         [op(1, 1, 10, 2000), op(0, 1, 11, 1000, 6), op(2, 1, 11, 500)],
     )
     ing.run_available(stream_writes(spark, str(ops_dir)))
-    rows = {r["destination_id"]: r for r in spark.read.parquet(str(tmp_path / "table/edges")).collect()}
+    rows = {r["destination_id"]: r for r in ing.edges().collect()}
     assert rows[10]["state"] == 1 and rows[10]["updated_at"] == 2000
     assert rows[11]["state"] == 0 and rows[11]["updated_at"] == 1000  # stale archive lost
-    md = {r["source_id"]: r for r in spark.read.parquet(str(tmp_path / "table/metadata")).collect()}
+    md = {r["source_id"]: r for r in ing.metadata().collect()}
     assert md[1]["count"] == 1  # one Normal edge left
 
 
@@ -190,15 +189,16 @@ def test_incremental_commit_leaves_untouched_buckets_alone(spark, tmp_path):
     )
     ing.run_available(stream_writes(spark, str(ops_dir)))
 
-    def snapshot(sub):
-        root = Path(tmp_path / "table" / sub)
-        return {
-            str(p.relative_to(root)): hashlib.sha256(p.read_bytes()).hexdigest()
-            for p in root.rglob("*.parquet")
-        }
+    def snapshot(name):
+        # committed files per bucket, resolved through the manifest
+        out = {}
+        for b, d in ing.bucket_paths(name).items():
+            for p in sorted(Path(d).glob("*.parquet")):
+                out[(b, str(p))] = hashlib.sha256(p.read_bytes()).hexdigest()
+        return out
 
     before_e, before_m = snapshot("edges"), snapshot("metadata")
-    assert len({k.split("/")[0] for k in before_e}) > 1  # really multi-bucket
+    assert len({b for b, _ in before_e}) > 1  # really multi-bucket
 
     # batch 2: touch source 1 only
     write_batch(ops_dir, "b2.json", [op(2, 1, 101, 2000)])
@@ -211,18 +211,14 @@ def test_incremental_commit_leaves_untouched_buckets_alone(spark, tmp_path):
         F.pmod(F.xxhash64(F.lit(1).cast("long")), F.lit(8)).cast("int").alias("b")
     ).collect()[0]["b"]
     for before, after in ((before_e, after_e), (before_m, after_m)):
-        untouched_before = {k: v for k, v in before.items() if not k.startswith(f"bucket={touched}/")}
-        untouched_after = {k: v for k, v in after.items() if not k.startswith(f"bucket={touched}/")}
-        assert untouched_before == untouched_after  # same files, same bytes
-    # and the touched bucket did change
-    assert {k: v for k, v in before_e.items() if k.startswith(f"bucket={touched}/")} != \
-           {k: v for k, v in after_e.items() if k.startswith(f"bucket={touched}/")}
+        untouched_before = {k: v for k, v in before.items() if k[0] != touched}
+        untouched_after = {k: v for k, v in after.items() if k[0] != touched}
+        assert untouched_before == untouched_after  # same committed files, same bytes
+    # and the touched bucket did change (new version dir)
+    assert {k for k in before_e if k[0] == touched} != {k for k in after_e if k[0] == touched}
 
     # correctness of the merged state is unchanged by the bucketed layout
-    rows = {
-        r["destination_id"]: r
-        for r in spark.read.parquet(str(tmp_path / "table/edges")).collect()
-    }
+    rows = {r["destination_id"]: r for r in ing.edges().collect()}
     assert rows[101]["state"] == 2 and rows[101]["updated_at"] == 2000
     assert rows[101]["position"] == 1  # archive preserves position
     assert rows[140]["state"] == 0
@@ -297,8 +293,7 @@ def test_error_queue_quarantine_and_retry(spark, tmp_path):
     )
     ing.run_available(stream_writes(spark, str(ops_dir)))
 
-    edges = spark.read.parquet(str(tmp_path / "table/edges"))
-    assert {r["source_id"] for r in edges.collect()} == {10}  # only the good op
+    assert {r["source_id"] for r in ing.edges().collect()} == {10}  # only the good op
     errs = {r["source_id"]: r["error_reason"] for r in ing.errors().collect()}
     assert errs == {11: "bad_state", None: "null_vertex"}
 
@@ -312,8 +307,7 @@ def test_error_queue_quarantine_and_retry(spark, tmp_path):
         )
     )
     assert n == 1
-    edges = spark.read.parquet(str(tmp_path / "table/edges"))
-    assert {r["source_id"] for r in edges.collect()} == {10, 11}
+    assert {r["source_id"] for r in ing.edges().collect()} == {10, 11}
     left = {r["error_reason"] for r in ing.errors().collect()}
     assert left == {"null_vertex"}
 
@@ -344,32 +338,89 @@ def test_compaction_one_file_per_bucket_data_identical(spark, tmp_path):
     )
     ing.run_available(stream_writes(spark, str(ops_dir), max_files_per_trigger=1))
 
-    root = f"{ing.table_dir}/edges"
-    # fragment the hot bucket the way a task-parallel bulk commit or an
-    # external append would: extra files landing in an existing bucket dir
+    # fragment the hot bucket the way a task-parallel bulk commit would:
+    # extra files landing in the bucket's COMMITTED version dir (files inside
+    # a committed dir are visible; uncommitted version dirs are not)
     from flockdb_spark.schema import EDGE_SCHEMA
     from pyspark.sql import functions as F
 
+    hot = ing.bucket_paths("edges")
+    hot_bucket = next(
+        b for b, d in hot.items()
+        if any(r["source_id"] == 10 for r in spark.read.parquet(d).collect())
+    )
     extra = spark.createDataFrame(
         [(1, 10, 50, 50, 2000, 0, 0), (1, 10, 51, 51, 2000, 0, 0)],
         EDGE_SCHEMA,
-    ).withColumn("bucket", F.pmod(F.xxhash64(F.col("source_id")), F.lit(4)).cast("int"))
-    extra.coalesce(1).write.mode("append").partitionBy("bucket").parquet(root)
+    )
+    extra.coalesce(1).drop("bucket").write.mode("append").parquet(hot[hot_bucket])
 
-    files_before = {d: sorted(glob.glob(f"{d}/*.parquet")) for d in glob.glob(f"{root}/bucket=*")}
+    files_before = {b: sorted(glob.glob(f"{d}/*.parquet")) for b, d in ing.bucket_paths("edges").items()}
     assert any(len(f) > 1 for f in files_before.values())  # fat bucket exists
-    before = sorted(map(tuple, spark.read.parquet(root).drop("bucket").collect()))
+    before = sorted(map(tuple, ing.edges().collect()))
 
     n = ing.compact()
     assert n >= 1
-    files_after = {d: sorted(glob.glob(f"{d}/*.parquet")) for d in glob.glob(f"{root}/bucket=*")}
+    files_after = {b: sorted(glob.glob(f"{d}/*.parquet")) for b, d in ing.bucket_paths("edges").items()}
     assert all(len(f) == 1 for f in files_after.values())
-    # thin buckets were not rewritten (same file paths survive)
-    for d, fs in files_before.items():
+    # thin buckets were not rewritten (same committed file paths survive)
+    for b, fs in files_before.items():
         if len(fs) == 1:
-            assert files_after[d] == fs, d
-    after = sorted(map(tuple, spark.read.parquet(root).drop("bucket").collect()))
+            assert files_after[b] == fs, b
+    after = sorted(map(tuple, ing.edges().collect()))
     assert after == before
+    # vacuum drops the versions compaction superseded; contents unchanged
+    assert ing.vacuum() >= 1
+    assert sorted(map(tuple, ing.edges().collect())) == before
+
+
+def test_atomic_commit_no_cross_table_skew(spark, tmp_path):
+    """The reference's journaled queue never half-applies a write — edges and
+    counts move together (doc/blog.md:110-119).  Kill the ingestor between
+    the data writes and the manifest rename: readers must see ALL-OLD for
+    both tables; the retried batch then lands ALL-NEW."""
+    import json
+
+    from flockdb_spark.streaming.ingest import EdgeStreamIngestor, stream_writes
+
+    ops_dir = tmp_path / "journal"
+    write_batch(ops_dir, "b1.json", [op(0, 1, 10, 1000, 5)])
+    ing = EdgeStreamIngestor(
+        spark, str(tmp_path / "table"), str(tmp_path / "ckpt"), n_buckets=4
+    )
+    ing.run_available(stream_writes(spark, str(ops_dir)))
+    v1, _ = ing.latest_commit()
+    e_before = sorted(map(tuple, ing.edges().collect()))
+    m_before = sorted(map(tuple, ing.metadata().collect()))
+    assert len(e_before) == 1 and m_before[0][2] == 1  # count = 1
+
+    # batch 2 archives the edge; crash AFTER both data writes, BEFORE commit
+    write_batch(ops_dir, "b2.json", [op(2, 1, 10, 2000)])
+    real_commit = ing._commit
+
+    def crash(*a, **kw):
+        raise RuntimeError("killed before manifest rename")
+
+    import pytest
+
+    ing._commit = crash
+    with pytest.raises(Exception, match="killed before manifest rename"):
+        ing.run_available(stream_writes(spark, str(ops_dir)))
+
+    # all-old: BOTH tables still read the previous commit
+    assert ing.latest_commit()[0] == v1
+    assert sorted(map(tuple, ing.edges().collect())) == e_before
+    assert sorted(map(tuple, ing.metadata().collect())) == m_before
+
+    # restore the commit path; the unacknowledged batch replays and lands
+    ing._commit = real_commit
+    ing.run_available(stream_writes(spark, str(ops_dir)))
+    assert ing.latest_commit()[0] > v1
+    rows = {r["destination_id"]: r for r in ing.edges().collect()}
+    assert rows[10]["state"] == 2 and rows[10]["updated_at"] == 2000
+    md = {r["source_id"]: r for r in ing.metadata().collect()}
+    # the maintained count moved WITH the edge archive — one commit, no skew
+    assert md[1]["count"] == 0
 
 
 def test_streaming_sessions_match_batch_x20_shape(spark, tmp_path):
