@@ -153,12 +153,17 @@ def plane_mult(p: int) -> int:
     return (2654435761 * (p + 11)) % PLANE_MOD or 1
 
 
-def _plane_sums(v, dims: int, planes: int, hash_mode: str) -> list[F.Column]:
+def _plane_sums(
+    v, dims: int, planes: int, hash_mode: str, table: int = 0
+) -> list[F.Column]:
     """Per-plane signed sums s_p = v · h_p (the quantity whose sign is bit p
-    and whose magnitude is the distance-to-hyperplane margin)."""
+    and whose magnitude is the distance-to-hyperplane margin).  ``table``
+    seeds an independent hyperplane set per hash table (OR-amplification:
+    recall 1-(1-p)^L across L tables); table 0 is the oracle-checked set."""
 
     def plane_sign(p: int):
         # closure (not a default arg: pyspark counts lambda params strictly)
+        p = p + table * planes
         if hash_mode == "portable":
             mult = plane_mult(p)
             # i is INT from sequence(); widen before the ~1e9 multiply
@@ -190,7 +195,7 @@ def _bucket_of(sums: list[F.Column]) -> F.Column:
 
 
 def hyperplane_signature(
-    vec_col, dims: int, planes: int = 16, hash_mode: str = "xxhash64"
+    vec_col, dims: int, planes: int = 16, hash_mode: str = "xxhash64", table: int = 0
 ) -> F.Column:
     """Random-hyperplane LSH signature: bit p = sign(v · h_p) where h_p's
     components are deterministic ±1s — derived from xxhash64(p, dim-index)
@@ -201,11 +206,12 @@ def hyperplane_signature(
     if planes == 0:  # degenerate: one global bucket (exhaustive comparison)
         return F.lit(0).cast("long")
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    return _bucket_of(_plane_sums(v, dims, planes, hash_mode))
+    return _bucket_of(_plane_sums(v, dims, planes, hash_mode, table))
 
 
 def hyperplane_probes(
-    vec_col, dims: int, planes: int, n_probe: int, hash_mode: str = "xxhash64"
+    vec_col, dims: int, planes: int, n_probe: int, hash_mode: str = "xxhash64",
+    table: int = 0,
 ) -> F.Column:
     """Multi-probe bucket set (array<long>): the base signature plus the
     ``n_probe - 1`` single-bit flips with the smallest margin |v · h_p| — the
@@ -215,7 +221,7 @@ def hyperplane_probes(
     if planes == 0:
         return F.array(F.lit(0).cast("long"))
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    sums = _plane_sums(v, dims, planes, hash_mode)
+    sums = _plane_sums(v, dims, planes, hash_mode, table)
     base = _bucket_of(sums)
     # rank planes by |margin| ascending; struct sort is lexicographic
     by_margin = F.array_sort(
@@ -264,6 +270,7 @@ def lsh_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     hash_mode: str = "xxhash64",
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding near-dup pairs beyond broadcastable corpus sizes: candidates
     = same random-hyperplane bucket (high-cosine pairs land together with
@@ -271,7 +278,10 @@ def lsh_neardup_pairs(
 
     The scale twin of ``neardup_pairs`` (which broadcasts the whole matrix):
     here both sides shuffle once on the bucket key and the quadratic blow-up
-    is bounded per bucket — recall is tunable via ``planes``.
+    is bounded per bucket.  Single-table recall per pair is
+    p = (1 - θ/π)^planes; ``n_tables`` OR-amplifies it to 1-(1-p)^L with L
+    independent hyperplane sets (production tuning lives in RECALL.md —
+    planes bounds the bucket size, tables buy recall).
     Output: (a, b, dot_micro2) with a < b, dot ≥ threshold."""
     # staged: quantize once, then sign the column (see lsh_ann_topk); CACHED
     # because the self-join reads it twice — without the cache each join
@@ -284,21 +294,36 @@ def lsh_neardup_pairs(
     ).select(
         "_id",
         "_v",
-        hyperplane_signature(F.col("_v"), dims, planes, hash_mode).alias("bucket"),
-    ).cache()
-    a = sig.select(F.col("_id").alias("a"), F.col("_v").alias("va"), "bucket")
-    b = sig.select(F.col("_id").alias("b"), F.col("_v").alias("vb"), "bucket")
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        hyperplane_signature(
+                            F.col("_v"), dims, planes, hash_mode, t
+                        ).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("_tb"),
+    ).select("_id", "_v", "_tb.tbl", "_tb.bucket").cache()
+    a = sig.select(F.col("_id").alias("a"), F.col("_v").alias("va"), "tbl", "bucket")
+    b = sig.select(F.col("_id").alias("b"), F.col("_v").alias("vb"), "tbl", "bucket")
     thresh = int(threshold * MICRO * MICRO)
-    # no dedup pass needed: each id carries exactly ONE bucket value, so a
-    # pair can only meet in one bucket — a distinct here would be a full
-    # extra shuffle of the output (the multi-probe ANN variant, where an id
-    # fans out to several buckets, is the one that must dropDuplicates)
+    # single-table: no dedup pass needed — each id carries exactly ONE bucket
+    # per table, so a pair meets in one (tbl, bucket) and a distinct would be
+    # a full extra shuffle of the output.  Multi-table: a pair can meet in
+    # several tables — dedup AFTER the threshold filter, when only the
+    # (small) true near-dup set is left.
     out = (
-        a.join(b, "bucket")
+        a.join(b, ["tbl", "bucket"])
         .where(F.col("a") < F.col("b"))
         .select("a", "b", dot_q(F.col("va"), F.col("vb")).alias("dot_micro2"))
         .where(F.col("dot_micro2") >= thresh)
     )
+    if n_tables > 1:
+        out = out.dropDuplicates(["a", "b"])
     out._flockdb_caches = [sig]  # release after materializing
     return out
 
@@ -367,6 +392,7 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     hash_mode: str = "xxhash64",
     n_probe: int = 1,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Bucketed ANN: exact ranking restricted to the query's LSH bucket(s).
 
@@ -375,8 +401,10 @@ def lsh_ann_topk(
     and ``n_probe`` — with ``n_probe > 1`` each query also probes the
     buckets reached by flipping its smallest-margin hyperplane bits
     (:func:`hyperplane_probes`), the standard multi-probe trade: probe
-    count buys recall without re-hashing the corpus.  The corpus side stays
-    signed ONCE either way; only the tiny broadcast query side fans out."""
+    count buys recall without re-hashing the corpus; ``n_tables`` adds L
+    independent hyperplane sets (OR-amplification, recall 1-(1-p)^L) at L×
+    signing + candidate cost.  The corpus side stays signed ONCE per table
+    either way; only the tiny broadcast query side fans out."""
     from pyspark.sql import Window
 
     # staged projections: quantize ONCE into a real column, then sign it —
@@ -387,9 +415,26 @@ def lsh_ann_topk(
     ).select(
         "neighbor_id",
         "ev",
-        hyperplane_signature(F.col("ev"), dims, planes, hash_mode).alias("bucket"),
-    )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        hyperplane_signature(
+                            F.col("ev"), dims, planes, hash_mode, t
+                        ).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("_tb"),
+    ).select("neighbor_id", "ev", "_tb.tbl", "_tb.bucket")
     qids = [int(i) for i in query_ids]
+
+    def tag_table(t: int):
+        # closure, not a default arg: pyspark counts lambda params strictly
+        return lambda b: F.struct(F.lit(t).alias("qtbl"), b.alias("qbucket"))
+
     q = (
         emb.where(F.col(id_col).isin(qids))
         .select(F.col(id_col).alias("query_id"), quantized(vec_col).alias("qv"))
@@ -397,14 +442,30 @@ def lsh_ann_topk(
             "query_id",
             "qv",
             F.explode(
-                hyperplane_probes(F.col("qv"), dims, planes, n_probe, hash_mode)
-            ).alias("qbucket"),
+                F.flatten(
+                    F.array(
+                        *[
+                            F.transform(
+                                hyperplane_probes(
+                                    F.col("qv"), dims, planes, n_probe, hash_mode, t
+                                ),
+                                tag_table(t),
+                            )
+                            for t in range(n_tables)
+                        ]
+                    )
+                )
+            ).alias("_qb"),
         )
+        .select("query_id", "qv", "_qb.qtbl", "_qb.qbucket")
     )
     scored = (
-        sig.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        sig.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("tbl") == F.col("qtbl")),
+        )
         .where(F.col("neighbor_id") != F.col("query_id"))
-        # a neighbor found via two probes must rank once
+        # a neighbor found via two probes/tables must rank once
         .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id", dot_q(F.col("qv"), F.col("ev")).alias("dot_micro2"))
     )

@@ -615,3 +615,65 @@ def test_token_id_sequences_pad_truncate(spark):
     ids3 = {r["doc_id"]: r["ids_str"].split() for r in
             text.token_id_sequences(docs2, seq_len=4).collect()}[3]
     assert ids3[0] == ids3[1] != ids3[2]
+
+
+def test_multitable_lsh_or_amplification(spark):
+    """n_tables OR-amplification (RECALL.md): L independent hyperplane sets
+    lift recall toward 1-(1-p)^L at production xxhash64 settings.  On the
+    planted-cluster corpus, planes=4/L=8 must clear 0.9 top-k recall and
+    never lose to the single table; the near-dup twin must stay a subset of
+    exact while recovering >=95% of the exact pair set."""
+    import math
+    import random
+
+    from flockdb_spark.functions.similarity import (
+        brute_force_topk,
+        lsh_ann_topk,
+        lsh_neardup_pairs,
+        neardup_pairs,
+    )
+
+    rng = random.Random(11)
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows, vid = [], 0
+    for _c in range(40):
+        center = [rng.gauss(0, 1) for _ in range(64)]
+        for _j in range(10):
+            rows.append((vid, unit([x + rng.gauss(0, 0.12) for x in center])))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qids = [0, 10, 20, 30, 40, 50, 60, 70]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, qids, k=5).collect()
+    }
+
+    def recall(n_tables):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in lsh_ann_topk(
+                emb, qids, k=5, planes=4, n_probe=2, n_tables=n_tables
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r1, r8 = recall(1), recall(8)
+    assert r8 >= 0.9
+    assert r8 >= r1
+
+    exact_pairs = {(r["a"], r["b"]) for r in neardup_pairs(emb, threshold=0.9).collect()}
+    single = {
+        (r["a"], r["b"])
+        for r in lsh_neardup_pairs(emb, threshold=0.9, planes=4, n_tables=1).collect()
+    }
+    multi = {
+        (r["a"], r["b"])
+        for r in lsh_neardup_pairs(emb, threshold=0.9, planes=4, n_tables=8).collect()
+    }
+    assert multi <= exact_pairs
+    assert single <= multi or len(multi) >= len(single)
+    assert len(multi) >= 0.95 * len(exact_pairs)
