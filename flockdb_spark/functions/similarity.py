@@ -283,12 +283,9 @@ def lsh_neardup_pairs(
     independent hyperplane sets (production tuning lives in RECALL.md —
     planes bounds the bucket size, tables buy recall).
     Output: (a, b, dot_micro2) with a < b, dot ≥ threshold."""
-    # staged: quantize once, then sign the column (see lsh_ann_topk); CACHED
-    # because the self-join reads it twice — without the cache each join
-    # branch re-runs the scan + quantize + signing.  Lifetime follows the
-    # dedup convention (result._flockdb_caches / release_caches); note the
-    # handle is severed by any further transformation — composed callers must
-    # dedup.carry_caches(transformed, pairs) to keep release_caches working.
+    # staged: quantize once, then sign the column (see lsh_ann_topk).  The
+    # signed frame is read ONCE (the per-bucket GEMM replaces the self-join),
+    # so no cache is needed.
     sig = emb.select(
         F.col(id_col).alias("_id"), quantized(vec_col).alias("_v")
     ).select(
@@ -307,24 +304,45 @@ def lsh_neardup_pairs(
                 ]
             )
         ).alias("_tb"),
-    ).select("_id", "_v", "_tb.tbl", "_tb.bucket").cache()
-    a = sig.select(F.col("_id").alias("a"), F.col("_v").alias("va"), "tbl", "bucket")
-    b = sig.select(F.col("_id").alias("b"), F.col("_v").alias("vb"), "tbl", "bucket")
+    ).select("_id", "_v", "_tb.tbl", "_tb.bucket")
     thresh = int(threshold * MICRO * MICRO)
-    # single-table: no dedup pass needed — each id carries exactly ONE bucket
-    # per table, so a pair meets in one (tbl, bucket) and a distinct would be
-    # a full extra shuffle of the output.  Multi-table: a pair can meet in
-    # several tables — dedup AFTER the threshold filter, when only the
-    # (small) true near-dup set is left.
-    out = (
-        a.join(b, ["tbl", "bucket"])
-        .where(F.col("a") < F.col("b"))
-        .select("a", "b", dot_q(F.col("va"), F.col("vb")).alias("dot_micro2"))
-        .where(F.col("dot_micro2") >= thresh)
+
+    # Candidate scoring is a per-bucket numpy int64 GEMM (applyInPandas):
+    # one shuffle on the bucket key, then each bucket's m×m dot block is
+    # vectorized Arrow-side — the same exact integer dots as dot_q, ~40×
+    # the per-pair higher-order-function chain at sf1.0 candidate volumes.
+    # Row-chunked so a skewed bucket's score block stays bounded in memory;
+    # the real bucket-size control is `planes` (RECALL.md: pick planes by
+    # bucket budget, tables by recall target).
+    def score_bucket(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["_id"].to_numpy(np.int64)
+        mat = np.array(pdf["_v"].tolist(), dtype=np.int64)
+        outs = []
+        for lo in range(0, len(ids), 2048):
+            hi = min(lo + 2048, len(ids))
+            s = mat[lo:hi] @ mat.T  # (chunk, m) int64 — exact
+            li, ri = np.nonzero(s >= thresh)
+            a, b, d = ids[lo + li], ids[ri], s[li, ri]
+            keep = a < b
+            outs.append(pd.DataFrame({"a": a[keep], "b": b[keep], "dot_micro2": d[keep]}))
+        return (
+            pd.concat(outs)
+            if outs
+            else pd.DataFrame({"a": [], "b": [], "dot_micro2": []})
+        )
+
+    out = sig.groupBy("tbl", "bucket").applyInPandas(
+        score_bucket, "a long, b long, dot_micro2 long"
     )
+    # single-table: each id carries exactly ONE bucket per table, so a pair
+    # meets in one (tbl, bucket) — no dedup needed.  Multi-table: a pair can
+    # meet in several tables — dedup AFTER thresholding, when only the
+    # (small) true near-dup set is left.
     if n_tables > 1:
         out = out.dropDuplicates(["a", "b"])
-    out._flockdb_caches = [sig]  # release after materializing
     return out
 
 
