@@ -1,0 +1,169 @@
+"""Curation pipeline API — the composition layer over the proven gate
+operators.  x19 and x48 are instances of this shape; real corpus passes
+need it as a LIBRARY: pick gates, set thresholds, run one DAG.
+
+    curated = curate(
+        docs,
+        gates=[lang_gate(min_hits=1), repetition_gate(max_per_mille=150),
+               boilerplate_gate(max_micro=300_000)],
+        finalize=[chunker(chunk_tokens=20, overlap=5)],
+    )
+
+Design rules (the same ones the x-series gates are graded on at 100 TB):
+
+- Every gate is a ROW FILTER over the document frame — stateless
+  projections Catalyst fuses into one scan stage; corpus-dependent gates
+  (boilerplate) compute their statistic over the FULL input corpus and
+  join it onto the gated subset, exactly like x48.
+- The token projection is computed ONCE into a ``_w`` working column that
+  every gate reuses (per-gate re-tokenization would multiply the dominant
+  per-row cost); ``curate`` strips working columns before finalizers run.
+- Finalizers are arbitrary schema-changing stages (dedup collapse,
+  chunking, token budgets) applied in order after all gates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from . import text
+
+#: a gate: (docs_with_tokens, full_corpus) -> filtered docs_with_tokens
+Gate = Callable[[DataFrame, DataFrame], DataFrame]
+#: a finalizer: docs -> anything
+Finalizer = Callable[[DataFrame], DataFrame]
+
+_W = "_w"  # shared tokens working column
+
+
+def _w(df: DataFrame) -> Column:
+    return F.col(_W)
+
+
+def lang_gate(markers: tuple[str, ...] = text.STOPWORDS, min_hits: int = 1) -> Gate:
+    """Keep documents with ≥ ``min_hits`` marker-word hits (x10/x19/x48's
+    language gate; swap ``markers`` per target language)."""
+
+    def gate(df: DataFrame, corpus: DataFrame) -> DataFrame:
+        return df.where(text._count_in(_w(df), markers) >= min_hits)
+
+    return gate
+
+
+def quality_gate(
+    min_tokens: int = 5, max_tokens: int = 10_000, min_distinct_micro: int = 300_000
+) -> Gate:
+    """Length band + distinct-token ratio floor (x08/x19's quality gate)."""
+
+    def gate(df: DataFrame, corpus: DataFrame) -> DataFrame:
+        n = F.size(_w(df))
+        return df.where(
+            n.between(min_tokens, max_tokens)
+            & (F.size(F.array_distinct(_w(df))) * 1_000_000 / n >= min_distinct_micro)
+        )
+
+    return gate
+
+
+def repetition_gate(max_per_mille: int = 150, n: int = 3) -> Gate:
+    """Drop documents whose repeated-n-gram share exceeds the threshold
+    (x32/x48's repetition gate); integer per-mille to stay engine-portable."""
+
+    def gate(df: DataFrame, corpus: DataFrame) -> DataFrame:
+        w = _w(df)
+        grams = F.when(
+            F.size(w) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - n),
+                lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        n_g = F.size(grams)
+        nd_g = F.size(F.array_distinct(grams))
+        return df.where((n_g == 0) | ((n_g - nd_g) * 1000 / n_g < max_per_mille))
+
+    return gate
+
+
+def boilerplate_gate(
+    max_micro: int = 300_000, n: int = 5, min_docs: int = 3
+) -> Gate:
+    """Corpus-dependent gate (x37/x48): n-grams appearing in ≥ ``min_docs``
+    documents of the FULL corpus are boilerplate; drop documents whose
+    boilerplate coverage exceeds ``max_micro`` (ppm).  The coverage statistic
+    is computed over ``corpus`` — the pre-gate input — so earlier gates don't
+    bias the document-frequency table, then joined onto the gated subset."""
+
+    def gate(df: DataFrame, corpus: DataFrame) -> DataFrame:
+        cov = text.boilerplate_coverage(corpus, n=n, min_docs=min_docs)
+        keep = cov.where(F.col("boiler_micro") < max_micro).select("doc_id")
+        return df.join(keep, "doc_id")
+
+    return gate
+
+
+def exact_dedup_finalizer(
+    text_col: str = "text", id_col: str = "doc_id"
+) -> Finalizer:
+    """Collapse exact duplicates to the smallest id (x01/x19's rule).
+    Schema-changing: output is (id, n_tokens)."""
+
+    def run(df: DataFrame) -> DataFrame:
+        return df.groupBy(text_col).agg(
+            F.min(id_col).alias(id_col),
+            F.any_value(F.size(text.tokens(text_col))).cast("long").alias("n_tokens"),
+        ).drop(text_col)
+
+    return run
+
+
+def token_budget_finalizer(budget: int, id_col: str = "doc_id") -> Finalizer:
+    """Running-total cutoff in id order (x19's budget stage), built on the
+    sharded prefix sum — no global single-partition window."""
+
+    def run(df: DataFrame) -> DataFrame:
+        from . import packing
+
+        return (
+            packing.ordered_prefix_sum(
+                df.select(id_col, "n_tokens"), id_col, "n_tokens",
+                out_col="cum_tokens", chunk=4096,
+            )
+            .select(id_col, "n_tokens", F.col("cum_tokens").cast("long").alias("cum_tokens"))
+            .where(F.col("cum_tokens") <= budget)
+        )
+
+    return run
+
+
+def chunker(chunk_tokens: int = 20, overlap: int = 5) -> Finalizer:
+    """Overlapping chunking of the survivors (x45/x48's final stage)."""
+
+    def run(df: DataFrame) -> DataFrame:
+        return text.chunk_documents(
+            df.select("doc_id", "text"), chunk_tokens=chunk_tokens, overlap=overlap
+        )
+
+    return run
+
+
+def curate(
+    docs: DataFrame,
+    gates: list[Gate],
+    finalize: list[Finalizer] | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Run the curation DAG: tokenize once → apply every gate (row filters
+    over one fused scan; corpus-dependent gates see the full input) → strip
+    working columns → apply finalizers in order."""
+    staged = docs.withColumn(_W, text.tokens(text_col))
+    out = staged
+    for gate in gates:
+        out = gate(out, docs)
+    out = out.drop(_W)
+    for fin in finalize or []:
+        out = fin(out)
+    return out

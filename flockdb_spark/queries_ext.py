@@ -500,28 +500,16 @@ def x19(spark: SparkSession, sf_dir: str) -> DataFrame:
     The running total is packing.ordered_prefix_sum — contiguous id-range
     shards + broadcast base offsets — NOT a global unpartitioned window, so
     the budget cutoff scales like the rest of the pipeline."""
+    from .functions import curation
+
     docs = _read(spark, sf_dir, "documents")
-    w = text.tokens("text")
-    n_tokens = F.size(w)
-    gated = docs.where(
-        (F.size(F.filter(w, lambda x: x.isin(*text.STOPWORDS))) >= 1)
-        & n_tokens.between(5, 10_000)
-        & (F.size(F.array_distinct(w)) * 1_000_000 / n_tokens >= 300_000)
-    )
-    deduped = gated.groupBy("text").agg(
-        F.min("doc_id").alias("doc_id"),
-        F.any_value(n_tokens).cast("long").alias("n_tokens"),
-    )
-    return (
-        packing.ordered_prefix_sum(
-            deduped.select("doc_id", "n_tokens"),
-            "doc_id",
-            "n_tokens",
-            out_col="cum_tokens",
-            chunk=4096,
-        )
-        .select("doc_id", "n_tokens", F.col("cum_tokens").cast("long").alias("cum_tokens"))
-        .where(F.col("cum_tokens") <= 20_000)
+    return curation.curate(
+        docs,
+        gates=[curation.lang_gate(min_hits=1), curation.quality_gate()],
+        finalize=[
+            curation.exact_dedup_finalizer(),
+            curation.token_budget_finalizer(budget=20_000),
+        ],
     )
 
 
@@ -1473,39 +1461,21 @@ FROM c
 """,
 )
 def x48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation DAG through the LIBRARY API (functions/curation.py):
+    language gate → repetition gate → corpus-wide boilerplate gate →
+    overlapping chunking, each a named configurable stage."""
+    from .functions import curation
+
     docs = _read(spark, sf_dir, "documents")
-    # stage 1+2: language and repetition gates (stateless projections)
-    w = F.col("_w")
-    tri = F.when(
-        F.size(w) >= 3,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - 3),
-            lambda i: F.concat_ws(" ", F.slice(w, i + 1, 3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    staged = (
-        docs.select("doc_id", "text", text.tokens("text").alias("_w"))
-        .select("doc_id", "text", "_w", tri.alias("_tri"))
-        .select(
-            "doc_id",
-            "text",
-            "_w",
-            text._count_in(w, text.LANG_MARKERS["en"]).alias("_hits"),
-            F.size("_tri").alias("_n_tri"),
-            F.size(F.array_distinct("_tri")).alias("_nd_tri"),
-        )
+    return curation.curate(
+        docs,
+        gates=[
+            curation.lang_gate(markers=text.LANG_MARKERS["en"], min_hits=1),
+            curation.repetition_gate(max_per_mille=150, n=3),
+            curation.boilerplate_gate(max_micro=300_000, n=5, min_docs=3),
+        ],
+        finalize=[curation.chunker(chunk_tokens=20, overlap=5)],
     )
-    gated = staged.where(F.col("_hits") >= 1).where(
-        (F.col("_n_tri") == 0)
-        | (F.expr("(_n_tri - _nd_tri) * 1000 div _n_tri") < 150)
-    )
-    # stage 3: corpus-wide boilerplate coverage, applied to the gated subset
-    cov = text.boilerplate_coverage(docs, n=5, min_docs=3)
-    keep = gated.join(
-        cov.where(F.col("boiler_micro") < 300_000).select("doc_id"), "doc_id"
-    )
-    # stage 4: overlapping chunking of the survivors
-    return text.chunk_documents(keep.select("doc_id", "text"), chunk_tokens=20, overlap=5)
 
 
 # ---------------------------------------------------------------------------

@@ -677,3 +677,54 @@ def test_multitable_lsh_or_amplification(spark):
     assert multi <= exact_pairs
     assert single <= multi or len(multi) >= len(single)
     assert len(multi) >= 0.95 * len(exact_pairs)
+
+
+def test_curation_api_gates_and_finalizers(spark):
+    """functions/curation.py: each named gate drops exactly its planted
+    offender; finalizers compose (dedup collapse -> token budget)."""
+    from flockdb_spark.functions import curation
+
+    base = "the quick brown fox jumps over a lazy dog of winter"
+    rows = [
+        (1, base),                                     # survives everything
+        (2, "zzz qqq xxx yyy www vvv uuu"),            # fails lang gate
+        (3, "the cat " + "sat on the mat " * 40),      # fails repetition gate
+        (4, base),                                     # exact dup of 1
+        (5, "the red fox " + " ".join(f"w{i}" for i in range(20))),  # survives
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    gated = curation.curate(
+        docs,
+        gates=[curation.lang_gate(min_hits=1), curation.repetition_gate(max_per_mille=150)],
+    )
+    assert {r["doc_id"] for r in gated.collect()} == {1, 4, 5}
+    # gates preserve the input schema (working columns stripped)
+    assert gated.columns == docs.columns
+
+    out = curation.curate(
+        docs,
+        gates=[curation.lang_gate(min_hits=1), curation.repetition_gate(max_per_mille=150)],
+        finalize=[
+            curation.exact_dedup_finalizer(),
+            curation.token_budget_finalizer(budget=12),
+        ],
+    )
+    rows_out = {r["doc_id"]: r for r in out.collect()}
+    # doc 4 collapsed into doc 1; budget 12 admits doc 1 (11 tokens) only
+    assert set(rows_out) == {1}
+    assert rows_out[1]["cum_tokens"] == 11
+
+    # corpus-dependent gate: a footer shared by 3 docs is boilerplate; the
+    # doc that is MOSTLY footer is dropped, light-footer docs survive
+    footer = "subscribe to our newsletter for updates today"
+    brows = [
+        (1, base + " alpha beta gamma delta one two three four " + footer),
+        (2, base + " epsilon zeta eta theta five six seven eight " + footer),
+        (3, footer),                                   # pure boilerplate
+    ]
+    bdocs = spark.createDataFrame(brows, "doc_id long, text string")
+    kept = curation.curate(
+        bdocs, gates=[curation.boilerplate_gate(max_micro=500_000, n=5, min_docs=3)]
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2}
