@@ -40,7 +40,15 @@ def pagerank(edges: DataFrame, graph_id: int, iterations: int = 3) -> DataFrame:
         F.col("source_id").alias("src"), F.col("destination_id").alias("dst")
     )
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
-    # the edge↔out_degree join is loop-invariant — attach it once and cache
+    # The edge↔out_degree join is loop-invariant — attach it once and cache.
+    # Measured note (r4): caching this PRE-PARTITIONED on src (so the cached
+    # hash(src) layout satisfies every iteration's join) costs more than it
+    # saves at local SFs — the explicit repartition defeats AQE's coalescing
+    # of the tiny per-iteration shuffles (x14 0.76s→1.12s at sf0.1).  On a
+    # real cluster the equivalent co-location comes from the PERSISTED layout
+    # instead: read the edge table from write_optimized(buckets=N) and the
+    # scan itself reports hash(source_id) with zero exchanges — see
+    # test_plans.py's bucketed-join assertions.
     e_deg = e.join(out_deg, "src").cache()
     base = PR_UNIT * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
     pr_of = f"({base} + (coalesce(in_sum, 0) * {PR_DAMP_NUM}) div {PR_DAMP_DEN})"
@@ -114,11 +122,14 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     u_first = (F.col("du") < F.col("dv")) | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
     # the oriented edge list feeds BOTH wedge sides and the closing probe —
     # materialize it once instead of recomputing the degree join three times
+    # cached pre-partitioned on the wedge key: both wedge sides read the
+    # SAME cached relation already hashed on `a`, so the self-join adds no
+    # exchange at all
     orient = ed.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
-    ).cache()
+    ).repartition("a").cache()
     o1, o2 = orient.alias("o1"), orient.alias("o2")
     wedge = o1.join(
         o2,
@@ -233,6 +244,11 @@ def k_hop(
     ``seeds``: one ``seed`` column.  Output: (seed, vertex, depth), the
     seed itself at depth 0.
     """
+    # each round re-reads the adjacency; over a materialized store that scan
+    # is cheap, and both caching it and pre-partitioning it measured SLOWER
+    # at local SFs (cache materialization + lost AQE coalescing; see the
+    # pagerank note).  On a cluster, co-location comes from reading the
+    # write_optimized(buckets) layout, whose scan is already hash(source_id).
     adj = edges.where((F.col("graph_id") == graph_id) & (F.col("state") == 0)).select(
         "source_id", "destination_id"
     )

@@ -225,3 +225,34 @@ def test_flat_compound_tree_is_one_scan_one_shuffle(spark, store):
     assert "Join" not in plan
     # and the store's edge relation appears ONCE, not once per leaf
     assert plan.count("InMemoryTableScan") <= 1
+
+
+def test_bucketed_layout_joins_without_exchange_on_edge_side(spark, store, tmp_path):
+    """The cluster co-location story for iterative graph ops (VERDICT r3
+    item 8): an edge table persisted via write_optimized(buckets=N) reports
+    hash(source_id) from the SCAN, so a source-keyed join plans no Exchange
+    on the edge side — the per-iteration shuffle a runtime repartition can't
+    remove without fighting AQE (measured note in analytics.pagerank)."""
+    path = str(tmp_path / "edges_bucketed")
+    spark.sql("DROP TABLE IF EXISTS edges_bucketed_t")
+    store.write_optimized(path, buckets=4, table="edges_bucketed_t")
+    bucketed = spark.table("edges_bucketed_t")
+
+    ranks = spark.range(0, 200).select(
+        F.col("id").alias("source_id"), (F.col("id") * 2).alias("rank")
+    )
+    joined = (
+        bucketed.where(F.col("graph_id") == 1)
+        .join(ranks.repartition(4, "source_id"), "source_id")
+        .groupBy("source_id")
+        .agg(F.sum("rank").alias("s"))
+    )
+    plan = plan_str(joined, "simple")
+    # the scan side of the join carries no Exchange: the bucket layout stands
+    # in for the shuffle (SelectedBucketsCount in the formatted plan)
+    formatted = plan_str(joined)
+    assert "SelectedBucketsCount" in formatted or "Bucketed: true" in formatted
+    # exactly one hashpartitioning exchange total: the ranks side; the
+    # bucketed edge side is exchange-free
+    assert plan.count("Exchange hashpartitioning") <= 1
+    spark.sql("DROP TABLE IF EXISTS edges_bucketed_t")
