@@ -240,6 +240,95 @@ def hyperplane_probes(
     return F.array_distinct(F.array(*probes))
 
 
+_H_CACHE: dict = {}
+
+
+def hyperplane_matrix(spark, dims: int, planes: int, hash_mode: str, table: int = 0):
+    """The ±1 hyperplane components as a (planes, dims) int64 matrix.
+
+    Derived from the SAME per-(plane, dim) sign rule as ``_plane_sums`` —
+    portable mode computes the parity formula directly; xxhash64 mode
+    evaluates ``xxhash64(p, i)`` through one dims-row Spark job (memoized) —
+    so numpy signing is bit-identical to the column-expression path."""
+    import numpy as np
+
+    key = (dims, planes, hash_mode, table)
+    if key not in _H_CACHE:
+        H = np.empty((planes, dims), dtype=np.int64)
+        if hash_mode == "portable":
+            for p in range(planes):
+                mult = plane_mult(p + table * planes)
+                for i in range(dims):
+                    H[p, i] = 1 if ((i + 1) * mult) % PLANE_MOD % 2 == 0 else -1
+        else:
+            rows = spark.range(dims).select(
+                F.col("id").cast("int").alias("i"),
+                *[
+                    F.pmod(
+                        F.xxhash64(
+                            F.lit(p + table * planes), F.col("id").cast("int")
+                        ),
+                        F.lit(2),
+                    ).alias(f"s{p}")
+                    for p in range(planes)
+                ],
+            ).collect()
+            for r in rows:
+                for p in range(planes):
+                    H[p, r["i"]] = 1 if r[f"s{p}"] == 0 else -1
+        _H_CACHE[key] = H
+    return _H_CACHE[key]
+
+
+def _np_sign(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims: int,
+    planes: int,
+    hash_mode: str,
+    n_tables: int,
+    out_id: str,
+    out_vec: str,
+) -> DataFrame:
+    """(out_id, out_vec quantized, tbl, bucket) for every (row, table) — the
+    Arrow/numpy twin of signing via ``hyperplane_signature`` column
+    expressions.  Spark's higher-order functions are interpreted per element
+    (no whole-stage codegen), so expression signing costs
+    O(rows·planes·dims) lambda dispatches; here each Arrow batch is one
+    int64 GEMM against the broadcast ±1 matrix — bit-identical buckets
+    (the gates x06/x18/x35/x38 pin this against the SQL oracle)."""
+    import numpy as np
+
+    spark = emb.sparkSession
+    hs = np.stack(
+        [hyperplane_matrix(spark, dims, planes, hash_mode, t) for t in range(n_tables)]
+    )
+    pow2 = (1 << np.arange(planes)).astype(np.int64)
+    bc = spark.sparkContext.broadcast(hs)
+
+    def run(batches):
+        import pandas as pd
+
+        h = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(np.int64)
+            v = _np_quantize(pdf[vec_col])
+            vl = list(v)
+            for t in range(h.shape[0]):
+                sums = v @ h[t].T  # (n, planes) int64 — exact
+                buckets = ((sums > 0).astype(np.int64) * pow2).sum(axis=1)
+                yield pd.DataFrame(
+                    {out_id: ids, out_vec: vl, "tbl": t, "bucket": buckets}
+                )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        run, f"{out_id} long, {out_vec} array<long>, tbl int, bucket long"
+    )
+
+
 def lsh_plane_sign_sql(list_expr: str, p: int, dims: int) -> str:
     """DuckDB twin of one plane's signed sum over a quantized list column."""
     mult = plane_mult(p)
@@ -283,28 +372,18 @@ def lsh_neardup_pairs(
     independent hyperplane sets (production tuning lives in RECALL.md —
     planes bounds the bucket size, tables buy recall).
     Output: (a, b, dot_micro2) with a < b, dot ≥ threshold."""
-    # staged: quantize once, then sign the column (see lsh_ann_topk).  The
-    # signed frame is read ONCE (the per-bucket GEMM replaces the self-join),
-    # so no cache is needed.
-    sig = emb.select(
-        F.col(id_col).alias("_id"), quantized(vec_col).alias("_v")
-    ).select(
-        "_id",
-        "_v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        hyperplane_signature(
-                            F.col("_v"), dims, planes, hash_mode, t
-                        ).alias("bucket"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("_tb"),
-    ).select("_id", "_v", "_tb.tbl", "_tb.bucket")
+    # corpus signing is the vectorized numpy path (read once, no cache);
+    # planes=0 keeps the degenerate one-bucket column expression
+    if planes == 0:
+        sig = emb.select(
+            F.col(id_col).alias("_id"), quantized(vec_col).alias("_v")
+        ).select(
+            "_id", "_v", F.lit(0).alias("tbl"), F.lit(0).cast("long").alias("bucket")
+        )
+    else:
+        sig = _np_sign(
+            emb, id_col, vec_col, dims, planes, hash_mode, n_tables, "_id", "_v"
+        )
     thresh = int(threshold * MICRO * MICRO)
 
     # Candidate scoring is a per-bucket numpy int64 GEMM (applyInPandas):
@@ -362,34 +441,69 @@ def ivf_ann_topk(
     The coarse quantizer here is deterministic — centroids are the embeddings
     of the ``n_centroids`` smallest ids — so results are oracle-checkable; a
     production system k-means-trains them, but the scale-relevant plumbing
-    (broadcast centroids → one-pass assignment → cell-key join → windowed
-    rerank) is identical.  Per query the join touches ~corpus·n_probe/n_centroids
-    rows instead of the full table; the assignment pass is one broadcast
-    nested-loop over n_centroids tiny vectors, shuffled once on the cell key.
+    (broadcast centroids → one-pass assignment → cell-key join → rerank) is
+    identical.  Per query the join touches ~corpus·n_probe/n_centroids rows
+    instead of the full table; the assignment pass is one Arrow/numpy GEMM
+    per batch against the broadcast centroid matrix (a per-row expression
+    chain over n_centroids × dims interpreted lambdas measured 4× slower at
+    sf1.0), emitting each row's nearest cell plus the query rows' n_probe
+    cells.
 
     Output: (query_id, neighbor_id, dot_micro2, rank) — same contract as
     ``brute_force_topk`` / ``lsh_ann_topk``."""
+    import numpy as np
     from pyspark.sql import Window
 
-    cents = F.broadcast(
-        emb.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), quantized(vec_col).alias("cv"))
+    qids = [int(i) for i in query_ids]
+    cent_rows = (
+        emb.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
     )
-    scored = (
-        emb.select(F.col(id_col).alias("vid"), quantized(vec_col).alias("ev"))
-        .join(cents)
-        .select("vid", "ev", "cid", dot_q(F.col("ev"), F.col("cv")).alias("cdot"))
+    import pandas as pd
+
+    # centroid columns ordered by ascending cid: a STABLE argsort of -dot
+    # then breaks exact-dot ties toward the lower cid, reproducing the
+    # (cdot DESC, cid ASC) assignment order of the SQL oracle
+    c_ids = np.array([r[id_col] for r in cent_rows], dtype=np.int64)
+    order = np.argsort(c_ids, kind="stable")
+    c_ids = c_ids[order]
+    c_mat = _np_quantize(pd.Series([r[vec_col] for r in cent_rows]))[order]
+    bc = emb.sparkSession.sparkContext.broadcast((c_ids, c_mat, set(qids)))
+
+    def assign(batches):
+        cids, cmat, qset = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(np.int64)
+            v = _np_quantize(pdf[vec_col])
+            vl = list(v)
+            s = v @ cmat.T  # (n, n_centroids) int64 — exact
+            ranked = np.argsort(-s, axis=1, kind="stable")  # ties → lower cid
+            out = {
+                "vid": list(ids),
+                "ev": vl,
+                "cell": list(cids[ranked[:, 0]]),
+                "crn": [1] * len(ids),
+            }
+            is_q = np.array([i in qset for i in ids])
+            for j in np.nonzero(is_q)[0]:
+                for p in range(1, min(n_probe, ranked.shape[1])):
+                    out["vid"].append(ids[j])
+                    out["ev"].append(vl[j])
+                    out["cell"].append(cids[ranked[j, p]])
+                    out["crn"].append(p + 1)
+            yield pd.DataFrame(out)
+
+    ranked = emb.select(id_col, vec_col).mapInPandas(
+        assign, "vid long, ev array<long>, cell long, crn int"
     )
-    w_assign = Window.partitionBy("vid").orderBy(F.desc("cdot"), F.asc("cid"))
-    ranked = scored.withColumn("crn", F.row_number().over(w_assign))
     corpus = ranked.where(F.col("crn") == 1).select(
-        F.col("vid").alias("neighbor_id"), "ev", F.col("cid").alias("cell")
+        F.col("vid").alias("neighbor_id"), "ev", "cell"
     )
     probes = F.broadcast(
-        ranked.where(
-            F.col("vid").isin([int(i) for i in query_ids]) & (F.col("crn") <= n_probe)
-        ).select(F.col("vid").alias("query_id"), F.col("ev").alias("qv"), F.col("cid").alias("cell"))
+        ranked.where(F.col("vid").isin(qids)).select(
+            F.col("vid").alias("query_id"), F.col("ev").alias("qv"), "cell"
+        )
     )
     rerank = (
         corpus.join(probes, "cell")
@@ -425,28 +539,19 @@ def lsh_ann_topk(
     either way; only the tiny broadcast query side fans out."""
     from pyspark.sql import Window
 
-    # staged projections: quantize ONCE into a real column, then sign it —
-    # fused in one select, every plane's sum re-evaluates the quantize
-    # transform (6 planes -> 6x the per-row array work; 2.6x wall measured)
-    sig = emb.select(
-        F.col(id_col).alias("neighbor_id"), quantized(vec_col).alias("ev")
-    ).select(
-        "neighbor_id",
-        "ev",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("tbl"),
-                        hyperplane_signature(
-                            F.col("ev"), dims, planes, hash_mode, t
-                        ).alias("bucket"),
-                    )
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("_tb"),
-    ).select("neighbor_id", "ev", "_tb.tbl", "_tb.bucket")
+    # corpus signing: vectorized numpy GEMM path (the query side below stays
+    # in column expressions — it is broadcast-tiny and needs the per-plane
+    # margins for multi-probe)
+    if planes == 0:
+        sig = emb.select(
+            F.col(id_col).alias("neighbor_id"), quantized(vec_col).alias("ev")
+        ).select(
+            "neighbor_id", "ev", F.lit(0).alias("tbl"), F.lit(0).cast("long").alias("bucket")
+        )
+    else:
+        sig = _np_sign(
+            emb, id_col, vec_col, dims, planes, hash_mode, n_tables, "neighbor_id", "ev"
+        )
     qids = [int(i) for i in query_ids]
 
     def tag_table(t: int):
