@@ -728,3 +728,35 @@ def test_curation_api_gates_and_finalizers(spark):
         bdocs, gates=[curation.boilerplate_gate(max_micro=500_000, n=5, min_docs=3)]
     )
     assert {r["doc_id"] for r in kept.collect()} == {1, 2}
+
+
+def test_np_sign_bit_identical_to_expression_path(spark):
+    """The numpy-GEMM corpus signer must produce the SAME buckets as the
+    hyperplane_signature column expressions, in both hash modes and for
+    non-zero table seeds — the invariant that keeps the vectorized path
+    oracle-compatible."""
+    from pyspark.sql import functions as F
+
+    from flockdb_spark.functions.similarity import (
+        _np_sign,
+        hyperplane_signature,
+        quantized,
+    )
+    from flockdb_spark.sources.edges import _read
+
+    emb = _read(spark, "/root/testdata/sf0.001", "embeddings")
+    for mode in ("portable", "xxhash64"):
+        for table in (0, 2):
+            expr = emb.select(
+                "vec_id",
+                hyperplane_signature(
+                    quantized("embedding"), 64, 6, mode, table
+                ).alias("b"),
+            )
+            got_e = {(r["vec_id"], r["b"]) for r in expr.collect()}
+            npdf = _np_sign(emb, "vec_id", "embedding", 64, 6, mode, table + 1, "_id", "_v")
+            got_n = {
+                (r["_id"], r["bucket"])
+                for r in npdf.where(F.col("tbl") == table).collect()
+            }
+            assert got_e == got_n, (mode, table)
