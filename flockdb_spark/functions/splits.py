@@ -160,3 +160,62 @@ def mixture_upsample_sql(weights: dict[str, int]) -> str:
 SELECT doc_id, source, CAST(unnest(range({case})) AS BIGINT) AS epoch
 FROM documents
 """
+
+
+def order_scramble(id_col: Column | str, seed: int = 0) -> Column:
+    """Deterministic pseudo-random sort key for training order: the same
+    overflow-safe multiplicative scramble as ``split_bucket``, seeded.
+    Expressible identically in any engine (``order_scramble_sql``)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    reduced = F.pmod(c.cast("long") + F.lit(seed * 7919), F.lit(HASH_MOD))
+    return F.pmod(reduced * F.lit(HASH_MULT), F.lit(HASH_MOD))
+
+
+def training_order(
+    df: DataFrame, id_col: str = "doc_id", n_shards: int = 8, seed: int = 0
+) -> DataFrame:
+    """Global pseudo-shuffle for training-order assignment: every row gets a
+    (shard, pos) such that reading shard files round-robin yields a
+    deterministic, well-mixed order — the stage that replaces ``ORDER BY
+    random()`` (a full global sort with an unreproducible result) in a
+    corpus-to-trainer handoff.
+
+    Shape at 100 TB: one hash shuffle on the shard key, then shard-LOCAL
+    rank windows (no global ordering, no single-partition exchange); shards
+    are written as independent files and consumed in (pos, shard) order.
+    Re-running on any cluster size reproduces the identical order.
+
+    Output: (id, shard, pos) — pos is 0-based within the shard.
+    """
+    from pyspark.sql import Window
+
+    h = order_scramble(id_col, seed)
+    w = Window.partitionBy("shard").orderBy("ord", id_col)
+    return (
+        df.select(F.col(id_col), h.alias("ord"))
+        .withColumn("shard", F.pmod(F.col("ord"), F.lit(n_shards)).cast("int"))
+        .withColumn("pos", (F.row_number().over(w) - 1).cast("long"))
+        .select(id_col, "shard", "pos")
+    )
+
+
+def order_scramble_sql(id_col: str, seed: int = 0) -> str:
+    """DuckDB twin of :func:`order_scramble`."""
+    return (
+        f"(((CAST({id_col} AS BIGINT) + {seed * 7919}) % {HASH_MOD})"
+        f" * {HASH_MULT}) % {HASH_MOD}"
+    )
+
+
+def training_order_sql(
+    table: str = "documents", id_col: str = "doc_id", n_shards: int = 8, seed: int = 0
+) -> str:
+    """DuckDB twin of :func:`training_order`."""
+    h = order_scramble_sql(id_col, seed)
+    return f"""
+WITH h AS (SELECT {id_col}, {h} AS ord FROM {table}),
+s AS (SELECT {id_col}, ord, CAST(ord % {n_shards} AS INTEGER) AS shard FROM h)
+SELECT {id_col}, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, {id_col}) - 1 AS BIGINT) AS pos
+FROM s
+""".strip()

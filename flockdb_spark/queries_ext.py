@@ -1550,3 +1550,56 @@ def x49(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct",
         (F.row_number().over(w) == 1).cast("long").alias("is_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# x50 — PII redaction: the scrubbing pass before text leaves curation.  The
+# synthetic corpus carries no real PII, so both sides ENRICH each document
+# with deterministic planted PII (derived from doc_id) and the gate verifies
+# the full redact + audit-count path end-to-end with non-zero counts.
+# ---------------------------------------------------------------------------
+
+from .functions import pii  # noqa: E402 — grouped with its queries
+
+_X50_ENRICH_SQL = (
+    "text || ' contact doc' || CAST(doc_id AS VARCHAR) || '@example.com on 10.0.'"
+    " || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)"
+    " || ' tel 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+@query(
+    "x50_pii_redaction",
+    pii.redact_pii_sql(f"(SELECT doc_id, {_X50_ENRICH_SQL} AS text FROM documents)"),
+)
+def x50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com on 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit("."),
+            F.pmod(F.col("doc_id"), F.lit(100)).cast("string"),
+            F.lit(" tel 555-123-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return pii.redact_pii(enriched)
+
+
+# ---------------------------------------------------------------------------
+# x51 — deterministic training-order assignment: the reproducible global
+# pseudo-shuffle that replaces ORDER BY random() in the corpus→trainer
+# handoff (shard-local rank windows, no global sort).
+# ---------------------------------------------------------------------------
+
+
+@query("x51_training_order", splits.training_order_sql(n_shards=8, seed=1))
+def x51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return splits.training_order(
+        _read(spark, sf_dir, "documents"), n_shards=8, seed=1
+    )

@@ -760,3 +760,53 @@ def test_np_sign_bit_identical_to_expression_path(spark):
                 for r in npdf.where(F.col("tbl") == table).collect()
             }
             assert got_e == got_n, (mode, table)
+
+
+def test_pii_redaction_planted(spark):
+    """Each PII rule redacts its planted instance, counts audit the original
+    text, and clean text passes through byte-identical."""
+    from flockdb_spark.functions import pii
+
+    rows = [
+        (1, "write to alice.smith+x@ex-ample.co.uk today"),
+        (2, "server at 192.168.0.1 port 80"),
+        (3, "call 555-123-4567 now"),
+        (4, "nothing sensitive here at all"),
+        (5, "a@b.io and 10.0.0.254 and 123-456-7890"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in pii.redact_pii(docs).collect()}
+    assert out[1]["redacted"] == "write to <EMAIL> today"
+    assert out[1]["n_email"] == 1 and out[1]["n_ipv4"] == 0
+    assert out[2]["redacted"] == "server at <IP> port 80"
+    assert out[3]["redacted"] == "call <PHONE> now"
+    assert out[4]["redacted"] == rows[3][1]  # untouched
+    assert out[5]["redacted"] == "<EMAIL> and <IP> and <PHONE>"
+    assert (out[5]["n_email"], out[5]["n_ipv4"], out[5]["n_phone"]) == (1, 1, 1)
+
+
+def test_training_order_deterministic_and_well_formed(spark):
+    """training_order: every row lands in exactly one (shard, pos) slot, pos
+    is dense per shard, the assignment is identical across invocations, and
+    changing the seed permutes the order."""
+    from flockdb_spark.functions import splits
+
+    docs = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = splits.training_order(docs, n_shards=4, seed=1).collect()
+    assert len(a) == 500
+    by_shard = {}
+    for r in a:
+        assert 0 <= r["shard"] < 4
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))  # dense 0-based ranks
+    b = {(r["doc_id"], r["shard"], r["pos"]) for r in
+         splits.training_order(docs, n_shards=4, seed=1).collect()}
+    assert b == {(r["doc_id"], r["shard"], r["pos"]) for r in a}
+    c = {(r["doc_id"], r["shard"], r["pos"]) for r in
+         splits.training_order(docs, n_shards=4, seed=2).collect()}
+    assert c != b  # seed changes the order
+    # and the order is actually mixed, not id-sorted within shards
+    shard0 = sorted(((r["pos"], r["doc_id"]) for r in a if r["shard"] == 0))
+    ids_in_order = [d for _, d in shard0]
+    assert ids_in_order != sorted(ids_in_order)
