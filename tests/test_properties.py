@@ -204,3 +204,67 @@ def test_flat_tree_equals_join_composition(spark, tree):
     with mock.patch.object(A, "flat_ids", lambda *_: None):  # force fallback
         joined = {r["id"] for r in tree.ids(store).collect()}
     assert flat == joined
+
+
+# --- batch_flat_pages vs per-tree evaluation (R18 one-scan batch) ----------
+
+_node_strategy = st_.deferred(
+    lambda: st_.one_of(
+        st_.builds(
+            lambda s: ("simple", s), st_.integers(min_value=1, max_value=4)
+        ),
+        st_.tuples(
+            st_.sampled_from(["and", "or", "diff"]), _node_strategy, _node_strategy
+        ),
+    )
+)
+
+
+def _build_tree(spec):
+    from flockdb_spark.operators.algebra import (
+        Difference, Intersection, Simple, Term, Union,
+    )
+
+    if spec[0] == "simple":
+        return Simple(Term(1, spec[1]))
+    kind, l, r = spec
+    cls = {"and": Intersection, "or": Union, "diff": Difference}[kind]
+    return cls(_build_tree(l), _build_tree(r))
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st_.lists(_node_strategy, min_size=1, max_size=4),
+    st_.integers(min_value=1, max_value=5),
+)
+def test_batch_flat_pages_matches_per_tree_ids(spark, specs, page_count):
+    """For ANY batch of random set-op trees, the one-scan batched pages must
+    equal each tree's independent evaluation, top-page_count ids DESC."""
+    from flockdb_spark.graph import EdgeStore
+    from flockdb_spark.operators.algebra import Intersection, Union, Difference
+    from flockdb_spark.operators.batch import batch_flat_pages
+    from conftest import edge_rows_df
+
+    rows = []
+    for s in range(1, 5):
+        for d in range(10, 10 + 2 * s):
+            rows.append((1, s, d, d * 10, 100, 0))
+    store = EdgeStore.from_edges(spark, edge_rows_df(spark, rows))
+
+    trees = [_build_tree(sp) for sp in specs]
+    compound = [
+        (t, i) for i, t in enumerate(trees)
+        if isinstance(t, (Intersection, Union, Difference))
+    ]
+    if not compound:
+        return  # batch_flat_pages only takes compound roots (facade falls back)
+    df = batch_flat_pages(store, [(t, page_count) for t, _ in compound])
+    assert df is not None
+    got: dict[int, list[int]] = {}
+    for r in df.collect():
+        got.setdefault(r["qix"], []).append(r["id"])
+    for qix, (tree, _) in enumerate(compound):
+        expect = sorted(
+            (r["id"] for r in tree.ids(store).collect()), reverse=True
+        )[: page_count + 1]
+        assert sorted(got.get(qix, []), reverse=True) == expect, (qix, tree)
