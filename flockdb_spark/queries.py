@@ -64,6 +64,8 @@ def store_for(spark: SparkSession, sf_dir: str) -> EdgeStore:
     plans should look the same.
     """
     st = _STORES.get(sf_dir)
+    if st is not None and st.edges.sparkSession is not spark:
+        st = None  # stale session (defensive: a restarted driver session)
     if st is None:
         st = EdgeStore.from_sf_dir(spark, sf_dir)
         st.edges = st.edges.localCheckpoint(eager=True)

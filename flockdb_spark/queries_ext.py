@@ -606,7 +606,7 @@ FROM documents
 )
 def x11(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
-    return docs.select("doc_id", text.fingerprint("text").alias("fp"))
+    return docs.select("doc_id", text.fingerprint_vectorized("text").alias("fp"))
 
 
 # ---------------------------------------------------------------------------

