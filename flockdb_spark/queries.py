@@ -620,9 +620,12 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty_edges = empty_df(spark, EDGE_SCHEMA)
     empty_md = empty_df(spark, METADATA_SCHEMA)
     # fresh-store replay: every row is batch rows, so the touched-key
-    # split would be three dead shuffles (see apply_oplog docstring)
+    # split would be three dead shuffles (see apply_oplog docstring), and
+    # every key carries its full op history, which is the sort strategy's
+    # shape (spillable window instead of per-key collect_list arrays)
     merged, _ = apply_oplog(
-        empty_edges, empty_md, ops, has_mass=False, split_untouched=False
+        empty_edges, empty_md, ops, has_mass=False, split_untouched=False,
+        merge_strategy="sort",
     )
     return merged.select(*EDGE_COLUMNS)
 
