@@ -339,12 +339,15 @@ def lsh_plane_sign_sql(list_expr: str, p: int, dims: int) -> str:
     )
 
 
-def lsh_bucket_sql(list_expr: str, planes: int, dims: int) -> str:
-    """DuckDB twin of the full portable hyperplane signature."""
+def lsh_bucket_sql(list_expr: str, planes: int, dims: int, table: int = 0) -> str:
+    """DuckDB twin of the full portable hyperplane signature.  ``table``
+    selects the same independent per-table hyperplane set as
+    ``hyperplane_signature(table=t)``: global plane index ``t·planes + p``
+    seeds the sign pattern, bit position stays local ``p``."""
     if planes == 0:
         return "CAST(0 AS BIGINT)"
     terms = [
-        f"(CASE WHEN {lsh_plane_sign_sql(list_expr, p, dims)} > 0 "
+        f"(CASE WHEN {lsh_plane_sign_sql(list_expr, table * planes + p, dims)} > 0 "
         f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
         for p in range(planes)
     ]

@@ -1603,3 +1603,84 @@ def x51(spark: SparkSession, sf_dir: str) -> DataFrame:
     return splits.training_order(
         _read(spark, sf_dir, "documents"), n_shards=8, seed=1
     )
+
+
+# ---------------------------------------------------------------------------
+# x52/x53 — the PRODUCTION multi-table LSH paths, oracle-gated.  x06/x18
+# gate the single-table (L=1) special case; RECALL.md shows production
+# recall comes from OR-amplification across L independent hyperplane
+# tables (recall 1-(1-p)^L).  These gates pin the L>1 machinery itself —
+# per-table signing, cross-table candidate union, dedup-before-rank —
+# against a DuckDB twin that replays every table (UNION ALL of the
+# per-table portable bucket assignments).
+# ---------------------------------------------------------------------------
+
+_X52_TABLES = 3
+
+
+def _multi_sig_cte(planes: int, n_tables: int) -> str:
+    """sig CTE: (vec_id, ev, tbl, bucket) for every (row, table)."""
+    selects = [
+        f"SELECT vec_id, ev, {t} AS tbl, "
+        f"CAST({similarity.lsh_bucket_sql('ev', planes, 64, table=t)} AS BIGINT) AS bucket "
+        "FROM v"
+        for t in range(n_tables)
+    ]
+    return "sig AS (\n" + "\nUNION ALL\n".join(selects) + "\n)"
+
+
+@query(
+    "x52_lsh_ann_multitable",
+    f"""
+WITH v AS (SELECT vec_id, {_QUANT} AS ev FROM embeddings),
+{_multi_sig_cte(_X06_PLANES, _X52_TABLES)},
+q AS (
+  SELECT vec_id AS query_id, ev AS qv, tbl AS qtbl, bucket AS qbucket FROM sig
+  WHERE vec_id IN ({", ".join(map(str, ANN_QUERY_IDS))})
+),
+cand AS (
+  SELECT DISTINCT query_id, s.vec_id AS neighbor_id
+  FROM sig s JOIN q ON s.bucket = q.qbucket AND s.tbl = q.qtbl
+  WHERE s.vec_id <> q.query_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         CAST(list_dot_product(qc.ev, nc.ev) AS BIGINT) AS dot_micro2
+  FROM cand
+  JOIN v qc ON qc.vec_id = cand.query_id
+  JOIN v nc ON nc.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, dot_micro2,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY dot_micro2 DESC, neighbor_id ASC
+       ) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 10
+""",
+)
+def x52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.lsh_ann_topk(
+        emb, ANN_QUERY_IDS, k=10, planes=_X06_PLANES, hash_mode="portable",
+        n_tables=_X52_TABLES,
+    )
+
+
+@query(
+    "x53_lsh_neardup_multitable",
+    f"""
+WITH v AS (SELECT vec_id, {_QUANT} AS ev FROM embeddings),
+{_multi_sig_cte(_X18_PLANES, _X52_TABLES)}
+SELECT DISTINCT a.vec_id AS a, b.vec_id AS b,
+       CAST(list_dot_product(a.ev, b.ev) AS BIGINT) AS dot_micro2
+FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                     AND a.vec_id < b.vec_id
+WHERE CAST(list_dot_product(a.ev, b.ev) AS BIGINT) >= 450000000000
+""",
+)
+def x53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.lsh_neardup_pairs(
+        emb, threshold=0.45, planes=_X18_PLANES, hash_mode="portable",
+        n_tables=_X52_TABLES,
+    )
