@@ -597,3 +597,88 @@ def lsh_ann_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot_micro2"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("int")).where(F.col("rank") <= k)
+
+
+def _np_int8(mat_micro):
+    """Symmetric per-vector int8 quantization of a (n, dims) micro-int
+    matrix: scale = max|component|, q = trunc(x·127/scale) ∈ [-127, 127].
+    Trunc-toward-zero (sign·(|x|·127 // scale)) so the DuckDB twin's integer
+    division (which truncates) reproduces every code exactly."""
+    import numpy as np
+
+    amax = np.abs(mat_micro).max(axis=1)
+    safe = np.where(amax == 0, 1, amax)
+    q = np.sign(mat_micro) * (np.abs(mat_micro) * 127 // safe[:, None])
+    return q.astype(np.int64), amax.astype(np.int64)
+
+
+def int8_ann_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k ANN over int8-QUANTIZED vectors — the storage/IO scale lever
+    that precedes any indexing: a 100 TB float32 embedding store shrinks 4×
+    (16× vs the micro-int64 working form) with ~1% cosine error, so scans,
+    shuffles, and cache working sets all shrink with it.  This operator is
+    the exact-arithmetic model of that path: symmetric per-vector int8 codes
+    (scale = max|component|), int64 GEMM on the codes, and the score
+    rescaled back to micro² units as trunc(dot·scale_a·scale_b / 127²) — all
+    integer, so the DuckDB oracle agrees bit-for-bit and the top-k is
+    deterministic.
+
+    Same physical shape as :func:`brute_force_topk` (broadcast query codes,
+    per-partition GEMM, local top-k before the global window); composes with
+    the LSH/IVF bucketing above when the corpus also needs candidate
+    pruning.  Output: (query_id, neighbor_id, dot_rec_micro2, rank).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    q_rows = (
+        emb.where(F.col(id_col).isin([int(i) for i in query_ids]))
+        .select(id_col, vec_col)
+        .collect()
+    )
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q8, q_amax = _np_int8(_np_quantize(pd.Series([r[vec_col] for r in q_rows])))
+    bc = emb.sparkSession.sparkContext.broadcast((q_ids, q8, q_amax))
+
+    def score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        qids, qmat, qam = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            e_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            e8, e_amax = _np_int8(_np_quantize(pdf[vec_col]))
+            sdot = e8 @ qmat.T  # (n, n_q) int64 code dot — exact
+            # rescale to micro^2; trunc-toward-zero to match SQL `//`
+            num = sdot * e_amax[:, None] * qam[None, :]
+            rec = np.sign(num) * (np.abs(num) // (127 * 127))
+            out = pd.DataFrame(
+                {
+                    "query_id": np.repeat(qids, len(e_ids)),
+                    "neighbor_id": np.tile(e_ids, len(qids)),
+                    "dot_rec_micro2": rec.T.reshape(-1),
+                }
+            )
+            out = out[out.query_id != out.neighbor_id]
+            out = out.sort_values(
+                ["query_id", "dot_rec_micro2", "neighbor_id"],
+                ascending=[True, False, True],
+            )
+            yield out.groupby("query_id", sort=False).head(k)
+
+    scored = emb.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, dot_rec_micro2 long"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("dot_rec_micro2"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )

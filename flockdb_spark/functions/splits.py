@@ -219,3 +219,164 @@ SELECT {id_col}, shard,
        CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, {id_col}) - 1 AS BIGINT) AS pos
 FROM s
 """.strip()
+
+
+def temperature_sample(
+    docs: DataFrame,
+    target_per_mille: int = 500,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-rebalanced corpus sampling (α = 1/2): the standard
+    data-mixing move that flattens a skewed source distribution — each
+    source's share of the sampled corpus is ∝ √n_s instead of ∝ n_s, so
+    dominant sources are downsampled hardest and small sources keep most
+    of their rows (the multilingual-sampling recipe of GPT/XLM-style mixes,
+    applied to sources).
+
+    Entirely integer/portable arithmetic so the DuckDB twin is byte-exact:
+    weights w_s = isqrt(n_s) (floor of the IEEE sqrt — exact for any
+    realistic count), per-source quota q_s = T·w_s / Σw with
+    T = total·target_per_mille/1000, keep rate r_s = min(1000, 1000·q_s/n_s)
+    per mille, and the row-level keep decision is the same content-hash
+    bucket as every sampler here (``split_bucket(id) < r_s``) — stable
+    across engines, runs, and cluster sizes.
+
+    Plan shape: one tiny per-source count aggregation, a 1-row total
+    cross-joined onto it (both driver-sized), then ONE broadcast join of the
+    rate table back onto the corpus and a map-side filter — the fact table
+    never shuffles.  Downsample-only by design (rates cap at 1000); epoch
+    upsampling composes via ``mixture_upsample``.
+
+    Output: kept rows (id, source, bucket, keep_per_mille).
+    """
+    counts = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    counts = counts.withColumn("w", F.floor(F.sqrt(F.col("n_docs"))).cast("long"))
+    totals = counts.agg(
+        F.sum("n_docs").alias("_total"), F.sum("w").alias("_sumw")
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(totals))
+        # pure int64 arithmetic (`div`), matching the SQL twin's `//` exactly
+        .withColumn(
+            "_quota",
+            F.expr(
+                f"((_total * {int(target_per_mille)}) div 1000) * w div _sumw"
+            ),
+        )
+        .withColumn(
+            "keep_per_mille",
+            F.least(F.lit(1000).cast("long"), F.expr("(1000 * _quota) div n_docs")),
+        )
+        .select("source", "keep_per_mille")
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("source"))
+        .withColumn("bucket", split_bucket("doc_id"))
+        .join(F.broadcast(rates), "source")
+        .where(F.col("bucket") < F.col("keep_per_mille"))
+        .select("doc_id", "source", "bucket", "keep_per_mille")
+    )
+
+
+def temperature_sample_sql(
+    table: str = "documents",
+    target_per_mille: int = 500,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`temperature_sample` (``//`` is DuckDB's integer
+    division, matching the Spark casts' truncation on these all-positive
+    operands)."""
+    bucket = split_bucket_sql(id_col)
+    return f"""
+WITH counts AS (
+  SELECT {source_col} AS source, count(*) AS n_docs,
+         CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+  FROM {table} GROUP BY {source_col}
+),
+tot AS (SELECT sum(n_docs) AS _total, sum(w) AS _sumw FROM counts),
+rates AS (
+  SELECT source,
+         least(1000, (1000 * (((_total * {int(target_per_mille)}) // 1000) * w // _sumw)) // n_docs)
+           AS keep_per_mille
+  FROM counts, tot
+)
+SELECT {id_col} AS doc_id, d.{source_col} AS source,
+       CAST({bucket} AS BIGINT) AS bucket, keep_per_mille
+FROM {table} d JOIN rates ON d.{source_col} = rates.source
+WHERE {bucket} < keep_per_mille
+""".strip()
+
+
+def select_top_quality(
+    docs: DataFrame,
+    keep_per_mille: int = 300,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-ranked data selection: keep the best ``keep_per_mille``‰ of
+    each source's documents by a cheap integer quality score — the
+    filter-by-quality-percentile pass of a curation pipeline (select the
+    top 30% of web text, per domain, before training).
+
+    Score: lexical-diversity micro-ratio ``n_distinct·10⁶ div n_tokens``
+    (the same signal x19's quality gate thresholds absolutely; here it
+    ranks RELATIVELY within the source, which adapts to each source's
+    score distribution instead of one global cutoff).  Ties break on the
+    lower doc id, making the kept set exactly reproducible.
+
+    Shape: score is computed map-side; one shuffle partitions by source and
+    ranks with a window; the per-source keep count is ceil(n_s·k/1000).
+    At 100 TB a source is millions of rows and the full per-source sort is
+    the honest cost of exact percentile selection; the cheaper approximate
+    path — per-source score threshold from ``stats.grouped_quantiles``,
+    then a map-side filter — trades exact counts for zero sorting and is
+    the drop-in alternative when ties/count-exactness don't matter.
+
+    Output: (doc_id, source, score_micro, q_rank) for kept rows.
+    """
+    from pyspark.sql import Window
+
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.expr(
+            f"size(array_distinct(split({text_col}, ' '))) * 1000000 "
+            f"div size(split({text_col}, ' '))"
+        ).alias("score_micro"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    nw = Window.partitionBy("source")
+    return (
+        scored.withColumn("q_rank", F.row_number().over(w).cast("long"))
+        .withColumn("_n", F.count(F.lit(1)).over(nw))
+        .where(
+            F.col("q_rank")
+            <= F.expr(f"(_n * {int(keep_per_mille)} + 999) div 1000")
+        )
+        .select("doc_id", "source", "score_micro", "q_rank")
+    )
+
+
+def select_top_quality_sql(
+    table: str = "documents", keep_per_mille: int = 300
+) -> str:
+    """DuckDB twin of :func:`select_top_quality`."""
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         length(list_distinct(string_split(text, ' '))) * 1000000
+           // length(string_split(text, ' ')) AS score_micro
+  FROM {table}
+)
+SELECT doc_id, source, score_micro,
+       CAST(row_number() OVER (
+         PARTITION BY source ORDER BY score_micro DESC, doc_id ASC
+       ) AS BIGINT) AS q_rank
+FROM scored
+QUALIFY q_rank <= (count(*) OVER (PARTITION BY source) * {int(keep_per_mille)} + 999) // 1000
+""".strip()

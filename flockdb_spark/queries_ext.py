@@ -1684,3 +1684,78 @@ def x53(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, threshold=0.45, planes=_X18_PLANES, hash_mode="portable",
         n_tables=_X52_TABLES,
     )
+
+
+# ---------------------------------------------------------------------------
+# x54 — temperature-rebalanced sampling (α=1/2): source share ∝ √n_s, the
+# data-mixing flattening move.  All-integer quotas/rates + the portable id
+# hash make the kept set byte-exact across engines.
+# ---------------------------------------------------------------------------
+
+
+@query("x54_temperature_sample", splits.temperature_sample_sql(target_per_mille=500))
+def x54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return splits.temperature_sample(
+        _read(spark, sf_dir, "documents"), target_per_mille=500
+    )
+
+
+# ---------------------------------------------------------------------------
+# x55 — quality-percentile data selection: keep the top 30% of each source
+# by the lexical-diversity score, exact per-source counts, reproducible
+# tie-breaks.
+# ---------------------------------------------------------------------------
+
+
+@query("x55_select_top_quality", splits.select_top_quality_sql(keep_per_mille=300))
+def x55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return splits.select_top_quality(
+        _read(spark, sf_dir, "documents"), keep_per_mille=300
+    )
+
+
+# ---------------------------------------------------------------------------
+# x56 — int8-quantized ANN: the 4× storage/IO compression path for a 100 TB
+# embedding store, modeled with exact integer codes so the reconstruction
+# arithmetic itself is oracle-checked (not just the plumbing).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x56_int8_ann",
+    f"""
+WITH v AS (SELECT vec_id, {_QUANT} AS ev FROM embeddings),
+qz AS (
+  SELECT vec_id, ev,
+         CAST(list_max(list_transform(ev, x -> abs(x))) AS BIGINT) AS amax
+  FROM v
+),
+q8 AS (
+  -- _QUANT's round() yields DOUBLEs: cast each element to BIGINT so the
+  -- division is integer (trunc-toward-zero), matching the numpy codes
+  SELECT vec_id, amax,
+         list_transform(ev, x -> (CAST(x AS BIGINT) * 127)
+           // CASE WHEN amax = 0 THEN 1 ELSE amax END) AS qv
+  FROM qz
+),
+qq AS (
+  SELECT vec_id AS query_id, amax AS qamax, qv AS qqv FROM q8
+  WHERE vec_id IN ({", ".join(map(str, ANN_QUERY_IDS))})
+),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         (CAST(list_dot_product(qqv, c.qv) AS BIGINT) * qamax * c.amax) // 16129
+           AS dot_rec_micro2
+  FROM q8 c, qq WHERE c.vec_id <> query_id
+)
+SELECT query_id, neighbor_id, dot_rec_micro2,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY dot_rec_micro2 DESC, neighbor_id ASC
+       ) AS INTEGER) AS rank
+FROM scored
+QUALIFY rank <= 10
+""",
+)
+def x56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.int8_ann_topk(emb, ANN_QUERY_IDS, k=10)
