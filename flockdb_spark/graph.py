@@ -68,15 +68,23 @@ class EdgeStore:
         two MySQL indexes (``SqlShard.scala:64-67``, §4 of SURVEY.md):
 
         - partitioned by graph_id → partition pruning ≙ per-graph tables
-        - sorted within files by (source_id, position) → parquet min/max
-          row-group skipping ≙ the PRIMARY (source_id, state, position) index
+        - RANGE-partitioned then sorted by (source_id, position) → each file
+          (and row group) covers a narrow, disjoint source_id range, so
+          parquet min/max stats skip everything but the probed range ≙ the
+          PRIMARY (source_id, state, position) index.  (Hash repartition
+          here would scatter every source range across all files and reduce
+          the stats to full-range no-ops — a point read would touch every
+          file.)
         - optional bucketing by source_id (saveAsTable) → shuffle-free
-          co-located joins on source_id at cluster scale
+          co-located joins on source_id at cluster scale.  The bucketed
+          layout trades point-read pruning for join co-location; a
+          deployment wanting both writes the range layout and the bucketed
+          twin, as the reference maintains both of its indexes.
         """
-        df = self.edges.repartition("graph_id", "source_id").sortWithinPartitions(
-            "source_id", "position"
-        )
         if buckets and table:
+            df = self.edges.repartition("graph_id", "source_id").sortWithinPartitions(
+                "source_id", "position"
+            )
             (
                 df.write.mode("overwrite")
                 .partitionBy("graph_id")
@@ -86,7 +94,14 @@ class EdgeStore:
                 .saveAsTable(table)
             )
         else:
-            df.select(*EDGE_COLUMNS).write.mode("overwrite").partitionBy("graph_id").parquet(path)
+            (
+                self.edges.repartitionByRange("graph_id", "source_id")
+                .sortWithinPartitions("source_id", "position")
+                .select(*EDGE_COLUMNS)
+                .write.mode("overwrite")
+                .partitionBy("graph_id")
+                .parquet(path)
+            )
 
     def write_backward_twin(self, path: str) -> None:
         """The optional performance twin for backward-heavy workloads

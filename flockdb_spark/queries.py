@@ -12,7 +12,10 @@ every scale factor.
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -27,7 +30,14 @@ from .plans.compiler import (
     SelectOperation,
     SelectOperationType,
 )
-from .schema import EDGE_COLUMNS, EDGE_SCHEMA, METADATA_SCHEMA, empty_df, local_df
+from .schema import (
+    EDGE_COLUMNS,
+    EDGE_SCHEMA,
+    METADATA_COLUMNS,
+    METADATA_SCHEMA,
+    empty_df,
+    local_df,
+)
 from .sources.edges import _read, build_edges, build_metadata, with_fixture_ctes
 
 # supplier pairs for the set-op queries (graph 3 is the only graph whose
@@ -51,25 +61,71 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
-def store_for(spark: SparkSession, sf_dir: str) -> EdgeStore:
-    """Memoized fixture store, materialized ONCE per sf_dir.
+#: bump when the store derivation (sources/edges.py build_edges /
+#: build_metadata) or the persisted layout shape changes — the cache tag
+#: includes it, so stale layouts from older code are never read
+_LAYOUT_VERSION = 1
 
-    ``localCheckpoint`` (eager) truncates the derivation lineage — the
-    union-of-three-graphs build plus the g3 LWW window (sources/edges.py) —
-    so every gate query's physical plan starts from the materialized edge
-    table instead of replaying the derivation's shuffles per call.  This is
-    the in-session analogue of the production layout: a real deployment
-    reads ``write_optimized`` parquet (one index-shaped scan per query,
-    mirroring the reference's ``shards/SqlShard.scala:64-67``), and the gate
-    plans should look the same.
+
+def _store_cache_dir(sf_dir: str) -> Path:
+    """Per-sf_dir location of the persisted index-shaped store layout."""
+    root = os.environ.get(
+        "FLOCKDB_STORE_CACHE",
+        str(Path(__file__).resolve().parents[1] / "spark-warehouse" / "store_cache"),
+    )
+    key = f"{Path(sf_dir).resolve()}|v{_LAYOUT_VERSION}"
+    tag = hashlib.sha1(key.encode()).hexdigest()[:8]
+    return Path(root) / f"{Path(sf_dir).name}-{tag}"
+
+
+def store_for(spark: SparkSession, sf_dir: str) -> EdgeStore:
+    """Memoized fixture store, materialized ONCE per sf_dir — THROUGH the
+    production layout.
+
+    The derived store (union-of-three-graphs build plus the g3 LWW window,
+    sources/edges.py) is written once per sf_dir via
+    ``EdgeStore.write_optimized`` — graph_id-partitioned, source-RANGE
+    clustered, position-sorted parquet, the engine's replacement for the
+    reference's PRIMARY (source_id, state, position) index
+    (``shards/SqlShard.scala:64-67``) — and every gate query then plans a
+    plain pruned parquet scan: partition pruning on graph_id, min/max
+    file/row-group skipping on source_id.  A point read touches one file
+    instead of the whole table, exactly as it would on the cluster; an
+    in-memory ``localCheckpoint`` (the previous shape) serves the same rows
+    but cannot prune, so every point read paid a full-table scan.
+    Metadata persists alongside (graph_id-partitioned, source-sorted).
     """
     st = _STORES.get(sf_dir)
     if st is not None and st.edges.sparkSession is not spark:
         st = None  # stale session (defensive: a restarted driver session)
     if st is None:
-        st = EdgeStore.from_sf_dir(spark, sf_dir)
-        st.edges = st.edges.localCheckpoint(eager=True)
-        st.metadata = build_metadata(spark, sf_dir, st.edges).localCheckpoint(eager=True)
+        base = _store_cache_dir(sf_dir)
+        epath, mpath = base / "edges", base / "metadata"
+        if not ((epath / "_SUCCESS").exists() and (mpath / "_SUCCESS").exists()):
+            # build into a scratch dir, then one atomic rename publishes both
+            # tables — a concurrent builder loses the rename and reads the
+            # winner's layout; a killed builder leaves only scratch debris
+            tmp = base.with_name(base.name + f".tmp-{os.getpid()}")
+            built = EdgeStore.from_sf_dir(spark, sf_dir)
+            built.edges = built.edges.localCheckpoint(eager=True)
+            built.write_optimized(str(tmp / "edges"))
+            (
+                build_metadata(spark, sf_dir, built.edges)
+                .repartitionByRange("graph_id", "source_id")
+                .sortWithinPartitions("source_id")
+                .select(*METADATA_COLUMNS)
+                .write.mode("overwrite")
+                .partitionBy("graph_id")
+                .parquet(str(tmp / "metadata"))
+            )
+            try:
+                os.rename(tmp, base)
+            except OSError:
+                import shutil
+
+                shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+        st = EdgeStore.read_optimized(spark, str(epath))
+        st.metadata = spark.read.parquet(str(mpath)).select(*METADATA_COLUMNS)
         _STORES[sf_dir] = st
     return st
 
