@@ -93,10 +93,12 @@ def sequenced_merge(
       REPLAY / fresh-shard copy shape (the reference's ``jobs/Copy.scala``
       target side): every key carries its full op history, so the fold
       path's per-key ``collect_list`` array is as deep as the history
-      (unbounded driver-of-OOM at 100 TB), while the window path rides
+      (unbounded executor-OOM risk at 100 TB), while the window path rides
       Spark's spillable external sort and keeps per-row state O(1).
-      Also measured 1.7× faster at sf1.0 on the 256-key full-replay
-      fixture (q17): interpreted HOF fold 1.01 s → codegen window 0.59 s.
+      Pick it for SAFETY at depth, not speed: on the local fixtures the
+      fold is faster at every SF tried (clean alternating A/B at sf1.0:
+      fold 0.58 s, sort 0.82 s — the window's full sort costs more than
+      the interpreted fold while per-key arrays still fit comfortably).
     """
     unioned = existing.select(*EDGE_COLUMNS).unionByName(writes.select(*EDGE_COLUMNS))
     if strategy == "sort":

