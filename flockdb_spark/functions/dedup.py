@@ -202,6 +202,34 @@ def minhash_signatures(
     )
 
 
+def minhash_band_buckets(
+    sig: DataFrame, num_hashes: int, bands: int, hash_mode: str = "xxhash64"
+) -> DataFrame:
+    """(doc_id, band, bucket) — each signature exploded into its LSH band
+    buckets (rows = num_hashes/bands positions per band).  Portable mode
+    keys the bucket on the band's literal value tuple so a SQL oracle can
+    re-derive it; production mode compresses it through xxhash64."""
+    rows = num_hashes // bands
+
+    def band_bucket(bi: int) -> F.Column:
+        cols = [F.col("sig")[bi * rows + r] for r in range(rows)]
+        if hash_mode == "portable":
+            return F.concat_ws("|", *[c.cast("string") for c in cols])
+        return F.xxhash64(*cols).cast("string")
+
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(bi).alias("band"), band_bucket(bi).alias("bucket"))
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     num_hashes: int = 32,
@@ -224,27 +252,9 @@ def minhash_lsh_candidates(
     build it: the portable mode keys buckets on the band's literal value
     tuple (engine-portable) instead of an xxhash64 of it.
     """
-    rows = num_hashes // bands
     if sig is None:
         sig = minhash_signatures(df, num_hashes, n, text_col, id_col, hash_mode)
-
-    def band_bucket(bi: int) -> F.Column:
-        cols = [F.col("sig")[bi * rows + r] for r in range(rows)]
-        if hash_mode == "portable":
-            return F.concat_ws("|", *[c.cast("string") for c in cols])
-        return F.xxhash64(*cols).cast("string")
-
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(bi).alias("band"), band_bucket(bi).alias("bucket"))
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = minhash_band_buckets(sig, num_hashes, bands, hash_mode)
     a = banded.select(F.col("doc_id").alias("a"), "band", "bucket")
     b = banded.select(F.col("doc_id").alias("b"), "band", "bucket")
     return (
@@ -479,6 +489,77 @@ def decontaminate(
             "doc_id",
             F.coalesce("n_eval_shingles", F.lit(0)).alias("n_eval_shingles"),
             (F.coalesce("n_eval_shingles", F.lit(0)) >= min_hits)
+            .cast("long")
+            .alias("is_contaminated"),
+        )
+    )
+
+
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    min_est_jaccard_micro: int = 500_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """FUZZY benchmark decontamination: flag training documents whose
+    MinHash-estimated Jaccard against ANY evaluation document reaches
+    ``min_est_jaccard_micro`` — the leakage gate for eval items that were
+    paraphrased, truncated, or lightly edited into the corpus, which the
+    exact n-gram gate (:func:`decontaminate`) misses as soon as one token
+    differs per shingle window.
+
+    Scale shape mirrors :func:`decontaminate`: the eval side is benchmarks
+    (thousands of rows), so its signatures AND band buckets broadcast; the
+    corpus is signed in one explode+groupBy pass, its band buckets join
+    map-side, and only candidate (train, eval) pairs — not the corpus —
+    reach the signature-compare stage.  Output: every training doc as
+    (doc_id, n_flagged_evals, max_est_jaccard_micro, is_contaminated),
+    zero-filled, same downstream-filter contract as the exact gate.
+    """
+    sig_t = minhash_signatures(docs, num_hashes, n, text_col, id_col, hash_mode)
+    sig_e = minhash_signatures(eval_docs, num_hashes, n, text_col, id_col, hash_mode)
+    banded_t = minhash_band_buckets(sig_t, num_hashes, bands, hash_mode)
+    banded_e = minhash_band_buckets(sig_e, num_hashes, bands, hash_mode).select(
+        F.col("doc_id").alias("eval_id"), "band", "bucket"
+    )
+    cand = (
+        banded_t.join(F.broadcast(banded_e), ["band", "bucket"])
+        .select("doc_id", "eval_id")
+        .distinct()
+    )
+    sa = sig_t.select("doc_id", F.col("sig").alias("sig_t"))
+    se = sig_e.select(F.col("doc_id").alias("eval_id"), F.col("sig").alias("sig_e"))
+    est = (
+        cand.join(sa, "doc_id")
+        .join(F.broadcast(se), "eval_id")
+        .withColumn(
+            "_m",
+            F.size(
+                F.filter(F.zip_with("sig_t", "sig_e", lambda x, y: x == y), lambda m: m)
+            ).cast("long"),
+        )
+        .withColumn("_est", F.expr(f"(_m * 1000000) div {num_hashes}"))
+        .where(F.col("_est") >= min_est_jaccard_micro)
+    )
+    hits = est.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_flagged_evals"),
+        F.max("_est").alias("max_est_jaccard_micro"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_flagged_evals", F.lit(0)).alias("n_flagged_evals"),
+            F.coalesce("max_est_jaccard_micro", F.lit(0)).alias(
+                "max_est_jaccard_micro"
+            ),
+            (F.coalesce("n_flagged_evals", F.lit(0)) >= 1)
             .cast("long")
             .alias("is_contaminated"),
         )

@@ -1759,3 +1759,81 @@ QUALIFY rank <= 10
 def x56(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return similarity.int8_ann_topk(emb, ANN_QUERY_IDS, k=10)
+
+
+# ---------------------------------------------------------------------------
+# x57 — FUZZY decontamination: MinHash-LSH across corpora (train vs eval),
+# catching paraphrased/truncated eval leakage the exact shingle gate (x34)
+# misses.  Fixture: eval = planted 2-words-dropped rephrasings of every
+# 50th train doc; the gate must flag exactly those sources.  Portable hash
+# mode lets the oracle re-derive signatures, band buckets, the cross-corpus
+# candidate join, and the flagged-count rollup value-for-value.
+# ---------------------------------------------------------------------------
+
+_X57_THRESH = 500_000
+
+
+def _fuzzy_decon_oracle_sql() -> str:
+    rows = _NH // _BANDS
+    fp = text.portable_hash_sql("shingle")
+    hs = ", ".join(f"min({dedup.uh_sql('f', i)}) AS h{i}" for i in range(_NH))
+
+    def band_rows(sig_cte: str) -> str:
+        return "\n  UNION ALL ".join(
+            f"SELECT doc_id, {bi} AS band, concat_ws('|', "
+            + ", ".join(f"h{bi * rows + r}" for r in range(rows))
+            + f") AS bucket FROM {sig_cte}"
+            for bi in range(_BANDS)
+        )
+
+    matches = " + ".join(
+        f"(CASE WHEN st.h{i} = se.h{i} THEN 1 ELSE 0 END)" for i in range(_NH)
+    )
+    return f"""
+WITH {_planted_corpus_sql(2)},
+tsh AS (SELECT doc_id, unnest(list_distinct({_TRIGRAMS})) AS shingle FROM sub),
+esh AS (SELECT doc_id, unnest(list_distinct({_TRIGRAMS})) AS shingle FROM planted),
+tfp AS (SELECT doc_id, {fp} AS f FROM tsh),
+efp AS (SELECT doc_id, {fp} AS f FROM esh),
+tsig AS (SELECT doc_id, {hs} FROM tfp GROUP BY doc_id),
+esig AS (SELECT doc_id, {hs} FROM efp GROUP BY doc_id),
+tband AS ({band_rows('tsig')}),
+eband AS ({band_rows('esig')}),
+cand AS (
+  SELECT DISTINCT t.doc_id, e.doc_id AS eval_id
+  FROM tband t JOIN eband e ON t.band = e.band AND t.bucket = e.bucket
+),
+est AS (
+  SELECT cand.doc_id, (({matches}) * 1000000) // {_NH} AS est_micro
+  FROM cand
+  JOIN tsig st ON st.doc_id = cand.doc_id
+  JOIN esig se ON se.doc_id = cand.eval_id
+),
+flagged AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_flagged_evals,
+         CAST(max(est_micro) AS BIGINT) AS max_est_jaccard_micro
+  FROM est WHERE est_micro >= {_X57_THRESH} GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(f.n_flagged_evals, 0) AS n_flagged_evals,
+       coalesce(f.max_est_jaccard_micro, 0) AS max_est_jaccard_micro,
+       CAST(CASE WHEN coalesce(f.n_flagged_evals, 0) >= 1 THEN 1 ELSE 0 END AS BIGINT)
+         AS is_contaminated
+FROM sub d LEFT JOIN flagged f USING (doc_id)
+"""
+
+
+@query("x57_fuzzy_decontaminate", _fuzzy_decon_oracle_sql())
+def x57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    train = _docs_subset(spark, sf_dir).select("doc_id", "text")
+    w = F.split(F.col("text"), " ")
+    evald = train.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(w, 1, F.greatest(F.size(w) - 2, F.lit(1)))
+        ).alias("text"),
+    )
+    return dedup.fuzzy_decontaminate(
+        train, evald, num_hashes=_NH, bands=_BANDS,
+        min_est_jaccard_micro=_X57_THRESH, hash_mode="portable",
+    )

@@ -858,3 +858,32 @@ def test_training_order_deterministic_and_well_formed(spark):
     shard0 = sorted(((r["pos"], r["doc_id"]) for r in a if r["shard"] == 0))
     ids_in_order = [d for _, d in shard0]
     assert ids_in_order != sorted(ids_in_order)
+
+
+def test_fuzzy_decontaminate_catches_paraphrase(spark):
+    """The exact gate needs a full shingle window to survive verbatim; the
+    fuzzy gate must flag a train doc whose eval twin dropped trailing words
+    (production xxhash64 mode; the portable mode is oracle-gated as x57)."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    train = spark.createDataFrame(
+        [
+            (1, base),                                        # leaked (truncated twin below)
+            (2, "totally different words with zero shared trigram content here"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "alpha bravo charlie delta echo foxtrot golf hotel")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.fuzzy_decontaminate(
+            train, eval_docs, num_hashes=16, bands=8, min_est_jaccard_micro=400_000
+        ).collect()
+    }
+    assert out[1]["is_contaminated"] == 1
+    assert out[1]["n_flagged_evals"] == 1
+    assert out[1]["max_est_jaccard_micro"] >= 400_000
+    assert out[2]["is_contaminated"] == 0 and out[2]["max_est_jaccard_micro"] == 0
+    assert set(out) == {1, 2}
