@@ -87,3 +87,54 @@ def stream_curated_corpus(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_decontaminated_corpus(
+    spark: SparkSession,
+    source_path: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    eval_docs: DataFrame,
+    fuzzy: bool = True,
+    trigger_available_now: bool = True,
+    **decon_kwargs,
+):
+    """Ingest-time benchmark decontamination: JSONL landing zone → leakage
+    gate against a PINNED eval set → parquet of clean docs only.
+
+    A document's contamination verdict depends only on the document itself
+    and the (static, broadcast-sized) eval set — never on other corpus rows
+    — so the batch operators (``dedup.decontaminate`` /
+    ``dedup.fuzzy_decontaminate``) apply per micro-batch via ``foreachBatch``
+    with EXACTLY the batch semantics; stream output == batch output by
+    construction (pinned by test).  foreachBatch rather than a stateless
+    projection because the operators aggregate per-doc shingle/signature
+    rows — an aggregation within the batch, not across batches, which is
+    precisely the case the Structured Streaming guide routes through
+    foreachBatch.
+
+    Returns the started ``StreamingQuery``.
+    """
+    from ..functions import dedup
+    from ..sources.corpus import DOCUMENT_SCHEMA
+
+    gate = dedup.fuzzy_decontaminate if fuzzy else dedup.decontaminate
+
+    def process(batch_df, batch_id):
+        if not batch_df.take(1):
+            return
+        verdicts = gate(batch_df, eval_docs, **decon_kwargs)
+        clean = batch_df.join(
+            verdicts.where(F.col("is_contaminated") == 0).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        clean.write.mode("append").parquet(sink_path)
+
+    raw = spark.readStream.schema(DOCUMENT_SCHEMA).json(source_path)
+    writer = raw.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -486,3 +486,52 @@ def test_streaming_sessions_match_batch_x20_shape(spark, tmp_path):
         for r in batch.collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_streaming_decontamination_matches_batch(spark, tmp_path):
+    """Ingest-time fuzzy decontamination drops exactly the docs the batch
+    operator flags — per-batch verdicts depend only on the doc + the pinned
+    eval set, so stream == batch by construction."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from flockdb_spark.functions import dedup
+    from flockdb_spark.sources import corpus
+    from flockdb_spark.streaming.curation import stream_decontaminated_corpus
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = [
+        {"doc_id": 1, "text": base, "lang": "en", "source": "s", "n_chars": len(base)},
+        {"doc_id": 2, "text": "entirely different material nothing shared with benchmarks today",
+         "lang": "en", "source": "s", "n_chars": 64},
+        {"doc_id": 3, "text": "kilo lima mike november oscar papa quebec romeo sierra tango",
+         "lang": "en", "source": "s", "n_chars": 60},
+    ]
+    # two micro-batch files to exercise the per-batch path
+    (src / "b0.json").write_text("\n".join(json.dumps(d) for d in docs[:2]))
+    (src / "b1.json").write_text(json.dumps(docs[2]))
+
+    eval_docs = spark.createDataFrame(
+        [(100, "alpha bravo charlie delta echo foxtrot golf hotel")],
+        "doc_id long, text string",
+    )
+    sink = str(tmp_path / "clean")
+    q = stream_decontaminated_corpus(
+        spark, str(src), sink, str(tmp_path / "ckpt"), eval_docs,
+        fuzzy=True, num_hashes=16, bands=8, min_est_jaccard_micro=400_000,
+    )
+    q.awaitTermination(120)
+
+    streamed = {r["doc_id"] for r in spark.read.parquet(sink).collect()}
+    batch_docs = corpus.read_documents_jsonl(spark, str(src), keep_corrupt=False)
+    batch_clean = {
+        r["doc_id"]
+        for r in dedup.fuzzy_decontaminate(
+            batch_docs, eval_docs, num_hashes=16, bands=8,
+            min_est_jaccard_micro=400_000,
+        ).where(F.col("is_contaminated") == 0).collect()
+    }
+    assert streamed == batch_clean == {2, 3}
