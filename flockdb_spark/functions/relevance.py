@@ -112,3 +112,128 @@ SELECT doc_id,
 FROM tf JOIN qterms q USING (term) CROSS JOIN stats s
 GROUP BY doc_id
 """
+
+
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the keyword-extraction /
+    query-targeted-selection primitive (the per-document dual of the
+    corpus-level BM25 above).
+
+    Integer micro fixed-point throughout (idf uses BM25's non-negative form
+    ``((N − df)·1e6 div (df+1)) + 1``), so scores are bit-identical across
+    engines.  Ties break by term ascending.
+
+    Scale shape (100 TB): one shuffle builds the (doc, term, tf) table with
+    map-side combine; the document-frequency table is term-keyed and joins
+    the token table on its existing term partitioning; the final top-k is a
+    ``row_number`` window keyed by doc_id — one more shuffle, no global sort.
+    Output: (doc_id, term, score_micro, rnk).
+    """
+    from pyspark.sql import Window
+
+    terms = doc_terms(docs, text_col)
+    n_docs = docs.count()
+    df_table = terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = terms.join(df_table, "term").select(
+        "doc_id",
+        "term",
+        F.expr(f"((({n_docs} - df) * 1000000) div (df + 1) + 1) * tf").cast("long").alias(
+            "score_micro"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= k)
+    )
+
+
+def tfidf_top_terms_sql(k: int = 3) -> str:
+    """DuckDB twin of :func:`tfidf_top_terms` over ``documents``."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST((((n.n_docs - d.df) * 1000000) // (d.df + 1) + 1) * tf.tf AS BIGINT)
+           AS score_micro
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, score_micro,
+         CAST(row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score_micro DESC, term ASC) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, score_micro, rnk FROM ranked WHERE rnk <= {k}
+"""
+
+
+def inverted_index(
+    docs: DataFrame, max_postings: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """Posting-list build: per term, its document frequency and the top
+    ``max_postings`` documents by (tf DESC, doc_id ASC), comma-joined — the
+    index artifact a retrieval-augmented pipeline materializes next to the
+    corpus (serving side of the BM25 scorer above).
+
+    Scale shape (100 TB): the (doc, term, tf) table shuffles once with
+    map-side combine; posting selection is a ``row_number`` window keyed by
+    term — sort-based and spillable, so a stopword-sized hot term degrades to
+    disk sort rather than OOM (the reason this is NOT a ``collect_list`` of
+    the full posting set); document frequency aggregates the same term-keyed
+    partitioning, so AQE plans the final join shuffle-free on the term side.
+    Output: (term, df, postings).
+    """
+    from pyspark.sql import Window
+
+    terms = doc_terms(docs, text_col)
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    kept = (
+        terms.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= max_postings)
+        .groupBy("term")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rnk", "doc_id"))),
+                    lambda s: s.doc_id.cast("string"),
+                ),
+            ).alias("postings")
+        )
+    )
+    df_table = terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    return df_table.join(kept, "term").select("term", "df", "postings")
+
+
+def inverted_index_sql(max_postings: int = 8) -> str:
+    """DuckDB twin of :func:`inverted_index` over ``documents``."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, term),
+ranked AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rnk
+  FROM tf
+),
+posting AS (
+  SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rnk) AS postings
+  FROM ranked WHERE rnk <= {max_postings} GROUP BY term
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+SELECT d.term, d.df, p.postings
+FROM dfreq d JOIN posting p USING (term)
+"""

@@ -121,3 +121,61 @@ SELECT event_id, user_id, ts_us,
                         ROWS BETWEEN {prev} PRECEDING AND CURRENT ROW) AS roll{window_rows}_cents
 FROM e
 """
+
+
+def pair_integrity_audit(docs: DataFrame, embeddings: DataFrame) -> DataFrame:
+    """Paired-modality integrity audit: per document source, how many
+    documents have a matching embedding row (doc_id = vec_id) and how many
+    are missing one, plus a single ``_orphan_vectors`` row counting
+    embeddings with no document — the consistency report a multimodal /
+    embedding-indexed corpus publishes before training reads it.
+
+    Scale shape (100 TB): one join keyed on the id (AQE picks broadcast when
+    one side is small), then a per-source aggregation whose cardinality is
+    |sources| — tiny.  The orphan side is the same join reversed (left_anti),
+    reusing the exchange.  Output: (source, n_docs, n_paired, n_missing).
+    """
+    vec_ids = embeddings.select(F.col("vec_id").alias("doc_id"), F.lit(1).alias("has_vec"))
+    per_source = (
+        docs.join(vec_ids, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("has_vec"), F.lit(0))).cast("long").alias("n_paired"),
+            F.sum(F.when(F.col("has_vec").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_missing"),
+        )
+    )
+    orphans = (
+        embeddings.join(
+            docs.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_anti"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(
+            F.lit("_orphan_vectors").alias("source"),
+            "n_docs",
+            F.lit(0).cast("long").alias("n_paired"),
+            F.col("n_docs").alias("n_missing"),
+        )
+    )
+    return per_source.unionByName(orphans)
+
+
+def pair_integrity_audit_sql() -> str:
+    """DuckDB twin of :func:`pair_integrity_audit`."""
+    return """
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_paired,
+       CAST(sum(CASE WHEN e.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY d.source
+UNION ALL
+SELECT '_orphan_vectors' AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(0 AS BIGINT) AS n_paired,
+       CAST(count(*) AS BIGINT) AS n_missing
+FROM embeddings e
+WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)
+"""

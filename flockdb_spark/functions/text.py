@@ -648,3 +648,99 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
 FROM bg JOIN counts USING (pair) CROSS JOIN total
 GROUP BY doc_id
 """
+
+
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical text normalization — the first pass of every corpus ingest,
+    run BEFORE any hashing/dedup operator so near-identical bytes dedup
+    exactly: lowercase, fold all whitespace runs (space/tab/newline/CR) to a
+    single space, and trim.
+
+    Pure per-row codegen expressions (no shuffle, no Python); emits an audit
+    pair alongside the cleaned text so a pipeline report can track how much
+    the pass changed: (doc_id, text_norm, changed, chars_saved).
+    """
+    c = F.col(text_col)
+    norm = F.trim(F.regexp_replace(F.lower(c), "[\\t\\n\\r ]+", " "))
+    return df.select(
+        "doc_id",
+        norm.alias("text_norm"),
+        (norm != c).cast("long").alias("changed"),
+        (F.length(c) - F.length(norm)).cast("long").alias("chars_saved"),
+    )
+
+
+def normalize_text_sql(source_sql: str = "documents") -> str:
+    """DuckDB twin of :func:`normalize_text`."""
+    return f"""
+WITH n AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(lower(text), '[\t\n\r ]+', ' ', 'g')) AS text_norm
+  FROM {source_sql}
+)
+SELECT doc_id, text_norm,
+       CAST(CASE WHEN text_norm <> text THEN 1 ELSE 0 END AS BIGINT) AS changed,
+       CAST(length(text) - length(text_norm) AS BIGINT) AS chars_saved
+FROM n
+"""
+
+
+def oov_rate(
+    docs: DataFrame, vocab_size: int = 30, text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer-coverage audit: induce the top-``vocab_size`` unigram
+    vocabulary by corpus frequency (tie-break term ASC) and report, per
+    document, the per-mille of tokens falling outside it — the
+    out-of-vocabulary rate that decides whether a tokenizer/vocab is big
+    enough for a corpus slice.
+
+    Scale shape (100 TB): one shuffle counts unigrams with map-side combine;
+    the vocabulary is top-k (TakeOrdered, no global sort) and BROADCAST into
+    the token table, so the per-document aggregation is the only other
+    shuffle.  Output: (doc_id, n_tokens, n_oov, oov_pm).
+    """
+    toks = docs.select("doc_id", F.explode(tokens(text_col)).alias("term"))
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("term"))
+        .limit(vocab_size)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.floor(F.col("n_oov") * 1000 / F.col("n_tokens")).cast("long").alias("oov_pm"),
+        )
+    )
+
+
+def oov_rate_sql(vocab_size: int = 30) -> str:
+    """DuckDB twin of :func:`oov_rate` over ``documents``."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+vocab AS (
+  SELECT term FROM tok GROUP BY term
+  ORDER BY count(*) DESC, term ASC LIMIT {vocab_size}
+),
+flagged AS (
+  SELECT t.doc_id, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+  FROM tok t LEFT JOIN vocab v USING (term)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(oov) AS BIGINT) AS n_oov,
+       CAST(sum(oov) * 1000 // count(*) AS BIGINT) AS oov_pm
+FROM flagged GROUP BY doc_id
+"""

@@ -1837,3 +1837,82 @@ def x57(spark: SparkSession, sf_dir: str) -> DataFrame:
         train, evald, num_hashes=_NH, bands=_BANDS,
         min_est_jaccard_micro=_X57_THRESH, hash_mode="portable",
     )
+
+
+# ---------------------------------------------------------------------------
+# x58 — TF-IDF top-terms per document: the keyword-extraction primitive
+# (integer micro fixed-point idf, per-doc row_number top-k).
+# ---------------------------------------------------------------------------
+
+
+@query("x58_tfidf_top_terms", relevance.tfidf_top_terms_sql(k=3))
+def x58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relevance.tfidf_top_terms(_read(spark, sf_dir, "documents"), k=3)
+
+
+# ---------------------------------------------------------------------------
+# x59 — inverted-index build: per-term document frequency + capped posting
+# list (tf DESC, doc_id ASC) — the retrieval-serving artifact next to BM25.
+# ---------------------------------------------------------------------------
+
+
+@query("x59_inverted_index", relevance.inverted_index_sql(max_postings=8))
+def x59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relevance.inverted_index(_read(spark, sf_dir, "documents"), max_postings=8)
+
+
+# ---------------------------------------------------------------------------
+# x60 — text normalization: the canonical lowercase/whitespace-fold pass run
+# before hashing/dedup.  The synthetic corpus is already clean, so (like the
+# x50 PII gate) both sides ENRICH each document with deterministic planted
+# mess derived from doc_id, and the gate verifies the normalize + audit
+# columns end-to-end with non-zero change counts.
+# ---------------------------------------------------------------------------
+
+_X60_ENRICH_SQL = (
+    "text || '  DOC' || CAST(doc_id AS VARCHAR) || '\tTRAILING   MiXeD  '"
+)
+
+
+@query(
+    "x60_normalize_text",
+    text.normalize_text_sql(
+        f"(SELECT doc_id, {_X60_ENRICH_SQL} AS text FROM documents)"
+    ),
+)
+def x60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("  DOC"),
+            F.col("doc_id").cast("string"),
+            F.lit("\tTRAILING   MiXeD  "),
+        ).alias("text"),
+    )
+    return text.normalize_text(enriched)
+
+
+# ---------------------------------------------------------------------------
+# x61 — paired-modality integrity audit: documents ↔ embeddings coverage per
+# source, plus the orphan-vector row.
+# ---------------------------------------------------------------------------
+
+
+@query("x61_pair_integrity", stats.pair_integrity_audit_sql())
+def x61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.pair_integrity_audit(
+        _read(spark, sf_dir, "documents"), _read(spark, sf_dir, "embeddings")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x62 — tokenizer-coverage audit: per-document out-of-vocabulary per-mille
+# against the induced top-30 unigram vocabulary.
+# ---------------------------------------------------------------------------
+
+
+@query("x62_oov_rate", text.oov_rate_sql(vocab_size=30))
+def x62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.oov_rate(_read(spark, sf_dir, "documents"), vocab_size=30)

@@ -887,3 +887,65 @@ def test_fuzzy_decontaminate_catches_paraphrase(spark):
     assert out[1]["max_est_jaccard_micro"] >= 400_000
     assert out[2]["is_contaminated"] == 0 and out[2]["max_est_jaccard_micro"] == 0
     assert set(out) == {1, 2}
+
+
+def test_tfidf_top_terms(docs):
+    from flockdb_spark.functions import relevance
+
+    out = relevance.tfidf_top_terms(docs, k=2).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    # every doc gets exactly k rows, ranked 1..k, scores non-increasing
+    for doc_id, rows in per_doc.items():
+        rows.sort(key=lambda r: r["rnk"])
+        assert [r["rnk"] for r in rows] == [1, 2]
+        assert rows[0]["score_micro"] >= rows[1]["score_micro"]
+    # doc 2's distinctive vocabulary outranks shared words: its top term is
+    # one of its unique words (df=1 → max idf)
+    assert per_doc[2][0]["term"] in "completely different words entirely here now".split()
+
+
+def test_inverted_index(docs):
+    from flockdb_spark.functions import relevance
+
+    out = {r["term"]: r for r in relevance.inverted_index(docs, max_postings=2).collect()}
+    # 'the' appears twice in docs 0,1,3 → df=3, postings capped at 2, tf
+    # ties break by doc_id asc
+    assert out["the"]["df"] == 3
+    assert out["the"]["postings"] == "0,1"
+    assert out["cat"]["df"] == 1 and out["cat"]["postings"] == "1"
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame(
+        [(0, "Already clean"), (1, "  Messy\tTEXT \n here  ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text.normalize_text(df).collect()}
+    assert out[0]["text_norm"] == "already clean" and out[0]["changed"] == 1
+    assert out[1]["text_norm"] == "messy text here"
+    assert out[1]["changed"] == 1 and out[1]["chars_saved"] == len("  Messy\tTEXT \n here  ") - len("messy text here")
+
+
+def test_oov_rate(docs):
+    out = {r["doc_id"]: r for r in text.oov_rate(docs, vocab_size=3).collect()}
+    # top-3 vocab by freq: 'the' (6), then ties at 2 broken term-asc:
+    # brown, fox → docs 0/1/3 have 9 tokens, 4 in vocab (the×2, brown, fox)
+    assert out[0]["n_tokens"] == 9 and out[0]["n_oov"] == 5
+    assert out[0]["oov_pm"] == 5 * 1000 // 9
+    # doc 2: all 6 tokens OOV
+    assert out[2]["n_oov"] == 6 and out[2]["oov_pm"] == 1000
+
+
+def test_pair_integrity_audit(spark):
+    from flockdb_spark.functions import stats
+
+    docs = spark.createDataFrame(
+        [(0, "a"), (1, "a"), (2, "b")], "doc_id long, source string"
+    )
+    vecs = spark.createDataFrame([(0,), (2,), (9,)], "vec_id long")
+    out = {r["source"]: r for r in stats.pair_integrity_audit(docs, vecs).collect()}
+    assert out["a"]["n_docs"] == 2 and out["a"]["n_paired"] == 1 and out["a"]["n_missing"] == 1
+    assert out["b"]["n_paired"] == 1 and out["b"]["n_missing"] == 0
+    assert out["_orphan_vectors"]["n_docs"] == 1 and out["_orphan_vectors"]["n_missing"] == 1
