@@ -167,3 +167,55 @@ def curate(
     for fin in finalize or []:
         out = fin(out)
     return out
+
+
+def corpus_diff(
+    old: DataFrame, new: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Snapshot diff between two corpus versions — the release artifact an
+    iterative dataset pipeline publishes with every refresh: which documents
+    were added, removed, or modified (content hash changed) since the last
+    version.
+
+    Scale shape (100 TB): both sides project down to (id, content-hash)
+    BEFORE the join, so the shuffle carries two slim columns instead of
+    document bodies; the join is a single id-keyed full-outer merge and the
+    unchanged majority is filtered out of the result.  Output:
+    (doc_id, change) with change ∈ {'added','removed','modified'}.
+    """
+    oh = old.select(
+        F.col(id_col), F.xxhash64(F.col(text_col)).alias("_oh")
+    )
+    nh = new.select(
+        F.col(id_col), F.xxhash64(F.col(text_col)).alias("_nh")
+    )
+    j = oh.join(nh, id_col, "full_outer")
+    return (
+        j.select(
+            id_col,
+            F.when(F.col("_oh").isNull(), F.lit("added"))
+            .when(F.col("_nh").isNull(), F.lit("removed"))
+            .when(F.col("_oh") != F.col("_nh"), F.lit("modified"))
+            .alias("change"),
+        )
+        .where(F.col("change").isNotNull())
+    )
+
+
+def corpus_diff_sql(old_sql: str, new_sql: str) -> str:
+    """DuckDB twin of :func:`corpus_diff` (hash-free: compares the text
+    itself, which is value-identical to comparing a collision-free hash on
+    gate-sized data)."""
+    return f"""
+WITH o AS (SELECT doc_id, text FROM {old_sql}),
+n AS (SELECT doc_id, text FROM {new_sql}),
+j AS (
+  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         CASE WHEN o.doc_id IS NULL THEN 'added'
+              WHEN n.doc_id IS NULL THEN 'removed'
+              WHEN o.text <> n.text THEN 'modified'
+         END AS change
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+)
+SELECT doc_id, change FROM j WHERE change IS NOT NULL
+"""

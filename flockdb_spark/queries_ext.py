@@ -16,8 +16,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions import (
-    analytics, dedup, multimodal, packing, relevance, similarity, splits, stats,
-    text,
+    analytics, curation, dedup, multimodal, packing, relevance, similarity,
+    splits, stats, text,
 )
 from . import tsutil
 from .queries import query, store_for
@@ -1916,3 +1916,32 @@ def x61(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("x62_oov_rate", text.oov_rate_sql(vocab_size=30))
 def x62(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.oov_rate(_read(spark, sf_dir, "documents"), vocab_size=30)
+
+
+# ---------------------------------------------------------------------------
+# x63 — corpus snapshot diff: the dataset-versioning release artifact.  v2 is
+# derived deterministically from v1: doc_id % 37 == 0 removed, % 41 == 0
+# modified (suffix appended), % 43 == 0 cloned as a new +1M id.
+# ---------------------------------------------------------------------------
+
+_X63_NEW_SQL = (
+    "(SELECT doc_id, CASE WHEN doc_id % 41 = 0 THEN text || ' v2' ELSE text END AS text"
+    " FROM documents WHERE doc_id % 37 <> 0"
+    " UNION ALL"
+    " SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 43 = 0)"
+)
+
+
+@query("x63_corpus_diff", curation.corpus_diff_sql("documents", _X63_NEW_SQL))
+def x63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = old.where(F.col("doc_id") % 37 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 41 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = old.where(F.col("doc_id") % 43 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return curation.corpus_diff(old, kept.unionByName(added))

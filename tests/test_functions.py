@@ -949,3 +949,18 @@ def test_pair_integrity_audit(spark):
     assert out["a"]["n_docs"] == 2 and out["a"]["n_paired"] == 1 and out["a"]["n_missing"] == 1
     assert out["b"]["n_paired"] == 1 and out["b"]["n_missing"] == 0
     assert out["_orphan_vectors"]["n_docs"] == 1 and out["_orphan_vectors"]["n_missing"] == 1
+
+
+def test_corpus_diff(spark):
+    from flockdb_spark.functions import curation
+
+    old = spark.createDataFrame(
+        [(0, "same"), (1, "will change"), (2, "will vanish")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(0, "same"), (1, "changed"), (3, "brand new")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["change"] for r in curation.corpus_diff(old, new).collect()}
+    assert out == {1: "modified", 2: "removed", 3: "added"}
