@@ -682,3 +682,43 @@ def int8_ann_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
     )
+
+
+def label_centroids(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-label mean embedding — the centroid table a clustering / IVF /
+    classifier-calibration stage trains from labeled vectors (the k-means
+    "update" step as a standalone operator).
+
+    Exact integer arithmetic: vectors quantize to micro units, per-dimension
+    sums are long integers (order-independent), and the mean floors —
+    bit-identical across engines and reduction orders, the same discipline
+    as the rest of the vector family.
+
+    Scale shape (100 TB): ``posexplode`` fans each vector into (label, dim)
+    rows that aggregate with map-side combine — ONE shuffle whose key space
+    is |labels|·|dims| (tiny), so the reduce side never sees raw vectors.
+    Output: (label, dim, centroid_micro, n_vectors).
+    """
+    exploded = embeddings.select(
+        "label", F.posexplode(quantized(vec_col)).alias("dim", "q")
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.floor(F.sum("q") / F.count(F.lit(1))).cast("long").alias("centroid_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+    )
+
+
+def label_centroids_sql() -> str:
+    """DuckDB twin of :func:`label_centroids` over ``embeddings``."""
+    return """
+WITH e AS (
+  SELECT label,
+         unnest(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS q,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings
+)
+SELECT label, CAST(dim AS INTEGER) AS dim,
+       CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS centroid_micro,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM e GROUP BY label, dim
+"""

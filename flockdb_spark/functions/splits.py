@@ -380,3 +380,67 @@ SELECT doc_id, source, score_micro,
 FROM scored
 QUALIFY q_rank <= (count(*) OVER (PARTITION BY source) * {int(keep_per_mille)} + 999) // 1000
 """.strip()
+
+
+def leakage_free_splits(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_per_mille: int = 800,
+    val_per_mille: int = 100,
+) -> DataFrame:
+    """Cluster-aware split assignment: every member of an exact-duplicate
+    cluster gets the SAME split, so a duplicated document can never sit in
+    train while its twin sits in test — the leakage guard a benchmark-safe
+    split requires (plain per-id bucketing, :func:`assign_splits`, gives
+    duplicates independent coin flips).
+
+    The cluster representative is ``min(id)`` over identical content; the
+    split bucket hashes the REPRESENTATIVE id through the same portable
+    scramble as :func:`split_bucket`.  For near-dup (MinHash/SimHash)
+    clusters, feed this the resolved ``cluster`` column from
+    ``dedup.resolve_clusters`` instead of the content groupBy.
+
+    Scale shape (100 TB): one hash aggregation keyed on the content (carry a
+    content hash, not the body, into the shuffle) plus one id-keyed join to
+    fan the representative back onto members — both AQE-planned; the split
+    expression itself is a per-row projection.  Output:
+    (doc_id, rep_id, split).
+    """
+    reps = (
+        df.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("_ch"))
+        .groupBy("_ch")
+        .agg(F.min(id_col).alias("rep_id"))
+    )
+    keyed = df.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("_ch"))
+    b = split_bucket("rep_id")
+    return (
+        keyed.join(reps, "_ch")
+        .select(
+            id_col,
+            F.col("rep_id").cast("long").alias("rep_id"),
+            F.when(b < train_per_mille, "train")
+            .when(b < train_per_mille + val_per_mille, "val")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )
+
+
+def leakage_free_splits_sql(
+    train_per_mille: int = 800, val_per_mille: int = 100
+) -> str:
+    """DuckDB twin of :func:`leakage_free_splits` over ``documents``
+    (groups on the text itself — value-identical to grouping on a
+    collision-free content hash)."""
+    bucket = split_bucket_sql("r.rep_id")
+    return f"""
+WITH reps AS (
+  SELECT text, min(doc_id) AS rep_id FROM documents GROUP BY text
+)
+SELECT d.doc_id, CAST(r.rep_id AS BIGINT) AS rep_id,
+       CASE WHEN {bucket} < {train_per_mille} THEN 'train'
+            WHEN {bucket} < {train_per_mille + val_per_mille} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents d JOIN reps r USING (text)
+"""

@@ -1945,3 +1945,25 @@ def x63(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
     return curation.corpus_diff(old, kept.unionByName(added))
+
+
+# ---------------------------------------------------------------------------
+# x64 — per-label embedding centroids: the k-means/IVF training "update"
+# step as a standalone exact-integer operator.
+# ---------------------------------------------------------------------------
+
+
+@query("x64_label_centroids", similarity.label_centroids_sql())
+def x64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.label_centroids(_read(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# x65 — leakage-free splits: exact-dup clusters are split-atomic (every
+# twin of a duplicated document lands in the same train/val/test bucket).
+# ---------------------------------------------------------------------------
+
+
+@query("x65_leakage_free_splits", splits.leakage_free_splits_sql())
+def x65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return splits.leakage_free_splits(_read(spark, sf_dir, "documents"))

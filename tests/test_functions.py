@@ -964,3 +964,28 @@ def test_corpus_diff(spark):
     )
     out = {r["doc_id"]: r["change"] for r in curation.corpus_diff(old, new).collect()}
     assert out == {1: "modified", 2: "removed", 3: "added"}
+
+
+def test_label_centroids(spark):
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0], 1), (1, [0.0, 1.0], 1), (2, [2.0, 2.0], 2)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = {(r["label"], r["dim"]): r for r in similarity.label_centroids(vecs).collect()}
+    assert out[(1, 0)]["centroid_micro"] == 500_000 and out[(1, 0)]["n_vectors"] == 2
+    assert out[(1, 1)]["centroid_micro"] == 500_000
+    assert out[(2, 0)]["centroid_micro"] == 2_000_000 and out[(2, 0)]["n_vectors"] == 1
+
+
+def test_leakage_free_splits(spark):
+    from flockdb_spark.functions import splits as sp
+
+    docs = spark.createDataFrame(
+        [(i, "dup" if i < 3 else f"unique {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in sp.leakage_free_splits(docs).collect()}
+    # all three exact dups share the representative and therefore the split
+    assert {out[i]["rep_id"] for i in range(3)} == {0}
+    assert len({out[i]["split"] for i in range(3)}) == 1
+    assert all(out[i]["rep_id"] == i for i in range(3, 10))
