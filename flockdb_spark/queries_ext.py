@@ -20,7 +20,7 @@ from .functions import (
     splits, stats, text,
 )
 from . import tsutil
-from .queries import query, store_for
+from .queries import ORACLES, query, store_for
 from .sources.edges import _read, with_fixture_ctes
 
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -1967,3 +1967,18 @@ def x64(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("x65_leakage_free_splits", splits.leakage_free_splits_sql())
 def x65(spark: SparkSession, sf_dir: str) -> DataFrame:
     return splits.leakage_free_splits(_read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# x66 — STREAMING sessionization, oracle-gated: the same DuckDB
+# gaps-and-islands oracle as x20, but the Spark side runs the real
+# Structured Streaming engine (file source -> session_window state ->
+# availableNow drain -> memory sink).  This pins stream==batch==oracle.
+# ---------------------------------------------------------------------------
+
+
+@query("x66_stream_sessionization", ORACLES["x20_sessionization"])
+def x66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windows import sessions_available_now
+
+    return sessions_available_now(spark, sf_dir, gap_s=_SESSION_GAP_S)

@@ -80,3 +80,56 @@ def streaming_sessions(
             "n_events",
         )
     )
+
+
+_SINK_SEQ = [0]  # memory-sink names must be session-unique
+
+
+def sessions_available_now(
+    spark,
+    sf_dir: str,
+    gap_s: int = 1800,
+    timeout_s: int = 600,
+) -> DataFrame:
+    """Run :func:`streaming_sessions` as a REAL Structured Streaming query
+    over the events parquet (file source, ``availableNow`` trigger, memory
+    sink) and return the completed result — the bridge that lets the batch
+    correctness gate (DuckDB gaps-and-islands oracle, x20) pin the streaming
+    engine's session semantics, not just the batch twin's.
+
+    Complete output mode: the gate drains a bounded backlog, so state for
+    every session is still live at the final trigger and the sink holds the
+    full session table (append mode would hold back sessions inside the
+    final watermark horizon — correct for an unbounded stream, wrong for an
+    all-of-history drain).  In production the same pipeline runs append mode
+    with the watermark evicting closed sessions.
+    """
+    from .. import tsutil
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_s = tsutil.epoch_col(ev, "ts", "s")
+    stream = streaming_sessions(
+        ev.select("user_id", F.timestamp_seconds(ts_s).alias("event_time")),
+        gap=f"{gap_s} seconds",
+        watermark="1 hour",
+    )
+    _SINK_SEQ[0] += 1
+    name = f"_stream_sessions_{_SINK_SEQ[0]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -535,3 +535,21 @@ def test_streaming_decontamination_matches_batch(spark, tmp_path):
         ).where(F.col("is_contaminated") == 0).collect()
     }
     assert streamed == batch_clean == {2, 3}
+
+
+def test_sessions_available_now_matches_batch(spark):
+    """The streaming sessionization bridge (file source → session_window →
+    availableNow → memory sink) returns exactly the batch x20 sessions."""
+    from conftest import SF_DIR
+    from flockdb_spark.streaming.windows import sessions_available_now
+    from flockdb_spark.queries_ext import x20
+
+    streamed = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessions_available_now(spark, SF_DIR).collect()
+    }
+    batch = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in x20(spark, SF_DIR).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
