@@ -564,3 +564,95 @@ def fuzzy_decontaminate(
             .alias("is_contaminated"),
         )
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    window: int = 20,
+    stride: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Substring-level duplicate detection: slide a ``window``-token window
+    with ``stride`` over every document, count each window's occurrences
+    across the WHOLE corpus, and report per document how many of its
+    windows are duplicated somewhere (including other documents) — the
+    bucketed approximation of suffix-array exact-substring dedup that
+    catches shared boilerplate paragraphs, licensing blocks, and copy-paste
+    spans that document-level MinHash (x03) is blind to.
+
+    ``hash_mode='xxhash64'`` shuffles 8-byte window keys (the production
+    path); ``'exact'`` shuffles the window strings themselves — collision
+    free, and what the DuckDB gate uses so the compare stays value-exact.
+
+    Scale shape (100 TB): windows explode map-side (≤ n_tokens/stride rows
+    per doc); occurrence counting is ONE shuffle with map-side combine; the
+    flag-back join re-uses the window-key partitioning, and the per-doc
+    rollup is one more id-keyed shuffle.  Documents shorter than ``window``
+    tokens carry zero windows and survive via the left join.
+    Output: (doc_id, n_windows, n_dup_windows, dup_pm).
+    """
+    w = F.split(F.col(text_col), " ")
+    starts = F.when(
+        F.size(w) >= window,
+        F.sequence(F.lit(1), F.size(w) - window + 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(w, i, window)))
+    exploded = docs.select(F.col(id_col), F.explode(wins).alias("win"))
+    key = F.xxhash64("win") if hash_mode == "xxhash64" else F.col("win")
+    keyed = exploded.select(id_col, key.alias("wkey"))
+    counts = keyed.groupBy("wkey").agg(F.count(F.lit(1)).alias("occurrences"))
+    per_doc = (
+        keyed.join(counts, "wkey")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+            F.sum((F.col("occurrences") > 1).cast("long")).cast("long").alias("n_dup_windows"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) == 0, F.lit(0)
+            )
+            .otherwise(F.floor(F.col("n_dup_windows") * 1000 / F.col("n_windows")))
+            .cast("long")
+            .alias("dup_pm"),
+        )
+    )
+
+
+def duplicated_spans_sql(window: int = 20, stride: int = 10) -> str:
+    """DuckDB twin of :func:`duplicated_spans` (exact window-string keys)
+    over ``documents``."""
+    return f"""
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+wins AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, length(w) - {window} + 2, {stride}),
+           i -> array_to_string(list_slice(w, i, i + {window} - 1), ' ')
+         )) AS win
+  FROM d WHERE length(w) >= {window}
+),
+counts AS (SELECT win, count(*) AS occurrences FROM wins GROUP BY win),
+per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(CASE WHEN c.occurrences > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_windows
+  FROM wins JOIN counts c USING (win)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_windows, 0) AS n_windows,
+       coalesce(p.n_dup_windows, 0) AS n_dup_windows,
+       CASE WHEN coalesce(p.n_windows, 0) = 0 THEN 0
+            ELSE CAST(p.n_dup_windows * 1000 // p.n_windows AS BIGINT) END AS dup_pm
+FROM d LEFT JOIN per_doc p USING (doc_id)
+"""

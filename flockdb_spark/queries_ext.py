@@ -1982,3 +1982,18 @@ def x66(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.windows import sessions_available_now
 
     return sessions_available_now(spark, sf_dir, gap_s=_SESSION_GAP_S)
+
+
+# ---------------------------------------------------------------------------
+# x67 — substring-level duplicate spans: strided window-hash occurrence
+# counting (the bucketed approximation of suffix-array exact-substring
+# dedup).  Gate runs 'exact' window keys so the DuckDB compare is
+# collision-free; production uses xxhash64 8-byte keys.
+# ---------------------------------------------------------------------------
+
+
+@query("x67_duplicated_spans", dedup.duplicated_spans_sql(window=20, stride=10))
+def x67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.duplicated_spans(
+        _read(spark, sf_dir, "documents"), window=20, stride=10, hash_mode="exact"
+    )

@@ -989,3 +989,23 @@ def test_leakage_free_splits(spark):
     assert {out[i]["rep_id"] for i in range(3)} == {0}
     assert len({out[i]["split"] for i in range(3)}) == 1
     assert all(out[i]["rep_id"] == i for i in range(3, 10))
+
+
+def test_duplicated_spans(spark):
+    base = " ".join(f"w{i}" for i in range(20))        # one shared 20-token span
+    uniq = " ".join(f"u{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(0, base + " tail0 tail1 tail2 tail3 tail4 tail5 tail6 tail7 tail8 tail9"),
+         (1, base),                                     # window 1 duplicates doc 0's
+         (2, uniq),                                     # no shared windows
+         (3, "short doc")],                             # < window tokens
+        "doc_id long, text string",
+    )
+    for mode in ("exact", "xxhash64"):
+        out = {r["doc_id"]: r for r in
+               dedup.duplicated_spans(docs, window=20, stride=10, hash_mode=mode).collect()}
+        assert out[1]["n_windows"] == 1 and out[1]["n_dup_windows"] == 1
+        assert out[1]["dup_pm"] == 1000
+        assert out[0]["n_dup_windows"] >= 1          # its first window is shared
+        assert out[2]["n_dup_windows"] == 0
+        assert out[3]["n_windows"] == 0 and out[3]["dup_pm"] == 0
