@@ -1997,3 +1997,29 @@ def x67(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicated_spans(
         _read(spark, sf_dir, "documents"), window=20, stride=10, hash_mode="exact"
     )
+
+
+# ---------------------------------------------------------------------------
+# x68 — STREAMING tumbling-window event rates, oracle-gated: fixed windows
+# on the real streaming engine vs the epoch-floor SQL twin (x66 covers the
+# merging session-window state; this covers the tumbling-window state).
+# ---------------------------------------------------------------------------
+
+_X68_WINDOW_S = 3600
+
+
+@query(
+    "x68_stream_event_rates",
+    f"""
+SELECT (CAST(floor(epoch(ts)) AS BIGINT) // {_X68_WINDOW_S}) * {_X68_WINDOW_S}
+         AS window_start_s,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1, 2
+""",
+)
+def x68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windows import event_rates_available_now
+
+    return event_rates_available_now(spark, sf_dir, window_s=_X68_WINDOW_S)

@@ -133,3 +133,58 @@ def sessions_available_now(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def event_rates_available_now(
+    spark,
+    sf_dir: str,
+    window_s: int = 3600,
+    timeout_s: int = 600,
+) -> DataFrame:
+    """Tumbling-window event rates per type, run on the REAL streaming
+    engine over the events parquet (file source → windowed state →
+    ``availableNow`` drain → memory sink) — the second streaming oracle
+    bridge: where x66 pins merging session windows, this pins fixed
+    tumbling windows, the shape every rate/observability dashboard uses.
+
+    Same complete-mode rationale as :func:`sessions_available_now` —
+    a bounded backlog drain holds every window's state at the final
+    trigger, so the sink is the full rate table; production append mode
+    evicts via the watermark instead.
+    Output: (window_start_s, event_type, n_events).
+    """
+    from .. import tsutil
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ts_s = tsutil.epoch_col(ev, "ts", "s")
+    windowed = (
+        ev.select("event_type", F.timestamp_seconds(ts_s).alias("event_time"))
+        .withWatermark("event_time", "1 hour")
+        .groupBy(F.window("event_time", f"{window_s} seconds"), "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.unix_seconds(F.col("window.start")).alias("window_start_s"),
+            "event_type",
+            "n_events",
+        )
+    )
+    _SINK_SEQ[0] += 1
+    name = f"_stream_rates_{_SINK_SEQ[0]}"
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -553,3 +553,25 @@ def test_sessions_available_now_matches_batch(spark):
         for r in x20(spark, SF_DIR).collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_event_rates_available_now_matches_batch(spark):
+    from conftest import SF_DIR
+    from flockdb_spark.streaming.windows import event_rates_available_now
+    from flockdb_spark import tsutil
+    from pyspark.sql import functions as F2
+
+    streamed = {
+        (r["window_start_s"], r["event_type"], r["n_events"])
+        for r in event_rates_available_now(spark, SF_DIR).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ts_s = tsutil.epoch_col(ev, "ts", "s")
+    batch = {
+        (r["w"], r["event_type"], r["n"])
+        for r in ev.select((F2.floor(ts_s / 3600) * 3600).cast("long").alias("w"), "event_type")
+        .groupBy("w", "event_type")
+        .agg(F2.count(F2.lit(1)).cast("long").alias("n"))
+        .collect()
+    }
+    assert streamed == batch and len(streamed) > 0
