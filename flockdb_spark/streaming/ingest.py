@@ -159,12 +159,47 @@ class EdgeStreamIngestor:
             df = df.unionByName(other)
         return df
 
-    def edges(self) -> DataFrame:
-        """The committed edge table (snapshot of the latest manifest)."""
-        return self._read_table("edges").drop("bucket")
+    def versions(self) -> list[int]:
+        """Committed versions still present in the log, ascending — the
+        time-travel axis.  Every micro-batch is one version, so a training
+        run can pin 'the corpus as of version N' and stay reproducible
+        while ingestion continues."""
+        import glob
+        import os
 
-    def metadata(self) -> DataFrame:
-        return self._read_table("metadata").drop("bucket")
+        return sorted(
+            int(os.path.basename(p).split(".")[0])
+            for p in glob.glob(f"{self._commits_dir()}/*.json")
+        )
+
+    def commit_at(self, version: int) -> tuple[int, dict]:
+        """(version, tables) manifest of a SPECIFIC committed version —
+        the reader half of time travel.  Raises if that manifest is gone
+        (never committed, or aged out by ``vacuum(keep_versions=...)``)."""
+        import json
+
+        try:
+            with open(f"{self._commits_dir()}/{version:08d}.json") as f:
+                m = json.load(f)
+        except FileNotFoundError:
+            raise ValueError(
+                f"version {version} is not in the commit log "
+                f"(available: {self.versions()})"
+            ) from None
+        return m["version"], m["tables"]
+
+    def edges(self, version: int | None = None) -> DataFrame:
+        """The committed edge table — the latest snapshot, or (time travel)
+        the snapshot exactly as of ``version``.  Versioned reads resolve the
+        historical manifest's bucket→version map, so they see all-old data:
+        no mixing with later commits, the same atomicity contract as the
+        live read."""
+        tables = None if version is None else self.commit_at(version)[1]
+        return self._read_table("edges", tables).drop("bucket")
+
+    def metadata(self, version: int | None = None) -> DataFrame:
+        tables = None if version is None else self.commit_at(version)[1]
+        return self._read_table("metadata", tables).drop("bucket")
 
     def _current(self) -> tuple[DataFrame, DataFrame]:
         _, tables = self.latest_commit()
@@ -382,16 +417,27 @@ class EdgeStreamIngestor:
             self._commit(new_v, new_tables, batch_id=-2)
         return compacted
 
-    def vacuum(self) -> int:
-        """Remove data version directories no longer referenced by the latest
-        manifest (Delta's VACUUM).  Returns the number of versions removed.
-        Safe at any time: committed readers only resolve referenced paths."""
+    def vacuum(self, keep_versions: int = 0) -> int:
+        """Remove data version directories not referenced by the retained
+        manifests (Delta's VACUUM).  ``keep_versions`` is the time-travel
+        retention: 0 keeps only the latest snapshot; K keeps the last K+1
+        manifests readable via ``edges(version=...)``.  Manifests older than
+        the retention window are pruned with their data, so a stale
+        ``commit_at`` raises (version listed as gone) instead of resolving
+        dangling paths.  Returns the number of data versions removed."""
         import glob as _glob
         import os as _os
         import shutil as _shutil
 
-        _, tables = self.latest_commit()
-        live = {int(v) for m in tables.values() for v in m.values()}
+        versions = self.versions()
+        retained = versions[-(keep_versions + 1):] if versions else []
+        live: set[int] = set()
+        for v in retained:
+            _, tables = self.commit_at(v)
+            live |= {int(x) for m in tables.values() for x in m.values()}
+        for v in versions:
+            if v not in retained:
+                _os.remove(f"{self._commits_dir()}/{v:08d}.json")
         removed = 0
         for d in _glob.glob(f"{self.table_dir}/data/v*"):
             if int(_os.path.basename(d)[1:]) not in live:

@@ -575,3 +575,37 @@ def test_event_rates_available_now_matches_batch(spark):
         .collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_time_travel_snapshots(spark, tmp_path):
+    """edges(version=N) reads the store exactly as of commit N; vacuum with
+    retention keeps that snapshot alive, vacuum without kills it cleanly."""
+    ops_dir = tmp_path / "journal"
+    write_batch(ops_dir, "b1.json", [op(0, 1, 10, 1000, 5), op(0, 1, 11, 1000, 6)])
+    ing = EdgeStreamIngestor(spark, str(tmp_path / "table"), str(tmp_path / "ckpt"))
+    ing.run_available(stream_writes(spark, str(ops_dir)))
+    v1 = ing.versions()[-1]
+
+    write_batch(ops_dir, "b2.json", [op(1, 1, 10, 2000), op(0, 1, 12, 1500, 7)])
+    ing.run_available(stream_writes(spark, str(ops_dir)))
+    v2 = ing.versions()[-1]
+    assert v2 > v1
+
+    # the pinned snapshot sees only batch-1 state: edge 12 absent, 10 Normal
+    old = {r["destination_id"]: r for r in ing.edges(version=v1).collect()}
+    assert set(old) == {10, 11} and old[10]["state"] == 0
+    new = {r["destination_id"]: r for r in ing.edges().collect()}
+    assert set(new) == {10, 11, 12} and new[10]["state"] == 1
+    # metadata travels with the same manifest — all-old, never mixed
+    md_old = {r["source_id"]: r for r in ing.metadata(version=v1).collect()}
+    assert md_old[1]["count"] == 2
+
+    # retention keeps v1 readable; dropping retention removes it cleanly
+    ing.vacuum(keep_versions=1)
+    assert {r["destination_id"] for r in ing.edges(version=v1).collect()} == {10, 11}
+    ing.vacuum(keep_versions=0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in the commit log"):
+        ing.edges(version=v1)
+    assert {r["destination_id"] for r in ing.edges().collect()} == {10, 11, 12}
