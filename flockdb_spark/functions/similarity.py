@@ -722,3 +722,99 @@ SELECT label, CAST(dim AS INTEGER) AS dim,
        CAST(count(*) AS BIGINT) AS n_vectors
 FROM e GROUP BY label, dim
 """
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over the embedding corpus, exact integer arithmetic —
+    the coarse-quantizer TRAINING step that ``ivf_ann_topk``'s docstring
+    defers to production (its cells are seeded deterministically; this
+    trains them).  Composes the proven pieces: the same broadcast-matrix
+    Arrow/numpy GEMM as the IVF assignment pass, with per-batch numpy
+    partial sums whose reduce is the (cluster, dim) floor-mean —
+    ``label_centroids``' update rule with the map-side combine made
+    explicit.
+
+    Deterministic and oracle-checkable: seeds are the ``n_clusters``
+    smallest-id vectors (cid = id rank), assignment is argmin of the exact
+    integer squared distance with ties to the lower cid, the update is the
+    per-dimension floor-mean, and a cluster that captures no vectors drops
+    out (both engines apply the same rule).
+
+    Scale shape (100 TB): per iteration, ONE corpus pass (mapInPandas GEMM
+    against the broadcast K×dims matrix) emitting K·dims partial-sum rows
+    per Arrow batch, plus ONE tiny shuffle (key space |K|·|dims|) for the
+    floor-mean reduce; the centroid matrix (K×dims ints) is the only
+    driver-side state.  Output after ``n_iter``
+    rounds: (cluster, dim, centroid_micro, n_vectors).
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    seed_rows = emb.orderBy(id_col).limit(n_clusters).select(id_col, vec_col).collect()
+    order = np.argsort(np.array([r[id_col] for r in seed_rows], dtype=np.int64), kind="stable")
+    c_mat = _np_quantize(pd.Series([r[vec_col] for r in seed_rows]))[order]
+    c_ids = np.arange(len(order), dtype=np.int64)
+
+    quant = emb.select(id_col, quantized(vec_col).alias("ev"))
+    out_schema = "cluster long, dim int, centroid_micro long, n_vectors long"
+
+    result = None
+    for _ in range(n_iter):
+        bc = spark.sparkContext.broadcast((c_ids.copy(), c_mat.copy()))
+
+        def partial_sums(batches):
+            """Per-batch assignment + LOCAL per-cluster sums — the map-side
+            combine done in numpy, so the shuffle carries K·dims rows per
+            Arrow batch instead of one row per (vector, dim)."""
+            cids, cmat = bc.value
+            cnorm = (cmat * cmat).sum(axis=1)  # |c|^2, int64-exact
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                v = np.array(pdf["ev"].tolist(), dtype=np.int64)
+                # argmin |x-c|^2 == argmin(|c|^2 - 2 x·c); ties -> first
+                # (lowest cid: cmat rows are cid-ascending)
+                best = (cnorm[None, :] - 2 * (v @ cmat.T)).argmin(axis=1)
+                out = {"cluster": [], "dim": [], "sum_q": [], "cnt": []}
+                for b in np.unique(best):
+                    sel = v[best == b]
+                    sums = sel.sum(axis=0)
+                    out["cluster"] += [int(cids[b])] * sel.shape[1]
+                    out["dim"] += list(range(sel.shape[1]))
+                    out["sum_q"] += [int(x) for x in sums]
+                    out["cnt"] += [sel.shape[0]] * sel.shape[1]
+                yield pd.DataFrame(out)
+
+        update = (
+            quant.mapInPandas(
+                partial_sums, "cluster long, dim int, sum_q long, cnt long"
+            )
+            .groupBy("cluster", "dim")
+            .agg(
+                F.floor(F.sum("sum_q") / F.sum("cnt")).cast("long").alias("centroid_micro"),
+                F.sum("cnt").cast("long").alias("n_vectors"),
+            )
+        )
+        rows = update.collect()  # K×dims rows — bounded driver-side state
+        by_c: dict[int, dict[int, int]] = {}
+        for r in rows:
+            by_c.setdefault(r["cluster"], {})[r["dim"]] = r["centroid_micro"]
+        live = sorted(by_c)
+        dims = c_mat.shape[1]
+        c_ids = np.array(live, dtype=np.int64)
+        c_mat = np.array(
+            [[by_c[c][d] for d in range(dims)] for c in live], dtype=np.int64
+        )
+        result = [
+            (r["cluster"], r["dim"], r["centroid_micro"], r["n_vectors"]) for r in rows
+        ]
+    return spark.createDataFrame(result, out_schema).select(
+        "cluster", "dim", "centroid_micro", "n_vectors"
+    )

@@ -2023,3 +2023,71 @@ def x68(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.windows import event_rates_available_now
 
     return event_rates_available_now(spark, sf_dir, window_s=_X68_WINDOW_S)
+
+
+# ---------------------------------------------------------------------------
+# x69 — k-means coarse-quantizer training (Lloyd, 2 iterations, exact
+# integer): the training loop ivf_ann_topk's deterministic seeds stand in
+# for.  The oracle replays both iterations in SQL: seed -> assign (argmin
+# exact squared distance, ties to lower cid) -> floor-mean update ->
+# assign -> final (cluster, dim) centroid table.
+# ---------------------------------------------------------------------------
+
+_X69_K = 8
+_X69_DIMS = 64
+
+
+def _kmeans_oracle_sql(k: int, dims: int) -> str:
+    dist = (
+        f"list_sum(list_transform(range(1, {dims + 1}), "
+        "i -> (ev[i] - cv[i]) * (ev[i] - cv[i])))"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, {_QUANT} AS ev FROM embeddings),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, ev AS cv
+  FROM v ORDER BY vec_id LIMIT {k}
+),
+d1 AS (
+  SELECT v.vec_id, s.cid, v.ev, {dist} AS dist
+  FROM v CROSS JOIN seeds s
+),
+a1 AS (
+  SELECT vec_id, cid, ev FROM (
+    SELECT vec_id, cid, ev,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+    FROM d1) WHERE rn = 1
+),
+c1 AS (
+  SELECT cluster AS cid, list(centroid_micro ORDER BY dim) AS cv
+  FROM (
+    SELECT a1.cid AS cluster, d.i AS dim,
+           CAST(floor(CAST(sum(a1.ev[d.i]) AS DOUBLE) / count(*)) AS BIGINT)
+             AS centroid_micro
+    FROM a1, range(1, {dims + 1}) AS d(i)
+    GROUP BY a1.cid, d.i
+  ) GROUP BY cluster
+),
+d2 AS (
+  SELECT v.vec_id, c.cid, v.ev, {dist} AS dist
+  FROM v CROSS JOIN c1 c
+),
+a2 AS (
+  SELECT vec_id, cid, ev FROM (
+    SELECT vec_id, cid, ev,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+    FROM d2) WHERE rn = 1
+)
+SELECT cid AS cluster, CAST(d.i - 1 AS INTEGER) AS dim,
+       CAST(floor(CAST(sum(ev[d.i]) AS DOUBLE) / count(*)) AS BIGINT) AS centroid_micro,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM a2, range(1, {dims + 1}) AS d(i)
+GROUP BY cid, d.i
+"""
+
+
+@query("x69_kmeans_fit", _kmeans_oracle_sql(_X69_K, _X69_DIMS))
+def x69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.kmeans_fit(
+        _read(spark, sf_dir, "embeddings"), n_clusters=_X69_K, n_iter=2
+    )

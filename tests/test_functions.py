@@ -1009,3 +1009,20 @@ def test_duplicated_spans(spark):
         assert out[0]["n_dup_windows"] >= 1          # its first window is shared
         assert out[2]["n_dup_windows"] == 0
         assert out[3]["n_windows"] == 0 and out[3]["dup_pm"] == 0
+
+
+def test_kmeans_fit_blobs(spark):
+    # two tight blobs; seeds (two smallest ids) start one-in-each
+    rows = [
+        (0, [0.0, 0.0], 0), (2, [0.02, 0.0], 0), (4, [0.0, 0.04], 0),
+        (1, [1.0, 1.0], 0), (3, [1.02, 1.0], 0), (5, [1.0, 1.04], 0),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = similarity.kmeans_fit(emb, n_clusters=2, n_iter=2)
+    got = {(r["cluster"], r["dim"]): r for r in out.collect()}
+    # each cluster captured exactly its blob
+    assert got[(0, 0)]["n_vectors"] == 3 and got[(1, 0)]["n_vectors"] == 3
+    # centroid of blob A dim0: floor(mean(0, 20000, 0)) = 6666
+    assert got[(0, 0)]["centroid_micro"] == 6666
+    # blob B dim0: floor(mean(1000000, 1020000, 1000000)) = 1006666
+    assert got[(1, 0)]["centroid_micro"] == 1006666
