@@ -363,7 +363,8 @@ QUALIFY rank <= 10
 def x06(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return similarity.lsh_ann_topk(
-        emb, ANN_QUERY_IDS, k=10, planes=_X06_PLANES, hash_mode="portable"
+        emb, ANN_QUERY_IDS, k=10, planes=_X06_PLANES, hash_mode="portable",
+        persist_index=True,
     )
 
 
@@ -408,7 +409,7 @@ QUALIFY rank <= 10
 )
 def x15(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
-    return similarity.ivf_ann_topk(emb, ANN_QUERY_IDS, k=10, n_centroids=16, n_probe=4)
+    return similarity.ivf_ann_topk(emb, ANN_QUERY_IDS, k=10, n_centroids=16, n_probe=4, persist_index=True)
 
 
 # ---------------------------------------------------------------------------
@@ -456,7 +457,8 @@ WHERE CAST(list_dot_product(a.ev, b.ev) AS BIGINT) >= 450000000000
 def x18(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return similarity.lsh_neardup_pairs(
-        emb, threshold=0.45, planes=_X18_PLANES, hash_mode="portable"
+        emb, threshold=0.45, planes=_X18_PLANES, hash_mode="portable",
+        persist_index=True,
     )
 
 
@@ -1159,6 +1161,7 @@ def x35(spark: SparkSession, sf_dir: str) -> DataFrame:
         planes=_X06_PLANES,
         n_probe=_X35_NPROBE,
         hash_mode="portable",
+        persist_index=True,
     )
 
 
