@@ -31,15 +31,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver gates only the FIRST 50 registry entries each round, so we order
-# the registry by gate priority: queries whose latest driver row is stale
-# (pre-dates the r3 events.ts dtype change) or hash-failed come first; the 48
-# names green in CORRECTNESS_r03.json come last.  Rotated for r4 per the r3
-# verdict item #1: the first 50 now cover x31/x33 (hash-failed in r3, fixed
-# post-artifact) and the 22 entries whose only green row was from r2.
+# the registry by gate priority.  Rotated for r5: ungated-first are the three
+# r4 hash-fails (x31/x33/x54 — root cause was DuckDB HUGEINT sums rendering as
+# float64 in the oracle output, fixed by CAST ... AS BIGINT) plus any queries
+# added this round; next come the 42 entries whose latest green row is from
+# r3 (they fill the rest of the first-50); the 47 entries green in
+# CORRECTNESS_r04.json come last.
 _GATED_GREEN = [
-    # Everything green in CORRECTNESS_r03.json, in its r3 gate order.
-    "q22_select_all", "q23_select2_batch", "x30_length_quantiles",
-    "x32_repetition", "x34_decontaminate", "x35_multiprobe_ann",
+    # Green in r3 but NOT re-gated in r4 (stalest first — r5 re-covers most).
     "x36_json_rollup", "x37_boilerplate", "x38_embedding_dedup", "x39_funnel",
     "x40_mixture_upsample", "x41_bigram_vocab", "x42_khop", "x43_mutual_edges",
     "x44_components", "x45_chunking", "x46_token_ids", "x47_bigram_surprisal",
@@ -52,6 +51,22 @@ _GATED_GREEN = [
     "q20_reconcile", "q21_count_estimates", "x01_dedup_exact",
     "x02_ngram_jaccard", "x17_dedup_resolve", "x03_minhash_lsh", "x04_simhash",
     "x16_simhash_neardup", "x05_ann_topk",
+    # Green in CORRECTNESS_r04.json (freshest rows — gate these last).
+    "x06_lsh_ann", "x15_ivf_ann", "x07_embedding_neardup", "x18_lsh_neardup",
+    "x19_pipeline", "x08_quality", "x09_token_count", "x10_lang_id",
+    "x11_fingerprint", "x12_multimodal", "x20_sessionization", "x21_asof_join",
+    "x22_range_join", "x23_rollup", "x24_event_rollup", "x13_degree_dist",
+    "x14_pagerank", "x25_bm25", "x26_topk_per_group", "x27_triangles",
+    "x28_train_split", "x29_stratified_sample", "x50_pii_redaction",
+    "x51_training_order", "x52_lsh_ann_multitable", "x53_lsh_neardup_multitable",
+    "x55_select_top_quality", "x56_int8_ann", "x57_fuzzy_decontaminate",
+    "x58_tfidf_top_terms", "x59_inverted_index", "x60_normalize_text",
+    "x61_pair_integrity", "x62_oov_rate", "x63_corpus_diff",
+    "x64_label_centroids", "x65_leakage_free_splits",
+    "x66_stream_sessionization", "x67_duplicated_spans",
+    "x68_stream_event_rates", "x69_kmeans_fit",
+    "q22_select_all", "q23_select2_batch", "x30_length_quantiles",
+    "x32_repetition", "x34_decontaminate", "x35_multiprobe_ann",
 ]
 
 

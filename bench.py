@@ -62,6 +62,15 @@ BENCH_QUERIES = [
     "x47_bigram_surprisal",
 ]
 
+#: queries whose plan .cache()es a corpus-side index (persist_index=True):
+#: min-of-N would serve passes 2+ from cache while the DuckDB baseline
+#: re-executes its full SQL every pass — an asymmetric comparison.  For
+#: these, the HEADLINE time is measured cold (catalog cache cleared before
+#: every timed pass) and the warm/index-resident time is reported
+#: separately under "warm_index" (the number a real serving deployment
+#: sees after the one-off index build).
+INDEX_PERSISTED = {"x15_ivf_ann", "x18_lsh_neardup", "x35_multiprobe_ann"}
+
 
 def shuffle_partitions_for(sf_dir: str) -> int:
     """Size the shuffle by DATA, not by cluster width (SCALE.md §6): ~8 MB of
@@ -108,13 +117,29 @@ def main() -> None:
     # operator cost (run-to-run wall variance on a shared box is ±40%, and
     # min-of-3 cuts the tail a single noisy pass leaves in min-of-2)
     times: dict[str, float] = {}
-    for _ in range(3):
+    warm_index: dict[str, float] = {}
+    for i in range(3):
         for name in BENCH_QUERIES:
+            if name in INDEX_PERSISTED:
+                # cold by construction: drop the persisted index so this
+                # pass pays the full build, like the DuckDB baseline does
+                spark.catalog.clearCache()
             t0 = time.perf_counter()
             dfs[name].write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
             if name not in times or dt < times[name]:
                 times[name] = dt
+    # warm passes for the index-persisted queries: index already resident
+    # (left populated by the last cold pass), min-of-3 on top of it
+    for _ in range(3):
+        for name in BENCH_QUERIES:
+            if name not in INDEX_PERSISTED:
+                continue
+            t0 = time.perf_counter()
+            dfs[name].write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            if name not in warm_index or dt < warm_index[name]:
+                warm_index[name] = dt
 
     total = round(sum(times.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]

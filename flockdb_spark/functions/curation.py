@@ -170,7 +170,11 @@ def curate(
 
 
 def corpus_diff(
-    old: DataFrame, new: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Snapshot diff between two corpus versions — the release artifact an
     iterative dataset pipeline publishes with every refresh: which documents
@@ -182,13 +186,22 @@ def corpus_diff(
     document bodies; the join is a single id-keyed full-outer merge and the
     unchanged majority is filtered out of the result.  Output:
     (doc_id, change) with change ∈ {'added','removed','modified'}.
+
+    ``hash_mode='xxhash64'`` (production) compares 64-bit content hashes —
+    a collision hides a modification with P ≈ n/2⁶⁴ per changed doc.
+    ``hash_mode='exact'`` carries and compares the text itself,
+    bit-identical to the SQL oracle — the mode the correctness gate runs.
     """
-    oh = old.select(
-        F.col(id_col), F.xxhash64(F.col(text_col)).alias("_oh")
-    )
-    nh = new.select(
-        F.col(id_col), F.xxhash64(F.col(text_col)).alias("_nh")
-    )
+    if hash_mode == "exact":
+        def content(c):
+            return F.col(c)
+    elif hash_mode == "xxhash64":
+        def content(c):
+            return F.xxhash64(F.col(c))
+    else:
+        raise ValueError(f"hash_mode must be 'xxhash64' or 'exact', got {hash_mode!r}")
+    oh = old.select(F.col(id_col), content(text_col).alias("_oh"))
+    nh = new.select(F.col(id_col), content(text_col).alias("_nh"))
     j = oh.join(nh, id_col, "full_outer")
     return (
         j.select(

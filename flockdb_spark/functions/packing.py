@@ -129,8 +129,9 @@ WITH d AS (
 ),
 c AS (
   SELECT doc_id, n_tokens,
-         coalesce(sum(n_tokens) OVER (ORDER BY shard, doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         CAST(coalesce(sum(n_tokens) OVER (ORDER BY shard, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
   FROM d
 )
 SELECT doc_id, n_tokens, cum_before,

@@ -771,6 +771,8 @@ def kmeans_fit(
     import numpy as np
     import pandas as pd
 
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     spark = emb.sparkSession
     seed_rows = emb.orderBy(id_col).limit(n_clusters).select(id_col, vec_col).collect()
     order = np.argsort(np.array([r[id_col] for r in seed_rows], dtype=np.int64), kind="stable")
@@ -818,6 +820,7 @@ def kmeans_fit(
             )
         )
         rows = update.collect()  # K×dims rows — bounded driver-side state
+        bc.destroy()  # executor copies are stale the moment c_mat updates
         by_c: dict[int, dict[int, int]] = {}
         for r in rows:
             by_c.setdefault(r["cluster"], {})[r["dim"]] = r["centroid_micro"]

@@ -300,8 +300,8 @@ WITH counts AS (
 tot AS (SELECT sum(n_docs) AS _total, sum(w) AS _sumw FROM counts),
 rates AS (
   SELECT source,
-         least(1000, (1000 * (((_total * {int(target_per_mille)}) // 1000) * w // _sumw)) // n_docs)
-           AS keep_per_mille
+         CAST(least(1000, (1000 * (((_total * {int(target_per_mille)}) // 1000) * w // _sumw)) // n_docs)
+           AS BIGINT) AS keep_per_mille
   FROM counts, tot
 )
 SELECT {id_col} AS doc_id, d.{source_col} AS source,
@@ -388,12 +388,21 @@ def leakage_free_splits(
     text_col: str = "text",
     train_per_mille: int = 800,
     val_per_mille: int = 100,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Cluster-aware split assignment: every member of an exact-duplicate
     cluster gets the SAME split, so a duplicated document can never sit in
     train while its twin sits in test — the leakage guard a benchmark-safe
     split requires (plain per-id bucketing, :func:`assign_splits`, gives
     duplicates independent coin flips).
+
+    ``hash_mode='xxhash64'`` (production) clusters on a 64-bit content hash
+    so the shuffle never carries document bodies — a hash collision can
+    merge two distinct documents into one split cluster (P ≈ n²/2⁶⁵;
+    conservative for splits: colliding docs land in the SAME split).
+    ``hash_mode='exact'`` groups on the text itself, bit-identical to the
+    SQL oracle — the mode the correctness gate runs (same escape hatch as
+    ``text.duplicated_spans``).
 
     The cluster representative is ``min(id)`` over identical content; the
     split bucket hashes the REPRESENTATIVE id through the same portable
@@ -407,12 +416,18 @@ def leakage_free_splits(
     expression itself is a per-row projection.  Output:
     (doc_id, rep_id, split).
     """
+    if hash_mode == "exact":
+        content = F.col(text_col)
+    elif hash_mode == "xxhash64":
+        content = F.xxhash64(F.col(text_col))
+    else:
+        raise ValueError(f"hash_mode must be 'xxhash64' or 'exact', got {hash_mode!r}")
     reps = (
-        df.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("_ch"))
+        df.select(F.col(id_col), content.alias("_ch"))
         .groupBy("_ch")
         .agg(F.min(id_col).alias("rep_id"))
     )
-    keyed = df.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("_ch"))
+    keyed = df.select(F.col(id_col), content.alias("_ch"))
     b = split_bucket("rep_id")
     return (
         keyed.join(reps, "_ch")

@@ -117,8 +117,9 @@ WITH e AS (
 SELECT event_id, user_id, ts_us,
        coalesce(ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id), -1) AS gap_us,
        cents,
-       sum(cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                        ROWS BETWEEN {prev} PRECEDING AND CURRENT ROW) AS roll{window_rows}_cents
+       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                        ROWS BETWEEN {prev} PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS roll{window_rows}_cents
 FROM e
 """
 

@@ -1947,7 +1947,7 @@ def x63(spark: SparkSession, sf_dir: str) -> DataFrame:
     added = old.where(F.col("doc_id") % 43 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
-    return curation.corpus_diff(old, kept.unionByName(added))
+    return curation.corpus_diff(old, kept.unionByName(added), hash_mode="exact")
 
 
 # ---------------------------------------------------------------------------
@@ -1969,7 +1969,9 @@ def x64(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("x65_leakage_free_splits", splits.leakage_free_splits_sql())
 def x65(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return splits.leakage_free_splits(_read(spark, sf_dir, "documents"))
+    return splits.leakage_free_splits(
+        _read(spark, sf_dir, "documents"), hash_mode="exact"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -129,7 +129,12 @@ def sessions_available_now(
         .start()
     )
     try:
-        q.awaitTermination(timeout_s)
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"availableNow drain did not finish within {timeout_s}s; "
+                f"memory sink {name!r} would be partial"
+            )
     finally:
         q.stop()
     return spark.table(name)
@@ -184,7 +189,12 @@ def event_rates_available_now(
         .start()
     )
     try:
-        q.awaitTermination(timeout_s)
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"availableNow drain did not finish within {timeout_s}s; "
+                f"memory sink {name!r} would be partial"
+            )
     finally:
         q.stop()
     return spark.table(name)

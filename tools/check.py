@@ -44,7 +44,20 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     a, b = canon(spark_pdf), canon(duck_pdf)
     if len(a) == len(b):
         for c in a.columns:
-            if a[c].dtype.kind == "f" or b[c].dtype.kind == "f":
+            ka, kb = a[c].dtype.kind, b[c].dtype.kind
+            if ka == "f" or kb == "f":
+                # The driver's gate hashes stringified values, so an
+                # int64-vs-float64 dtype split ("123" vs "123.0") is a hash
+                # mismatch even when the values are numerically equal —
+                # classic cause: DuckDB sum(BIGINT) returns HUGEINT which
+                # pandas renders as float64.  Flag it as hard FAIL locally.
+                if ka != kb:
+                    problems.append(
+                        f"dtype kind mismatch on {c}: spark={a[c].dtype} "
+                        f"duck={b[c].dtype} (driver hash would differ — "
+                        f"CAST the oracle column)"
+                    )
+                    continue
                 import numpy as np
 
                 if not np.allclose(
@@ -54,6 +67,13 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
                     atol=1e-9,
                 ):
                     problems.append(f"float column {c} differs")
+                elif not (
+                    a[c].fillna(-1e300) == b[c].fillna(-1e300)
+                ).all():
+                    problems.append(
+                        f"float column {c}: values within atol but not "
+                        f"bit-equal (driver hash would differ)"
+                    )
             else:
                 if not a[c].astype(str).equals(b[c].astype(str)):
                     diffs = (a[c].astype(str) != b[c].astype(str)).sum()
