@@ -10,7 +10,7 @@ engines.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: marker stopwords per language for the n-gram/stopword language-ID heuristic
@@ -743,4 +743,69 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        CAST(sum(oov) AS BIGINT) AS n_oov,
        CAST(sum(oov) * 1000 // count(*) AS BIGINT) AS oov_pm
 FROM flagged GROUP BY doc_id
+"""
+
+
+def bpe_pair_counts(
+    docs: DataFrame, top_k: int = 200, text_col: str = "text"
+) -> DataFrame:
+    """One iteration of BPE tokenizer training: the ``top_k`` most frequent
+    adjacent character pairs over the corpus, counted the way a BPE trainer
+    counts them — per-word pair multiplicity × corpus word frequency.  The
+    highest-ranked pair is the next merge a trainer would apply.
+
+    Scale shape (100 TB): the pair explosion runs over the DISTINCT-WORD
+    table (the vocabulary) carrying each word's corpus count, not over the
+    corpus itself — the classic trainer optimization that turns an O(corpus
+    tokens) inner loop into O(|vocab|).  Two hash aggregations (word counts,
+    then pair counts — both with map-side partial combine) and a
+    ``TakeOrdered`` top-k; no shuffle carries more than the vocabulary.
+
+    Output: (pair, n_occurrences, rank), rank 1-based by
+    (count DESC, pair ASC) — fully deterministic at count ties.
+    """
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .where(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_words"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "n_words",
+    )
+    agg = pairs.groupBy("pair").agg(
+        F.sum("n_words").cast("long").alias("n_occurrences")
+    )
+    ranked = agg.orderBy(F.desc("n_occurrences"), F.asc("pair")).limit(top_k)
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return ranked.select(
+        "pair",
+        "n_occurrences",
+        F.row_number().over(w).cast("int").alias("rank"),
+    )
+
+
+def bpe_pair_counts_sql(top_k: int = 200, table: str = "documents") -> str:
+    """DuckDB twin of :func:`bpe_pair_counts`."""
+    return f"""
+WITH w AS (
+  SELECT word, count(*) AS n_words
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM {table})
+  WHERE length(word) >= 2 GROUP BY word
+),
+p AS (
+  SELECT unnest([substr(word, i, 2) for i in range(1, length(word))]) AS pair,
+         n_words
+  FROM w
+),
+a AS (
+  SELECT pair, CAST(sum(n_words) AS BIGINT) AS n_occurrences
+  FROM p GROUP BY pair
+)
+SELECT pair, n_occurrences,
+       CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair ASC) AS INTEGER) AS rank
+FROM a ORDER BY rank LIMIT {top_k}
 """

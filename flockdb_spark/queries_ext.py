@@ -2096,3 +2096,50 @@ def x69(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.kmeans_fit(
         _read(spark, sf_dir, "embeddings"), n_clusters=_X69_K, n_iter=2
     )
+
+
+# ---------------------------------------------------------------------------
+# x70 — BPE pair-count step: one tokenizer-training iteration (most frequent
+# adjacent character pairs, vocabulary-weighted) — functions/text.py
+# ---------------------------------------------------------------------------
+
+
+@query("x70_bpe_pair_counts", text.bpe_pair_counts_sql(top_k=200))
+def x70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bpe_pair_counts(_read(spark, sf_dir, "documents"), top_k=200)
+
+
+# ---------------------------------------------------------------------------
+# x71 — cross-source contamination matrix: distinct shared word trigrams per
+# source pair — functions/dedup.py
+# ---------------------------------------------------------------------------
+
+
+@query("x71_source_overlap", dedup.source_overlap_sql())
+def x71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.source_overlap(_read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# x72 — repeated-span removal with text REWRITE (x67 counts spans; this
+# deletes every non-first occurrence and reassembles the document)
+# ---------------------------------------------------------------------------
+
+
+@query("x72_span_dedup_rewrite", dedup.dedup_spans_rewrite_sql(seg_words=8))
+def x72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_spans_rewrite(_read(spark, sf_dir, "documents"), seg_words=8)
+
+
+# ---------------------------------------------------------------------------
+# x73 — incremental (continuous-ingestion) dedup: the delta batch
+# (doc_id % 10 == 7) flagged against the existing corpus and itself
+# ---------------------------------------------------------------------------
+
+
+@query("x73_incremental_dedup", dedup.incremental_dedup_sql())
+def x73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 10 == 7)
+    corpus = docs.where(F.col("doc_id") % 10 != 7)
+    return dedup.incremental_dedup(corpus, batch, hash_mode="exact")

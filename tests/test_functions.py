@@ -1026,3 +1026,84 @@ def test_kmeans_fit_blobs(spark):
     assert got[(0, 0)]["centroid_micro"] == 6666
     # blob B dim0: floor(mean(1000000, 1020000, 1000000)) = 1006666
     assert got[(1, 0)]["centroid_micro"] == 1006666
+
+
+# -- r5 additions: BPE pair counts, source overlap, span rewrite, incremental
+
+
+def test_bpe_pair_counts(spark):
+    rows = [
+        (0, "aab aab bbb", "en", "s", 11),
+        (1, "aab cc", "en", "s", 6),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["pair"]: (r["n_occurrences"], r["rank"]) for r in
+           text.bpe_pair_counts(docs, top_k=10).collect()}
+    # 'aab' ×3 → aa×3, ab×3; 'bbb' ×1 → bb×2; 'cc' ×1 → cc×1
+    assert out["aa"] == (3, 1) and out["ab"] == (3, 2)  # tie → lexicographic
+    assert out["bb"] == (2, 3) and out["cc"] == (1, 4)
+
+
+def test_source_overlap(spark):
+    rows = [
+        (0, "w1 w2 w3 w4", "en", "sA", 11),   # trigrams: (w1 w2 w3), (w2 w3 w4)
+        (1, "w1 w2 w3 zz", "en", "sB", 11),   # shares (w1 w2 w3) with sA
+        (2, "q1 q2 q3 q4", "en", "sC", 11),   # disjoint
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {(r["source_a"], r["source_b"]): r["n_shared"]
+           for r in dedup.source_overlap(docs).collect()}
+    assert out == {("sA", "sB"): 1}
+
+
+def test_dedup_spans_rewrite(spark):
+    # 2-word segments; doc1 repeats doc0's first segment, then unique tail
+    rows = [
+        (0, "a b c d", "en", "s", 7),
+        (1, "a b x y", "en", "s", 7),
+        (2, "a b", "en", "s", 3),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_dropped"])
+           for r in dedup.dedup_spans_rewrite(docs, seg_words=2).collect()}
+    assert out[0] == ("a b c d", 2, 0)       # first occurrence keeps all
+    assert out[1] == ("x y", 1, 1)           # 'a b' deduped away
+    assert out[2] == ("", 0, 1)              # fully duplicated doc → empty
+    # rows come back for EVERY doc, including fully-deduped ones
+    assert set(out) == {0, 1, 2}
+
+
+@pytest.mark.parametrize("hash_mode", ["xxhash64", "exact"])
+def test_incremental_dedup(spark, hash_mode):
+    corpus = spark.createDataFrame(
+        [(0, "old doc one"), (1, "old doc two")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "old doc one"),    # dup of corpus
+            (11, "fresh doc"),      # genuinely new
+            (12, "fresh doc"),      # dup within batch
+            (13, "another new"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["dup_of_corpus"], r["dup_in_batch"], r["kept"])
+           for r in dedup.incremental_dedup(corpus, batch, hash_mode=hash_mode).collect()}
+    assert out[10] == (True, False, False)
+    assert out[11] == (False, False, True)
+    assert out[12] == (False, True, False)
+    assert out[13] == (False, False, True)
+
+
+def test_exact_dedup_hash_and_exact_agree(docs):
+    a = sorted((r["kept_doc_id"], r["dup_count"])
+               for r in dedup.exact_dedup(docs, hash_mode="xxhash64").collect())
+    b = sorted((r["kept_doc_id"], r["dup_count"])
+               for r in dedup.exact_dedup(docs, hash_mode="exact").collect())
+    assert a == b
