@@ -60,6 +60,11 @@ BENCH_QUERIES = [
     "x43_mutual_edges",
     "x45_chunking",
     "x47_bigram_surprisal",
+    # r5 additions: the tokenizer-training step, the cross-source overlap
+    # matrix, and the repeated-span rewrite — all corpus-bound scans
+    "x70_bpe_pair_counts",
+    "x71_source_overlap",
+    "x72_span_dedup_rewrite",
 ]
 
 #: queries whose plan .cache()es a corpus-side index (persist_index=True):

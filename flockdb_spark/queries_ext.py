@@ -2143,3 +2143,19 @@ def x73(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.where(F.col("doc_id") % 10 == 7)
     corpus = docs.where(F.col("doc_id") % 10 != 7)
     return dedup.incremental_dedup(corpus, batch, hash_mode="exact")
+
+
+# ---------------------------------------------------------------------------
+# x74 — STREAMING exact-dedup index, oracle-gated: the maintained
+# (content → kept id, count) index built by the real streaming engine
+# (file source -> stateful hash-agg -> availableNow drain), hash-matched
+# against the same GROUP BY text oracle as batch x01.  Third streaming
+# bridge: x66 = session state, x68 = window state, x74 = running-agg state.
+# ---------------------------------------------------------------------------
+
+
+@query("x74_stream_dedup_index", ORACLES["x01_dedup_exact"])
+def x74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windows import dedup_index_available_now
+
+    return dedup_index_available_now(spark, sf_dir)

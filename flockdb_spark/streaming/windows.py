@@ -198,3 +198,78 @@ def event_rates_available_now(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def streaming_dedup_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-dedup as a STREAM: the maintained (content → kept id, count)
+    index that :func:`~flockdb_spark.functions.dedup.incremental_dedup`
+    probes, built incrementally — a streaming aggregation keyed on the
+    content hash whose state is one (min id, count) pair per distinct
+    document, updated as batches arrive.
+
+    This is the always-on form of the batch x01 pass: instead of re-scanning
+    the corpus per delta, the ingest stream folds each new document into the
+    index; ``min`` and ``count`` are both commutative, so arrival order
+    (and cross-batch splits) cannot change the result — no watermark is
+    needed and state is bounded by DISTINCT corpus content, the same size
+    the batch index would be.
+
+    Output: (kept_doc_id, dup_count) — the x01 schema.
+    """
+    return (
+        docs.groupBy(F.xxhash64(F.col(text_col)).alias("_h"))
+        .agg(
+            F.min(id_col).alias("kept_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
+        )
+        .select("kept_doc_id", "dup_count")
+    )
+
+
+def dedup_index_available_now(
+    spark,
+    sf_dir: str,
+    timeout_s: int = 600,
+) -> DataFrame:
+    """Run :func:`streaming_dedup_index` as a REAL Structured Streaming
+    query over the documents parquet (file source → stateful hash-agg →
+    ``availableNow`` drain → memory sink) — the third streaming oracle
+    bridge: x66 pins session state, x68 pins window state, this pins
+    UNWINDOWED running-aggregation state (the maintained dedup index)
+    against the same GROUP BY text oracle as batch x01.
+
+    Complete mode for the same reason as the other drains: the gate reads
+    the full index after a bounded backlog; production runs update mode
+    with the sink upserting changed index rows per micro-batch.
+    """
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    _SINK_SEQ[0] += 1
+    name = f"_stream_dedup_{_SINK_SEQ[0]}"
+    q = (
+        streaming_dedup_index(docs)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"availableNow drain did not finish within {timeout_s}s; "
+                f"memory sink {name!r} would be partial"
+            )
+    finally:
+        q.stop()
+    return spark.table(name)

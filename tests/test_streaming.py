@@ -577,6 +577,26 @@ def test_event_rates_available_now_matches_batch(spark):
     assert streamed == batch and len(streamed) > 0
 
 
+def test_dedup_index_available_now_matches_batch(spark):
+    """The streaming dedup-index bridge (file source → stateful hash-agg →
+    availableNow → memory sink) returns exactly the batch x01 index."""
+    from conftest import SF_DIR
+    from flockdb_spark.streaming.windows import dedup_index_available_now
+    from flockdb_spark.functions import dedup
+
+    streamed = {
+        (r["kept_doc_id"], r["dup_count"])
+        for r in dedup_index_available_now(spark, SF_DIR).collect()
+    }
+    batch = {
+        (r["kept_doc_id"], r["dup_count"])
+        for r in dedup.exact_dedup(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
+
+
 def test_time_travel_snapshots(spark, tmp_path):
     """edges(version=N) reads the store exactly as of commit N; vacuum with
     retention keeps that snapshot alive, vacuum without kills it cleanly."""
