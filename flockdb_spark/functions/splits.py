@@ -459,3 +459,71 @@ SELECT d.doc_id, CAST(r.rep_id AS BIGINT) AS rep_id,
             ELSE 'test' END AS split
 FROM documents d JOIN reps r USING (text)
 """
+
+
+def training_shards(
+    docs: DataFrame,
+    world_size: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed-training shard assignment + balance audit: every document
+    lands on exactly one of ``world_size`` data-parallel ranks via the
+    portable id scramble (content-independent, reshuffle-free on re-runs),
+    and the audit reports each shard's document and token load plus its
+    deviation from the ideal equal share — the check a training launch runs
+    before a 1000-GPU job discovers rank 7 has 3× the tokens.
+
+    Scale shape (100 TB): shard id is a per-row projection; the audit is one
+    ``world_size``-key hash aggregation with map-side combine.  The
+    deviation is exact integer per-mille of the ideal share:
+    ``shard_tokens·world_size·1000 div total_tokens − 1000`` (positive =
+    overloaded) — the numerator stays positive, so truncating and flooring
+    division agree and the expression is engine-portable.
+
+    Output: (shard, n_docs, n_tokens, dev_pm), one row per shard.
+    """
+    from pyspark.sql import Window
+
+    from .text import token_count
+
+    shard = F.pmod(split_bucket(id_col), F.lit(world_size))
+    per = (
+        docs.select(shard.alias("shard"), token_count(text_col).alias("_t"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_t").cast("long").alias("n_tokens"),
+        )
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("_tot"),
+    ).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        (F.expr(f"(n_tokens * {world_size} * 1000) div _tot") - 1000)
+        .cast("long")
+        .alias("dev_pm"),
+    )
+
+
+def training_shards_sql(world_size: int = 8, table: str = "documents") -> str:
+    """DuckDB twin of :func:`training_shards`."""
+    bucket = split_bucket_sql("doc_id")
+    return f"""
+WITH per AS (
+  SELECT ({bucket}) % {world_size} AS shard,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM {table} GROUP BY 1
+)
+SELECT shard, n_docs, n_tokens,
+       CAST((n_tokens * {world_size} * 1000)
+            // CAST(sum(n_tokens) OVER () AS BIGINT) - 1000 AS BIGINT) AS dev_pm
+FROM per
+"""

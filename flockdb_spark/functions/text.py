@@ -809,3 +809,55 @@ SELECT pair, n_occurrences,
        CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair ASC) AS INTEGER) AS rank
 FROM a ORDER BY rank LIMIT {top_k}
 """
+
+
+def vocab_spectrum(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Vocabulary frequency-of-frequencies (the Zipf spectrum): how many
+    distinct words occur exactly ``freq`` times in the corpus, plus each
+    band's share of total tokens — the audit that surfaces corpus pathologies
+    a mean can't (hapax share spikes on OCR noise / machine-generated text;
+    a truncated high-frequency tail means boilerplate flooding).
+
+    Scale shape (100 TB): two hash aggregations, both with map-side combine
+    — (word → count), then (count → count-of-counts); the second aggregates
+    the VOCABULARY, not the corpus, and its key space is O(log corpus) in
+    practice.  No window, no join.
+
+    Output: (freq, n_words, token_share_pm) ordered by freq.
+    """
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    spectrum = words.groupBy("freq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words")
+    )
+    w = Window.partitionBy()
+    return spectrum.select(
+        F.col("freq").cast("long").alias("freq"),
+        "n_words",
+        F.expr("(freq * n_words * 1000) div sum(freq * n_words) over ()")
+        .cast("long")
+        .alias("token_share_pm"),
+    )
+
+
+def vocab_spectrum_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`vocab_spectrum`."""
+    return f"""
+WITH words AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM {table})
+  GROUP BY word
+),
+spectrum AS (
+  SELECT CAST(freq AS BIGINT) AS freq, CAST(count(*) AS BIGINT) AS n_words
+  FROM words GROUP BY freq
+)
+SELECT freq, n_words,
+       CAST((freq * n_words * 1000)
+            // CAST(sum(freq * n_words) OVER () AS BIGINT) AS BIGINT)
+         AS token_share_pm
+FROM spectrum
+"""

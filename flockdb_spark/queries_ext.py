@@ -2159,3 +2159,24 @@ def x74(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.windows import dedup_index_available_now
 
     return dedup_index_available_now(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# x75 — distributed-training shard assignment + balance audit (per-rank doc
+# and token loads with exact per-mille deviation from the ideal share)
+# ---------------------------------------------------------------------------
+
+
+@query("x75_training_shards", splits.training_shards_sql(world_size=8))
+def x75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return splits.training_shards(_read(spark, sf_dir, "documents"), world_size=8)
+
+
+# ---------------------------------------------------------------------------
+# x76 — vocabulary frequency-of-frequencies (Zipf spectrum) audit
+# ---------------------------------------------------------------------------
+
+
+@query("x76_vocab_spectrum", text.vocab_spectrum_sql())
+def x76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.vocab_spectrum(_read(spark, sf_dir, "documents"))

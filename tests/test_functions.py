@@ -1107,3 +1107,31 @@ def test_exact_dedup_hash_and_exact_agree(docs):
     b = sorted((r["kept_doc_id"], r["dup_count"])
                for r in dedup.exact_dedup(docs, hash_mode="exact").collect())
     assert a == b
+
+
+def test_training_shards_balance(spark):
+    from flockdb_spark.functions import splits
+
+    rows = [(i, "w " * 10, "en", "s", 20) for i in range(100)]
+    docs = spark.createDataFrame(
+        [(i, t.strip(), l, s, n) for i, t, l, s, n in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = splits.training_shards(docs, world_size=4).collect()
+    assert len(out) == 4
+    assert sum(r["n_docs"] for r in out) == 100
+    assert sum(r["n_tokens"] for r in out) == 1000
+    # every doc has equal tokens, so deviation mirrors doc-count deviation
+    for r in out:
+        assert r["dev_pm"] == (r["n_tokens"] * 4 * 1000) // 1000 - 1000
+
+
+def test_vocab_spectrum(spark):
+    docs = spark.createDataFrame(
+        [(0, "a a a b b c", "en", "s", 11)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = {r["freq"]: (r["n_words"], r["token_share_pm"]) for r in
+           text.vocab_spectrum(docs).collect()}
+    # a×3, b×2, c×1 over 6 tokens
+    assert out[3] == (1, 500) and out[2] == (1, 333) and out[1] == (1, 166)
