@@ -134,16 +134,17 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             if name not in times or dt < times[name]:
                 times[name] = dt
-    # warm passes for the index-persisted queries: index already resident
-    # (left populated by the last cold pass), min-of-3 on top of it
-    for _ in range(3):
-        for name in BENCH_QUERIES:
-            if name not in INDEX_PERSISTED:
-                continue
+    # warm passes for the index-persisted queries: clearCache() above also
+    # UNREGISTERS the cached plan fragments, so the plans must be rebuilt
+    # for .cache() to re-register; pass 1 then materializes the index and
+    # passes 2-3 measure the index-resident (serving) cost
+    warm_dfs = {n: qs[n](spark, SF_DIR) for n in BENCH_QUERIES if n in INDEX_PERSISTED}
+    for i in range(4):
+        for name, df in warm_dfs.items():
             t0 = time.perf_counter()
-            dfs[name].write.format("noop").mode("overwrite").save()
+            df.write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
-            if name not in warm_index or dt < warm_index[name]:
+            if i > 0 and (name not in warm_index or dt < warm_index[name]):
                 warm_index[name] = dt
 
     total = round(sum(times.values()), 3)
@@ -194,6 +195,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "warm_index": warm_index,
                 "sf": float(sf),
                 "duckdb_baseline": duck_times,
                 "throughput": throughput,
