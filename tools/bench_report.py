@@ -72,8 +72,7 @@ re-materialize those caches inside each timed pass, which is the honest
 cold cost and slightly above what earlier rounds reported.
 
 | query | warm @sf0.1 | warm @sf1.0 | warm @sf3.0 | cold @sf3.0 |
-|---|---|---|---|---|
-"""
+|---|---|---|---|---|"""
     )
     for n in sorted(d01.get("warm_index", {})):
         out.append(
