@@ -836,3 +836,90 @@ def kmeans_fit(
     return spark.createDataFrame(result, out_schema).select(
         "cluster", "dim", "centroid_micro", "n_vectors"
     )
+
+
+def embedding_outliers(
+    embeddings: DataFrame,
+    top_k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label embedding outlier audit: the ``top_k`` vectors farthest
+    from their own label's centroid — the mislabeled/noisy-vector sweep a
+    labeled embedding corpus runs before training a classifier or seeding
+    an IVF index on it (a vector far from its class centroid is either
+    mislabeled, corrupt, or genuinely hard; all three deserve eyes).
+
+    Exact integer arithmetic end-to-end: micro-quantized codes, integer
+    squared distance to the floor-mean centroid (``label_centroids``' rule),
+    ties broken on the lower vec_id.
+
+    Scale shape (100 TB): the centroid table is |labels|·|dims| rows —
+    broadcast; the fact side is the same posexplode fan-out as
+    :func:`label_centroids` whose per-vector distance partials combine
+    map-side (each vector's dims sit in one input row, so the (vec) partial
+    sums complete before the shuffle); the per-label top-k is a window over
+    |labels| partitions.  Two corpus passes total (one for centroids, one
+    for distances) — the audit is as heavy as the training step it guards,
+    no more.
+
+    Output: (label, vec_id, dist_micro2, rank).
+    """
+    from pyspark.sql import Window
+
+    cent = label_centroids(embeddings, vec_col).select(
+        label_col, "dim", "centroid_micro"
+    )
+    fact = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        label_col,
+        F.posexplode(quantized(vec_col)).alias("dim", "q"),
+    )
+    dist = (
+        fact.join(F.broadcast(cent), [label_col, "dim"])
+        .groupBy(label_col, "vec_id")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("centroid_micro"))
+                * (F.col("q") - F.col("centroid_micro"))
+            )
+            .cast("long")
+            .alias("dist_micro2")
+        )
+    )
+    w = Window.partitionBy(label_col).orderBy(F.desc("dist_micro2"), F.asc("vec_id"))
+    return (
+        dist.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top_k)
+        .select(label_col, "vec_id", "dist_micro2", "rank")
+    )
+
+
+def embedding_outliers_sql(top_k: int = 5) -> str:
+    """DuckDB twin of :func:`embedding_outliers` over ``embeddings``."""
+    return f"""
+WITH e AS (
+  SELECT vec_id, label,
+         unnest(list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))) AS q,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings
+),
+c AS (
+  SELECT label, dim,
+         CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS centroid_micro
+  FROM e GROUP BY label, dim
+),
+d AS (
+  SELECT e.label, e.vec_id,
+         CAST(sum((e.q - c.centroid_micro) * (e.q - c.centroid_micro)) AS BIGINT)
+           AS dist_micro2
+  FROM e JOIN c ON e.label = c.label AND e.dim = c.dim
+  GROUP BY e.label, e.vec_id
+)
+SELECT label, vec_id, dist_micro2,
+       CAST(row_number() OVER (
+         PARTITION BY label ORDER BY dist_micro2 DESC, vec_id ASC
+       ) AS INTEGER) AS rank
+FROM d QUALIFY rank <= {top_k}
+"""

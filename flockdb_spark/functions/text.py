@@ -861,3 +861,20 @@ SELECT freq, n_words,
          AS token_share_pm
 FROM spectrum
 """
+
+
+def lang_confusion(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID confusion matrix: labeled language × predicted language
+    with document counts — the evaluation artifact a classifier QA pass
+    publishes (which languages the n-gram heuristic confuses, and how often
+    the corpus's labels disagree with its content).
+
+    One corpus pass (the same staged hit-count projection as
+    :func:`lang_id`) plus a tiny |langs|² aggregation with map-side
+    combine.  Output: (labeled_lang, pred_lang, n_docs).
+    """
+    return (
+        lang_id(docs, text_col)
+        .groupBy("labeled_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

@@ -2180,3 +2180,47 @@ def x75(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("x76_vocab_spectrum", text.vocab_spectrum_sql())
 def x76(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.vocab_spectrum(_read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# x77 — per-label embedding outlier audit: top-k vectors farthest from their
+# own label centroid (mislabeled/noisy-vector sweep), exact integers
+# ---------------------------------------------------------------------------
+
+
+@query("x77_embedding_outliers", similarity.embedding_outliers_sql(top_k=5))
+def x77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_outliers(_read(spark, sf_dir, "embeddings"), top_k=5)
+
+
+# ---------------------------------------------------------------------------
+# x78 — language-ID confusion matrix (labeled × predicted, doc counts) —
+# the classifier-QA artifact over the same staged hit counts as x10
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x78_lang_confusion",
+    f"""
+WITH h AS (
+  SELECT lang AS labeled_lang,
+         {text.lang_hits_sql("text", "en")} AS hits_en,
+         {text.lang_hits_sql("text", "de")} AS hits_de,
+         {text.lang_hits_sql("text", "es")} AS hits_es,
+         {text.lang_hits_sql("text", "fr")} AS hits_fr
+  FROM documents
+),
+p AS (
+  SELECT labeled_lang,
+         CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+              WHEN hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+              WHEN hits_es >= hits_fr THEN 'es'
+              ELSE 'fr' END AS pred_lang
+  FROM h
+)
+SELECT labeled_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM p GROUP BY labeled_lang, pred_lang
+""",
+)
+def x78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.lang_confusion(_read(spark, sf_dir, "documents"))

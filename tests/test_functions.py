@@ -1135,3 +1135,36 @@ def test_vocab_spectrum(spark):
            text.vocab_spectrum(docs).collect()}
     # a×3, b×2, c×1 over 6 tokens
     assert out[3] == (1, 500) and out[2] == (1, 333) and out[1] == (1, 166)
+
+
+def test_embedding_outliers(spark):
+    # label 0: three vectors near [1,0], one flipped to [-1,0] (the outlier)
+    rows = [
+        (0, [1.0, 0.0], 0),
+        (1, [0.9, 0.1], 0),
+        (2, [1.0, 0.1], 0),
+        (3, [-1.0, 0.0], 0),   # farthest from the label-0 centroid
+        (4, [0.0, 1.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = similarity.embedding_outliers(emb, top_k=1).collect()
+    by_label = {r["label"]: r for r in out}
+    assert by_label[0]["vec_id"] == 3 and by_label[0]["rank"] == 1
+    assert by_label[1]["vec_id"] == 4  # singleton label: itself, dist 0
+    assert by_label[1]["dist_micro2"] == 0
+
+
+def test_lang_confusion(spark):
+    rows = [
+        (0, "the and of the", "en", "s", 14),   # en markers → pred en
+        (1, "der und die das", "de", "s", 15),  # de markers → pred de
+        (2, "der und die das", "en", "s", 15),  # labeled en, reads de
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {(r["labeled_lang"], r["pred_lang"]): r["n_docs"]
+           for r in text.lang_confusion(docs).collect()}
+    assert out[("en", "en")] == 1
+    assert out[("de", "de")] == 1
+    assert out[("en", "de")] == 1
