@@ -303,3 +303,94 @@ def mutual_edges(edges: DataFrame, graph_id: int) -> DataFrame:
     # (source, destination) is unique per graph (SqlShard.scala:56-68), so
     # each side is already a set and the semi-join emits no duplicates
     return fwd.join(bwd, ["a", "b"], "left_semi")
+
+
+def k_core(
+    edges: DataFrame, graph_id: int, k: int = 2, n_rounds: int = 3
+) -> DataFrame:
+    """k-core peeling over the undirected Normal-edge graph: ``n_rounds``
+    rounds of "drop every vertex with degree < k", then report the
+    survivors with their degree inside the surviving subgraph — the dense
+    cohesive backbone a social graph keeps when pruning barely-connected
+    accounts (the reference's whole domain is this graph; its blog's
+    "who's important here" follow-graph questions are k-core questions).
+
+    Fixed rounds, not fixpoint, for the same reason ``kmeans_fit`` fixes
+    iterations: the DuckDB oracle replays the identical rounds in plain
+    CTEs (:func:`k_core_sql`), making the operator value-checkable.  A
+    production caller loops until a round removes nothing (each round
+    returns survivors, so convergence is one count comparison per round);
+    peel depth in real graphs is small — most vertices fall in the first
+    two rounds.
+
+    Scale shape (100 TB): the undirected view is the canonical (a<b)
+    distinct pair set expanded both directions — built once, cached; each
+    round is ONE degree aggregation (map-side combine) + ONE semi-join of
+    the edge set against surviving vertices, both keyed the same way so
+    AQE reuses the exchange; per-round lineage is truncated with
+    ``localCheckpoint`` exactly like PageRank's iterations.
+
+    Output: (node_id, degree) for vertices in the ``n_rounds``-peeled
+    k-core, degree counted within the surviving subgraph.
+    """
+    e = edges.where((F.col("graph_id") == graph_id) & (F.col("state") == 0))
+    canon = (
+        e.select(
+            F.least("source_id", "destination_id").alias("a"),
+            F.greatest("source_id", "destination_id").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = canon.unionByName(
+        canon.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=False)
+
+    live = und  # edges with both endpoints live
+    for _ in range(n_rounds):
+        deg = live.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        survivors = deg.where(F.col("deg") >= k).select("a")
+        live = (
+            live.join(survivors, "a", "left_semi")
+            .join(survivors.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    final = live.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    return final.select(F.col("a").alias("node_id"), "degree")
+
+
+def k_core_sql(graph_id: int, k: int = 2, n_rounds: int = 3) -> tuple[str, str]:
+    """DuckDB twin of :func:`k_core`: returns ``(cte_chain, final_select)``
+    for composition with ``with_fixture_ctes(final_select, cte_chain)`` —
+    the same fixed peel rounds replayed as chained CTEs over the standard
+    ``edges`` fixture."""
+    parts = [
+        f"""canon AS (
+  SELECT DISTINCT least(source_id, destination_id) AS a,
+         greatest(source_id, destination_id) AS b
+  FROM edges
+  WHERE graph_id = {graph_id} AND state = 0
+    AND source_id <> destination_id
+),
+und0 AS (
+  SELECT a, b FROM canon UNION ALL SELECT b AS a, a AS b FROM canon
+)"""
+    ]
+    prev = "und0"
+    for r in range(1, n_rounds + 1):
+        parts.append(
+            f"""s{r} AS (
+  SELECT a FROM {prev} GROUP BY a HAVING count(*) >= {k}
+),
+und{r} AS (
+  SELECT u.a, u.b FROM {prev} u
+  JOIN s{r} x ON u.a = x.a
+  JOIN s{r} y ON u.b = y.a
+)"""
+        )
+        prev = f"und{r}"
+    final = (
+        f"SELECT a AS node_id, CAST(count(*) AS BIGINT) AS degree\n"
+        f"FROM {prev} GROUP BY a"
+    )
+    return ",\n".join(parts), final

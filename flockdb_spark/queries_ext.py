@@ -2224,3 +2224,20 @@ FROM p GROUP BY labeled_lang, pred_lang
 )
 def x78(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_confusion(_read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# x79 — k-core peel (3 fixed rounds, k=40) over graph 3's undirected Normal
+# edges — the cohesive-backbone extraction; oracle replays the rounds in
+# chained CTEs (the kmeans_fit gate pattern).  k=40 sits above graph 3's
+# median degree so the peel actually cascades at the gate SF (round 1 keeps
+# 102 vertices, round 2 re-peels to 76 at sf0.01).
+# ---------------------------------------------------------------------------
+
+_X79_CTES, _X79_FINAL = analytics.k_core_sql(graph_id=3, k=40, n_rounds=3)
+
+
+@query("x79_k_core", with_fixture_ctes(_X79_FINAL, _X79_CTES))
+def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = store_for(spark, sf_dir)
+    return analytics.k_core(st.edges, graph_id=3, k=40, n_rounds=3)

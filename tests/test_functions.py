@@ -1168,3 +1168,24 @@ def test_lang_confusion(spark):
     assert out[("en", "en")] == 1
     assert out[("de", "de")] == 1
     assert out[("en", "de")] == 1
+
+
+def test_k_core_cascade(spark):
+    # path a-b-c-d plus a triangle (e,f,g): k=2 peel kills the path ends
+    # first, then the whole path cascades; the triangle survives with deg 2
+    rows = []
+    for i, (s, d) in enumerate(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10)]
+    ):
+        rows.append((3, s, d, i, 0, 1000 + i, 1))
+    edges = spark.createDataFrame(
+        rows,
+        "graph_id int, source_id long, destination_id long, position long, "
+        "state int, updated_at long, count int",
+    )
+    out = {r["node_id"]: r["degree"]
+           for r in analytics.k_core(edges, 3, k=2, n_rounds=3).collect()}
+    assert out == {10: 2, 11: 2, 12: 2}
+    # one round is NOT enough for the path: ends drop, middle still deg>=?
+    one = {r["node_id"] for r in analytics.k_core(edges, 3, k=2, n_rounds=1).collect()}
+    assert one == {2, 3, 10, 11, 12}  # 2-3 survive round 1, die in round 2
