@@ -878,3 +878,93 @@ def lang_confusion(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .groupBy("labeled_lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+CMS_MOD = 1_000_000_007
+
+
+def _cms_params(row: int) -> tuple[int, int]:
+    """Deterministic universal-hash multipliers per sketch row (same family
+    as ``dedup._uh_params``; a ≠ 0 and both < CMS_MOD keep a·fp < 2^63)."""
+    a = (2654435761 * (row + 1)) % CMS_MOD or 1
+    b = (40503 * (row + 1) + 17) % CMS_MOD
+    return a, b
+
+
+def count_min_sketch(
+    docs: DataFrame,
+    depth: int = 4,
+    width: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-min sketch of the corpus word counts: ``depth`` independent
+    hash rows × ``width`` buckets, each cell the sum of counts of the words
+    hashing into it — the fixed-size frequency summary a 100 TB pipeline
+    keeps when the exact vocabulary table is too big to ship (point-query
+    estimate = min over rows of the probed cells; always ≥ the true count).
+
+    Deterministic and oracle-checkable: the bucket hash is the portable
+    rolling fingerprint scrambled through per-row universal-hash params —
+    the same verification-twin discipline as the MinHash family.
+
+    Scale shape (100 TB): one word-count aggregation (map-side combine)
+    over the corpus, then a ``depth``-way generator explode of the DISTINCT
+    WORD table into (row, bucket, n) partials whose reduce key space is
+    depth·width cells — constant-size output regardless of corpus size.
+    Sketches MERGE by elementwise addition (cell keys are corpus-independent),
+    so per-shard sketches combine without rehashing — the property that
+    makes this the streaming/distributed counting workhorse.
+
+    Output: (row, bucket, cnt) for non-empty cells.
+    """
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("fp", portable_hash("word"))
+    )
+    rows = []
+    for r in range(depth):
+        a, b = _cms_params(r)
+        rows.append(
+            F.struct(
+                F.lit(r).alias("row"),
+                F.pmod(
+                    F.pmod(F.col("fp") * F.lit(a) + F.lit(b), F.lit(CMS_MOD)),
+                    F.lit(width),
+                ).cast("int").alias("bucket"),
+            )
+        )
+    cells = words.select(F.explode(F.array(*rows)).alias("cell"), "n").select(
+        F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket"), "n"
+    )
+    return cells.groupBy("row", "bucket").agg(
+        F.sum("n").cast("long").alias("cnt")
+    )
+
+
+def count_min_sketch_sql(
+    depth: int = 4, width: int = 256, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`count_min_sketch`."""
+    fp = portable_hash_sql("word")
+    arms = []
+    for r in range(depth):
+        a, b = _cms_params(r)
+        arms.append(
+            f"SELECT {r} AS row, CAST(((fp * {a} + {b}) % {CMS_MOD}) % {width} AS INTEGER) AS bucket, n FROM w"
+        )
+    union = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH counts AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM {table})
+  GROUP BY word
+),
+w AS (SELECT word, n, {fp} AS fp FROM counts),
+cells AS (
+{union}
+)
+SELECT row, bucket, CAST(sum(n) AS BIGINT) AS cnt
+FROM cells GROUP BY row, bucket
+"""

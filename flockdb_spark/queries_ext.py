@@ -2241,3 +2241,14 @@ _X79_CTES, _X79_FINAL = analytics.k_core_sql(graph_id=3, k=40, n_rounds=3)
 def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = store_for(spark, sf_dir)
     return analytics.k_core(st.edges, graph_id=3, k=40, n_rounds=3)
+
+
+# ---------------------------------------------------------------------------
+# x80 — count-min sketch of corpus word counts (4×256, portable-hash
+# verification twin) — the fixed-size mergeable frequency summary
+# ---------------------------------------------------------------------------
+
+
+@query("x80_count_min_sketch", text.count_min_sketch_sql(depth=4, width=256))
+def x80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.count_min_sketch(_read(spark, sf_dir, "documents"), depth=4, width=256)

@@ -1189,3 +1189,44 @@ def test_k_core_cascade(spark):
     # one round is NOT enough for the path: ends drop, middle still deg>=?
     one = {r["node_id"] for r in analytics.k_core(edges, 3, k=2, n_rounds=1).collect()}
     assert one == {2, 3, 10, 11, 12}  # 2-3 survive round 1, die in round 2
+
+
+def test_count_min_sketch_properties(spark):
+    docs = spark.createDataFrame(
+        [(0, "a a a b", "en", "s", 7), (1, "a c", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sketch = {(r["row"], r["bucket"]): r["cnt"]
+              for r in text.count_min_sketch(docs, depth=4, width=64).collect()}
+    # every row's cells sum to the total token count (mass conservation)
+    for row in range(4):
+        assert sum(v for (r, _), v in sketch.items() if r == row) == 6
+    # point estimate (min over rows of the probed cell) >= true count
+    from flockdb_spark.functions.text import CMS_MOD, _cms_params
+
+    def probe(word, true_n):
+        fp_df = spark.createDataFrame([(word,)], "word string").select(
+            text.portable_hash("word").alias("fp")
+        )
+        fp = fp_df.collect()[0]["fp"]
+        est = min(
+            sketch.get((r, ((fp * _cms_params(r)[0] + _cms_params(r)[1]) % CMS_MOD) % 64), 0)
+            for r in range(4)
+        )
+        assert est >= true_n
+
+    probe("a", 4)
+    probe("b", 1)
+    probe("c", 1)
+    # merge property: sketch(A ∪ B) == sketch(A) + sketch(B) elementwise
+    half1 = docs.where(F.col("doc_id") == 0)
+    half2 = docs.where(F.col("doc_id") == 1)
+    s1 = {(r["row"], r["bucket"]): r["cnt"]
+          for r in text.count_min_sketch(half1, depth=4, width=64).collect()}
+    s2 = {(r["row"], r["bucket"]): r["cnt"]
+          for r in text.count_min_sketch(half2, depth=4, width=64).collect()}
+    merged = {}
+    for d in (s1, s2):
+        for k, v in d.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == sketch
