@@ -2252,3 +2252,19 @@ def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("x80_count_min_sketch", text.count_min_sketch_sql(depth=4, width=256))
 def x80(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.count_min_sketch(_read(spark, sf_dir, "documents"), depth=4, width=256)
+
+
+# ---------------------------------------------------------------------------
+# x81 — STREAMING count-min sketch, oracle-gated: the fourth streaming
+# bridge (x66 session state, x68 window state, x74 running-agg state,
+# x81 constant-size sketch state) — same oracle as batch x80; the cell
+# table is identical because cell addition is associative over any
+# grouping of the input stream.
+# ---------------------------------------------------------------------------
+
+
+@query("x81_stream_sketch", ORACLES["x80_count_min_sketch"])
+def x81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windows import sketch_available_now
+
+    return sketch_available_now(spark, sf_dir, depth=4, width=256)

@@ -273,3 +273,75 @@ def dedup_index_available_now(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def sketch_available_now(
+    spark,
+    sf_dir: str,
+    depth: int = 4,
+    width: int = 256,
+    timeout_s: int = 600,
+) -> DataFrame:
+    """Count-min sketch built by the REAL streaming engine over the
+    documents parquet (file source → stateful (row, bucket) aggregation →
+    ``availableNow`` drain → memory sink) — the fourth streaming oracle
+    bridge, and the operator's natural habitat: sketches exist precisely so
+    an unbounded stream can keep a bounded frequency summary.  State is the
+    depth×width cell grid (constant), cell addition is commutative, no
+    watermark needed — the same no-watermark argument as the x74 dedup
+    index, with O(1) state instead of O(distinct content).
+
+    The word-count pre-aggregation of the batch path collapses here into
+    the same stateful agg (each arriving doc's words explode straight into
+    cell increments); the result table is identical because cell addition
+    is associative over any grouping of the input.
+    """
+    from ..functions.text import CMS_MOD, _cms_params, portable_hash, tokens
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    docs = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    words = docs.select(F.explode(tokens("text")).alias("word")).withColumn(
+        "fp", portable_hash("word")
+    )
+    arms = []
+    for r in range(depth):
+        a, b = _cms_params(r)
+        arms.append(
+            F.struct(
+                F.lit(r).alias("row"),
+                F.pmod(
+                    F.pmod(F.col("fp") * F.lit(a) + F.lit(b), F.lit(CMS_MOD)),
+                    F.lit(width),
+                ).cast("int").alias("bucket"),
+            )
+        )
+    cells = (
+        words.select(F.explode(F.array(*arms)).alias("cell"))
+        .select(F.col("cell.row").alias("row"), F.col("cell.bucket").alias("bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    _SINK_SEQ[0] += 1
+    name = f"_stream_sketch_{_SINK_SEQ[0]}"
+    q = (
+        cells.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"availableNow drain did not finish within {timeout_s}s; "
+                f"memory sink {name!r} would be partial"
+            )
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -278,3 +278,47 @@ def test_batch_flat_pages_matches_per_tree_ids(spark, specs, page_count):
             (r["id"] for r in tree.ids(store).collect()), reverse=True
         )[: page_count + 1]
         assert sorted(got.get(qix, []), reverse=True) == expect, (qix, tree)
+
+
+def test_span_rewrite_conservation(spark):
+    """Property: for any corpus, dedup_spans_rewrite conserves segments
+    (kept + dropped == total) and every kept doc's rebuilt text is the
+    in-order concatenation of a subset of its own segments."""
+    from flockdb_spark.functions import dedup
+    from pyspark.sql import functions as F
+
+    rows = [
+        (i, " ".join(f"w{(i * 7 + j) % 11}" for j in range(1 + (i % 9))), "en", "s", 0)
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = dedup.dedup_spans_rewrite(docs, seg_words=3)
+    segs_total = docs.select(
+        F.col("doc_id"),
+        (F.floor((F.size(F.split("text", " ")) - 1) / 3) + 1).alias("n_segs"),
+    )
+    joined = out.join(segs_total, "doc_id").collect()
+    assert len(joined) == 40
+    originals = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for r in joined:
+        assert r["n_kept"] + r["n_dropped"] == r["n_segs"]
+        # rebuilt text is the in-order concatenation of a (possibly
+        # non-contiguous) subsequence of the original's segment list
+        orig_words = originals[r["doc_id"]].split(" ")
+        orig_segs = [
+            " ".join(orig_words[i : i + 3]) for i in range(0, len(orig_words), 3)
+        ]
+        rebuilt = r["clean_text"]
+        # greedy subsequence match over segments
+        pos, matched = 0, 0
+        for seg in orig_segs:
+            target = rebuilt[pos:]
+            if target.startswith(seg) and (
+                len(target) == len(seg) or target[len(seg)] == " "
+            ):
+                pos += len(seg) + (1 if len(target) > len(seg) else 0)
+                matched += 1
+        assert pos >= len(rebuilt.rstrip()) and matched == r["n_kept"], (
+            r["doc_id"], rebuilt, orig_segs)

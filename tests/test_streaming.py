@@ -629,3 +629,23 @@ def test_time_travel_snapshots(spark, tmp_path):
     with _pytest.raises(ValueError, match="not in the commit log"):
         ing.edges(version=v1)
     assert {r["destination_id"] for r in ing.edges().collect()} == {10, 11, 12}
+
+
+def test_sketch_available_now_matches_batch(spark):
+    """The streaming sketch bridge returns exactly the batch x80 cell
+    table — cell addition is associative over any input grouping."""
+    from conftest import SF_DIR
+    from flockdb_spark.streaming.windows import sketch_available_now
+    from flockdb_spark.functions import text as textf
+
+    streamed = {
+        (r["row"], r["bucket"], r["cnt"])
+        for r in sketch_available_now(spark, SF_DIR).collect()
+    }
+    batch = {
+        (r["row"], r["bucket"], r["cnt"])
+        for r in textf.count_min_sketch(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
