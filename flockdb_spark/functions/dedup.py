@@ -878,3 +878,136 @@ SELECT f.doc_id,
        (c.text IS NULL AND NOT f.dup_in_batch) AS kept
 FROM flagged f LEFT JOIN corpus c USING (text)
 """
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 3,
+    k_hashes: int = 4,
+    n_bits: int = 16384,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`decontaminate` through a BLOOM FILTER: the eval set collapses
+    to a ``k_hashes``-hash bit set of at most ``n_bits`` positions, and a
+    corpus shingle counts as an eval hit iff ALL its k bits are present —
+    the membership-sketch twin of x80's frequency sketch, and the shape a
+    100 TB decontamination pass actually ships: the broadcast side is
+    CONSTANT-SIZE (≤ n_bits rows of one int) no matter how many benchmarks
+    the eval set accumulates, where exact decontamination broadcasts the
+    full distinct-shingle table.
+
+    The trade is deterministic, one-sided error: a bloom hit can be a
+    false positive (rate ≈ (1−e^(−k·s/m))^k for s eval shingles), never a
+    false negative — flagged docs are a SUPERSET of the exact operator's,
+    so the gate errs toward discarding, the safe direction for leakage.
+    Both the bit set and the probes use the portable-hash twins, so the
+    whole filter is oracle-checkable.
+
+    Output: (doc_id, n_eval_shingles, is_contaminated) — n_eval_shingles
+    here counts bloom-hit shingles (≥ the exact count).
+    """
+    from .text import portable_hash
+
+    def bits(fp_col):
+        arms = []
+        for i in range(k_hashes):
+            a, b = _uh_params(i)
+            arms.append(
+                F.pmod(
+                    F.pmod(fp_col * F.lit(a) + F.lit(b), F.lit(FP_MOD)),
+                    F.lit(n_bits),
+                ).cast("int")
+            )
+        return F.array(*arms)
+
+    eval_bits = (
+        word_shingles(eval_docs, n, text_col, id_col)
+        .select(F.explode(bits(portable_hash("shingle"))).alias("bit"))
+        .distinct()
+    )
+    probes = word_shingles(docs, n, text_col, id_col).select(
+        "doc_id",
+        "shingle",
+        F.posexplode(bits(portable_hash("shingle"))).alias("_i", "bit"),
+    )
+    hits = (
+        probes.join(F.broadcast(eval_bits), "bit", "left_semi")
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("_k_present"))
+        .where(F.col("_k_present") == k_hashes)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_eval_shingles"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_eval_shingles", F.lit(0)).alias("n_eval_shingles"),
+            (F.coalesce("n_eval_shingles", F.lit(0)) >= min_hits)
+            .cast("long")
+            .alias("is_contaminated"),
+        )
+    )
+
+
+def bloom_decontaminate_sql(
+    n_bits: int = 16384,
+    k_hashes: int = 4,
+    min_hits: int = 1,
+    eval_pred: str = "doc_id % 97 = 0",
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`bloom_decontaminate` (word trigrams; eval set
+    carved out of ``table`` by ``eval_pred``, corpus = the complement —
+    the x34 fixture convention)."""
+    from .text import portable_hash_sql
+
+    w = "string_split(text, ' ')"
+    tri = (
+        f"list_transform(range(1, length({w}) - 1), "
+        f"i -> concat_ws(' ', {w}[i], {w}[i+1], {w}[i+2]))"
+    )
+    fp = portable_hash_sql("shingle")
+    arms = []
+    for i in range(k_hashes):
+        a, b = _uh_params(i)
+        arms.append(f"((fp * {a} + {b}) % {FP_MOD}) % {n_bits}")
+    bit_list = ", ".join(arms)
+    return f"""
+WITH esh AS (
+  SELECT DISTINCT unnest(list_distinct({tri})) AS shingle
+  FROM {table} WHERE {eval_pred}
+),
+ebits AS (
+  SELECT DISTINCT unnest([{bit_list}]) AS bit
+  FROM (SELECT {fp} AS fp FROM esh)
+),
+tsh AS (
+  SELECT doc_id, unnest(list_distinct({tri})) AS shingle
+  FROM {table} WHERE NOT ({eval_pred})
+),
+tb AS (
+  SELECT doc_id, shingle, unnest([{bit_list}]) AS bit
+  FROM (SELECT doc_id, shingle, {fp} AS fp FROM tsh)
+),
+flagged AS (
+  SELECT doc_id, shingle
+  FROM tb JOIN ebits USING (bit)
+  GROUP BY doc_id, shingle
+  HAVING count(*) = {k_hashes}
+),
+hits AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_shingles
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(h.n_eval_shingles, 0) AS n_eval_shingles,
+       CAST(coalesce(h.n_eval_shingles, 0) >= {min_hits} AS BIGINT)
+         AS is_contaminated
+FROM (SELECT doc_id FROM {table} WHERE NOT ({eval_pred})) d
+LEFT JOIN hits h USING (doc_id)
+"""

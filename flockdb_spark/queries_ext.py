@@ -2268,3 +2268,19 @@ def x81(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.windows import sketch_available_now
 
     return sketch_available_now(spark, sf_dir, depth=4, width=256)
+
+
+# ---------------------------------------------------------------------------
+# x82 — bloom-filter decontamination: x34 through a constant-size
+# membership sketch (k=4 hashes, 16384 bits) — flagged docs are a
+# deterministic SUPERSET of the exact gate's (one-sided error, safe
+# direction for leakage); same eval fixture as x34 (doc_id % 97 == 0)
+# ---------------------------------------------------------------------------
+
+
+@query("x82_bloom_decontaminate", dedup.bloom_decontaminate_sql())
+def x82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    return dedup.bloom_decontaminate(corpus, ev)

@@ -1230,3 +1230,26 @@ def test_count_min_sketch_properties(spark):
         for k, v in d.items():
             merged[k] = merged.get(k, 0) + v
     assert merged == sketch
+
+
+def test_bloom_decontaminate_superset_of_exact(spark, docs):
+    # eval set = doc 0's text; docs 0 and 3 share it exactly, doc 1 is a
+    # near-dup sharing most trigrams, doc 2 disjoint
+    ev = docs.where(F.col("doc_id") == 0)
+    corpus = docs.where(F.col("doc_id") != 0)
+    exact = {r["doc_id"]: r["is_contaminated"]
+             for r in dedup.decontaminate(corpus, ev).collect()}
+    bloom = {r["doc_id"]: r["is_contaminated"]
+             for r in dedup.bloom_decontaminate(corpus, ev).collect()}
+    assert set(exact) == set(bloom)
+    for d, flag in exact.items():
+        if flag:  # no false negatives: everything exact flags, bloom flags
+            assert bloom[d] == 1
+    assert exact[3] == 1 and bloom[3] == 1   # exact dup flagged by both
+    assert exact[2] == 0                      # disjoint doc clean exactly
+    # bloom hit counts dominate exact hit counts per doc
+    e_hits = {r["doc_id"]: r["n_eval_shingles"]
+              for r in dedup.decontaminate(corpus, ev).collect()}
+    b_hits = {r["doc_id"]: r["n_eval_shingles"]
+              for r in dedup.bloom_decontaminate(corpus, ev).collect()}
+    assert all(b_hits[d] >= e_hits[d] for d in e_hits)
