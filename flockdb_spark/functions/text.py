@@ -968,3 +968,211 @@ cells AS (
 SELECT row, bucket, CAST(sum(n) AS BIGINT) AS cnt
 FROM cells GROUP BY row, bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog-style distinct-count registers (mergeable, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+HLL_P = 6                      # 2^6 = 64 registers per group
+HLL_WBITS = 24                 # usable rank bits: FP_MOD < 2^30, minus p
+
+
+def _rho(w: Column) -> Column:
+    """ρ(w) = 1 + number of trailing zero bits of ``w`` (the HLL register
+    update), capped at HLL_WBITS+1 for w == 0.  Expressed as the exact
+    integer sum Σ_k [w mod 2^k = 0] — ``w % 2^k == 0`` iff the k low bits
+    are zero, so the sum counts trailing zeros without bit intrinsics and
+    the DuckDB twin is the literal same arithmetic (portable across any
+    SQL engine; stays inside whole-stage codegen on Spark)."""
+    terms = [
+        F.when(F.pmod(w, F.lit(1 << k)) == 0, 1).otherwise(0)
+        for k in range(1, HLL_WBITS + 1)
+    ]
+    out = F.lit(1)
+    for t in terms:
+        out = out + t
+    return out
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    p: int = HLL_P,
+) -> DataFrame:
+    """HyperLogLog register table for COUNT(DISTINCT value) per group — the
+    fixed-size (2^p rows per group) mergeable sketch that replaces exact
+    distinct counting when the value domain is too large to shuffle (the
+    "distinct users per slice" dashboard op at 100 TB).
+
+    Register update: fp = portable_hash(value); bucket = fp mod 2^p;
+    register[bucket] = max(ρ(fp div 2^p)).  Deterministic and
+    oracle-checkable (DuckDB twin :func:`hll_registers_sql`); production
+    would swap the portable hash for ``xxhash64`` exactly like the
+    MinHash family's ``hash_mode``.
+
+    Mergeability: registers combine by elementwise MAX (max is commutative
+    and idempotent), so per-shard sketches union without rehashing —
+    pinned by test.  Estimation is :func:`hll_estimate` over the collected
+    (tiny) register table.
+
+    Scale shape: one map-side projection (hash + mod, no Python), one
+    aggregation whose key space is |groups|·2^p — constant per group
+    regardless of input rows; max has a map-side partial, so the shuffle
+    carries at most 2^p rows per group per task.
+
+    Output: (*group_cols, bucket, rho).
+    """
+    group_cols = list(group_cols or [])
+    m = 1 << p
+    fp = portable_hash(F.col(value_col).cast("string"))
+    proj = df.select(
+        *group_cols,
+        F.pmod(fp, F.lit(m)).cast("int").alias("bucket"),
+        (fp / F.lit(m)).cast("long").alias("w"),
+    )
+    return (
+        proj.select(*group_cols, "bucket", _rho(F.col("w")).alias("rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").cast("int").alias("rho"))
+    )
+
+
+def hll_registers_sql(
+    value_expr: str,
+    group_cols: list[str] | None = None,
+    table: str = "events",
+    p: int = HLL_P,
+) -> str:
+    """DuckDB twin of :func:`hll_registers`."""
+    group_cols = list(group_cols or [])
+    m = 1 << p
+    fp = portable_hash_sql(f"CAST({value_expr} AS VARCHAR)")
+    gsel = "".join(f"{c}, " for c in group_cols)
+    gby = ", ".join([*group_cols, "bucket"]) if group_cols else "bucket"
+    tz = " + ".join(
+        f"(CASE WHEN w % {1 << k} = 0 THEN 1 ELSE 0 END)"
+        for k in range(1, HLL_WBITS + 1)
+    )
+    return f"""
+WITH v AS (SELECT {gsel}{fp} AS fp FROM {table}),
+b AS (SELECT {gsel}CAST(fp % {m} AS INTEGER) AS bucket, fp // {m} AS w FROM v)
+SELECT {gsel}bucket, CAST(max(1 + {tz}) AS INTEGER) AS rho
+FROM b GROUP BY {gby}
+"""
+
+
+def hll_estimate(registers: dict[int, int], p: int = HLL_P) -> float:
+    """Driver-side HLL cardinality estimate from a collected register table
+    (one group's {bucket: rho} dict; missing buckets are empty).
+
+    Standard HLL with the small-range linear-counting correction
+    (Flajolet et al. 2007): E = α_m·m²/Σ2^(−ρ_j); if E ≤ 2.5m and any
+    register is empty, E = m·ln(m/V) with V the count of empty registers.
+    Relative error ≈ 1.04/√m (13% at m=64) — pinned by test against exact
+    distinct counts.
+    """
+    m = 1 << p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    s = sum(2.0 ** -registers.get(j, 0) for j in range(m))
+    est = alpha * m * m / s
+    zeros = sum(1 for j in range(m) if registers.get(j, 0) == 0)
+    if est <= 2.5 * m and zeros:
+        import math
+
+        est = m * math.log(m / zeros)
+    return est
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: CMS-pruned exact frequent-term extraction
+# ---------------------------------------------------------------------------
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    per_mille: int = 10,
+    depth: int = 4,
+    width: int = 256,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact frequent terms (count ≥ per_mille‰ of total tokens) found via
+    the classic two-pass sketch-pruned plan — the shape that finds heavy
+    hitters over a 100 TB token stream WITHOUT ever shuffling the full
+    vocabulary:
+
+    1. one scan builds a count-min sketch straight from the token stream
+       (reduce key space = depth·width cells; map-side combine makes the
+       shuffle constant-size, never O(|vocab|));
+    2. the tiny sketch is collected and inlined as array literals; a second
+       scan probes it per token (est = min over rows, codegen arithmetic)
+       and only tokens whose ESTIMATE clears the threshold reach the exact
+       groupBy — CMS overestimates only, so pruning loses no true hitter,
+       and the exact recount drops the sketch's false positives.
+
+    Net result equals the exact HAVING-count query (the oracle), but the
+    vocabulary-sized aggregation only ever sees candidate tokens.
+
+    Output: (word, cnt) with cnt ≥ threshold.
+    """
+    toks = docs.select(F.explode(tokens(text_col)).alias("word"))
+    total = toks.count()
+    thr = max(total * per_mille // 1000, 1)
+
+    fp = portable_hash("word")
+    arms = []
+    for r in range(depth):
+        a, b = _cms_params(r)
+        arms.append(
+            F.pmod(F.pmod(fp * F.lit(a) + F.lit(b), F.lit(CMS_MOD)), F.lit(width))
+            .cast("int")
+            .alias(f"b{r}")
+        )
+    # pass 1: token stream -> cells (depth x width), collected (tiny)
+    cells = (
+        toks.select(*arms)
+        .select(
+            F.explode(
+                F.array(*[
+                    F.struct(F.lit(r).alias("row"), F.col(f"b{r}").alias("bucket"))
+                    for r in range(depth)
+                ])
+            ).alias("c")
+        )
+        .groupBy("c.row", "c.bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    grid = [[0] * width for _ in range(depth)]
+    for row in cells:
+        grid[row["row"]][row["bucket"]] = row["n"]
+
+    # pass 2: probe the inlined sketch per token; exact-count survivors only
+    probed = toks.select("word", *arms)
+    ests = [
+        F.element_at(F.array(*[F.lit(c) for c in grid[r]]), F.col(f"b{r}") + 1)
+        for r in range(depth)
+    ]
+    return (
+        probed.where(F.least(*ests) >= thr)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .where(F.col("cnt") >= thr)
+    )
+
+
+def heavy_hitters_sql(per_mille: int = 10, table: str = "documents") -> str:
+    """DuckDB twin of :func:`heavy_hitters` — the plain exact formulation
+    (the sketch pruning is an execution strategy, not a semantics change)."""
+    return f"""
+WITH toks AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM {table}
+),
+thr AS (
+  SELECT greatest(count(*) * {int(per_mille)} // 1000, 1) AS t FROM toks
+)
+SELECT word, CAST(count(*) AS BIGINT) AS cnt
+FROM toks GROUP BY word
+HAVING count(*) >= (SELECT t FROM thr)
+"""

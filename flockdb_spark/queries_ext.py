@@ -2284,3 +2284,34 @@ def x82(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = docs.where(F.col("doc_id") % 97 == 0)
     corpus = docs.where(F.col("doc_id") % 97 != 0)
     return dedup.bloom_decontaminate(corpus, ev)
+
+
+# ---------------------------------------------------------------------------
+# x83 — HyperLogLog distinct-user registers per event type: the fixed-size
+# (64 rows/group) mergeable COUNT(DISTINCT) sketch — registers are exact
+# integers, so the gate value-matches them; estimation accuracy and
+# elementwise-max mergeability are pinned by unit tests
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x83_hll_registers",
+    text.hll_registers_sql("user_id", ["event_type"], table="events"),
+)
+def x83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.hll_registers(
+        _read(spark, sf_dir, "events"), "user_id", ["event_type"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# x84 — heavy hitters: exact frequent terms (≥1% of total tokens) via the
+# two-pass CMS-pruned plan — the sketch prunes (one-sided error), the exact
+# recount confirms, so the result EQUALS the plain HAVING-count oracle while
+# the vocabulary-sized aggregation only ever sees candidate tokens
+# ---------------------------------------------------------------------------
+
+
+@query("x84_heavy_hitters", text.heavy_hitters_sql(per_mille=10))
+def x84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.heavy_hitters(_read(spark, sf_dir, "documents"), per_mille=10)

@@ -1253,3 +1253,84 @@ def test_bloom_decontaminate_superset_of_exact(spark, docs):
     b_hits = {r["doc_id"]: r["n_eval_shingles"]
               for r in dedup.bloom_decontaminate(corpus, ev).collect()}
     assert all(b_hits[d] >= e_hits[d] for d in e_hits)
+
+
+# ---------------------------------------------------------------------------
+# HLL registers (x83) and CMS-pruned heavy hitters (x84)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_estimate_accuracy(spark):
+    # 1000 distinct values, m=64 -> expected rel. error ~1.04/sqrt(64)=13%
+    df = spark.range(1000).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+    regs = {
+        r["bucket"]: r["rho"] for r in text.hll_registers(df, "v").collect()
+    }
+    est = text.hll_estimate(regs)
+    assert abs(est - 1000) / 1000 < 0.35  # ~2.7 sigma
+
+    # small-range (linear counting) regime
+    small = spark.range(20).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+    regs_s = {
+        r["bucket"]: r["rho"] for r in text.hll_registers(small, "v").collect()
+    }
+    assert abs(text.hll_estimate(regs_s) - 20) < 8
+
+
+def test_hll_merge_is_elementwise_max(spark):
+    a = spark.range(0, 300).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+    b = spark.range(200, 500).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+    ra = {r["bucket"]: r["rho"] for r in text.hll_registers(a, "v").collect()}
+    rb = {r["bucket"]: r["rho"] for r in text.hll_registers(b, "v").collect()}
+    merged = {
+        j: max(ra.get(j, 0), rb.get(j, 0)) for j in set(ra) | set(rb)
+    }
+    rab = {
+        r["bucket"]: r["rho"]
+        for r in text.hll_registers(a.unionAll(b), "v").collect()
+    }
+    assert merged == rab  # sketch(A u B) == elementwise max of sketches
+
+
+def test_hll_dups_dont_move_registers(spark):
+    a = spark.range(100).select(F.concat(F.lit("u"), F.col("id")).alias("v"))
+    ra = {r["bucket"]: r["rho"] for r in text.hll_registers(a, "v").collect()}
+    rdup = {
+        r["bucket"]: r["rho"]
+        for r in text.hll_registers(a.unionAll(a), "v").collect()
+    }
+    assert ra == rdup  # idempotent: multiplicity never changes the sketch
+
+
+def test_heavy_hitters_exact_equivalence(spark):
+    # planted: 'hot' appears 60x, 'warm' 30x, tail words once each
+    rows = [(0, " ".join(["hot"] * 60 + ["warm"] * 30))] + [
+        (i, f"tail{i} filler{i}") for i in range(1, 6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # total=100 tokens, per_mille=200 -> thr=20: hot + warm only
+    out = {r["word"]: r["cnt"] for r in text.heavy_hitters(df, per_mille=200).collect()}
+    assert out == {"hot": 60, "warm": 30}
+
+
+def test_cms_estimate_never_underestimates(spark):
+    # the property that makes CMS pruning lossless for heavy hitters
+    rows = [(i, f"w{i % 7} w{i % 13} common") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    truth = {
+        r["word"]: r["cnt"]
+        for r in df.select(F.explode(text.tokens("text")).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    cells = {
+        (r["row"], r["bucket"]): r["cnt"]
+        for r in text.count_min_sketch(df, depth=4, width=32).collect()
+    }
+    probed = df.select(F.explode(text.tokens("text")).alias("word")).distinct() \
+        .withColumn("fp", text.portable_hash("word")).collect()
+    for row in probed:
+        ests = []
+        for r in range(4):
+            a, b = text._cms_params(r)
+            ests.append(cells.get((r, ((row["fp"] * a + b) % text.CMS_MOD) % 32), 0))
+        assert min(ests) >= truth[row["word"]]
