@@ -527,3 +527,126 @@ SELECT shard, n_docs, n_tokens,
             // CAST(sum(n_tokens) OVER () AS BIGINT) - 1000 AS BIGINT) AS dev_pm
 FROM per
 """
+
+
+def fixed_size_sample(
+    docs: DataFrame,
+    k: int = 5,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly-k-per-group deterministic sample — the eyeball/eval draw
+    ("give me 5 random docs from every source, reproducibly").  Where
+    :func:`stratified_sample` is Bernoulli (a RATE per stratum, size varies),
+    this guarantees the exact count: rank by the seeded order scramble
+    within each group and keep rank ≤ k.
+
+    Shape at 100 TB: one shuffle on the group key, per-group TOP-K — Spark
+    plans a rank window; when k is small the per-partition sort is a
+    bounded heap under AQE, and no global order exists anywhere.  Groups
+    smaller than k return whole.
+
+    Output: (group, id, sample_rank), sample_rank 1-based.
+    """
+    from pyspark.sql import Window
+
+    h = order_scramble(id_col, seed)
+    return (
+        docs.select(F.col(group_col).alias("grp"), F.col(id_col), h.alias("ord"))
+        .withColumn("sample_rank", F.row_number().over(
+            Window.partitionBy("grp").orderBy("ord", id_col)).cast("long"))
+        .where(F.col("sample_rank") <= k)
+        .select(F.col("grp").alias(group_col), id_col, "sample_rank")
+    )
+
+
+def fixed_size_sample_sql(
+    table: str = "documents",
+    k: int = 5,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> str:
+    """DuckDB twin of :func:`fixed_size_sample`."""
+    h = order_scramble_sql(id_col, seed)
+    return f"""
+WITH h AS (SELECT {group_col}, {id_col}, {h} AS ord FROM {table})
+SELECT {group_col}, {id_col},
+       CAST(row_number() OVER (
+         PARTITION BY {group_col} ORDER BY ord, {id_col}
+       ) AS BIGINT) AS sample_rank
+FROM h
+QUALIFY sample_rank <= {int(k)}
+""".strip()
+
+
+def token_budget_select(
+    docs: DataFrame,
+    budget_tokens: int = 1500,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budgeted data selection: keep each source's best documents
+    until the source's cumulative token count reaches ``budget_tokens`` —
+    the "N tokens per domain" mixture cap every pretraining recipe applies
+    (quality-first greedy fill; a doc is kept iff it fits ENTIRELY within
+    the remaining budget at its rank).
+
+    Ordering is the same lexical-diversity micro-score as
+    :func:`select_top_quality` (ties on lower id), so the kept set is
+    exactly reproducible and the two selectors compose: percentile-cap by
+    quality, then budget-cap by tokens.
+
+    Shape at 100 TB: score and token count are map-side; one shuffle
+    partitions by source; the running sum is a per-source window (no
+    global ordering).  A hot source serializes its own prefix sum — the
+    sharded two-pass prefix sum (x33 seq packing) is the drop-in when a
+    single source exceeds a task's comfort zone.
+
+    Output: (doc_id, source, n_tokens, cum_tokens) for kept rows.
+    """
+    from pyspark.sql import Window
+
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("source"),
+        F.expr(
+            f"size(array_distinct(split({text_col}, ' '))) * 1000000 "
+            f"div size(split({text_col}, ' '))"
+        ).alias("score_micro"),
+        F.expr(f"size(split({text_col}, ' '))").cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .where(F.col("cum_tokens") <= budget_tokens)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
+
+
+def token_budget_select_sql(
+    table: str = "documents", budget_tokens: int = 1500
+) -> str:
+    """DuckDB twin of :func:`token_budget_select`."""
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         length(list_distinct(string_split(text, ' '))) * 1000000
+           // length(string_split(text, ' ')) AS score_micro,
+         CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM {table}
+)
+SELECT doc_id, source, n_tokens,
+       CAST(sum(n_tokens) OVER (
+         PARTITION BY source ORDER BY score_micro DESC, doc_id ASC
+         ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS cum_tokens
+FROM scored
+QUALIFY cum_tokens <= {int(budget_tokens)}
+""".strip()

@@ -2315,3 +2315,28 @@ def x83(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("x84_heavy_hitters", text.heavy_hitters_sql(per_mille=10))
 def x84(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.heavy_hitters(_read(spark, sf_dir, "documents"), per_mille=10)
+
+
+# ---------------------------------------------------------------------------
+# x85 — exactly-k-per-group deterministic sample (seeded scramble rank):
+# the reproducible eyeball/eval draw; Bernoulli x29 varies the size, this
+# guarantees it
+# ---------------------------------------------------------------------------
+
+
+@query("x85_fixed_size_sample", splits.fixed_size_sample_sql(k=5))
+def x85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return splits.fixed_size_sample(_read(spark, sf_dir, "documents"), k=5)
+
+
+# ---------------------------------------------------------------------------
+# x90 — token-budgeted selection: keep each source's highest-quality docs
+# until the per-source token budget fills ("N tokens per domain" mixture cap)
+# ---------------------------------------------------------------------------
+
+
+@query("x90_token_budget", splits.token_budget_select_sql(budget_tokens=800))
+def x90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return splits.token_budget_select(
+        _read(spark, sf_dir, "documents"), budget_tokens=800
+    )

@@ -1334,3 +1334,50 @@ def test_cms_estimate_never_underestimates(spark):
             a, b = text._cms_params(r)
             ests.append(cells.get((r, ((row["fp"] * a + b) % text.CMS_MOD) % 32), 0))
         assert min(ests) >= truth[row["word"]]
+
+
+def test_fixed_size_sample_exact_k_and_deterministic(spark):
+    from flockdb_spark.functions import splits
+
+    rows = [(i, f"s{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = splits.fixed_size_sample(df, k=4, group_col="source").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append((r["sample_rank"], r["doc_id"]))
+    assert all(len(v) == 4 for v in by_src.values())
+    assert all(sorted(r for r, _ in v) == [1, 2, 3, 4] for v in by_src.values())
+    # deterministic across invocations
+    again = splits.fixed_size_sample(df, k=4, group_col="source").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # different seed -> (almost surely) different draw
+    other = splits.fixed_size_sample(df, k=4, group_col="source", seed=3).collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, other))
+
+
+def test_fixed_size_sample_small_group_returns_whole(spark):
+    from flockdb_spark.functions import splits
+
+    df = spark.createDataFrame([(1, "tiny"), (2, "tiny")], "doc_id long, source string")
+    assert splits.fixed_size_sample(df, k=5).count() == 2
+
+
+def test_token_budget_select_greedy_fill(spark):
+    from flockdb_spark.functions import splits
+
+    # source A: scores order docs 2 (all distinct), 1, 0 (most repetition)
+    rows = [
+        (0, "a a a a a a a a", "A"),          # 8 tokens, low score
+        (1, "b b c c d d e e", "A"),          # 8 tokens, mid score
+        (2, "f g h i j k l m", "A"),          # 8 tokens, top score
+        (3, "n o p q", "B"),                  # 4 tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in splits.token_budget_select(df, budget_tokens=16).collect()}
+    # A's budget 16 fits docs 2 (cum 8) and 1 (cum 16); doc 0 (cum 24) is cut
+    assert set(out) == {2, 1, 3}
+    assert out[2]["cum_tokens"] == 8 and out[1]["cum_tokens"] == 16
+    assert out[3]["cum_tokens"] == 4
+    # a doc that straddles the boundary is dropped entirely (fit-whole rule)
+    out2 = {r["doc_id"] for r in splits.token_budget_select(df, budget_tokens=15).collect()}
+    assert out2 == {2, 3}
