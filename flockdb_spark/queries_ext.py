@@ -2340,3 +2340,31 @@ def x90(spark: SparkSession, sf_dir: str) -> DataFrame:
     return splits.token_budget_select(
         _read(spark, sf_dir, "documents"), budget_tokens=800
     )
+
+
+# ---------------------------------------------------------------------------
+# x86 — STREAMING interval join, oracle-gated: click→purchase attribution
+# pairs (same user, purchase within 1h) built by the real stream-stream
+# join state machine — fifth streaming bridge (x66 sessions, x68 windows,
+# x74 running agg, x81 sketch, x86 JOIN state); oracle is the batch
+# self-join over the same events
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x86_stream_interval_join",
+    """
+SELECT a.event_id AS click_event_id, b.event_id AS purchase_event_id,
+       a.user_id,
+       CAST(floor(epoch(b.ts)) - floor(epoch(a.ts)) AS BIGINT) AS delay_s
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND floor(epoch(b.ts)) >= floor(epoch(a.ts))
+ AND floor(epoch(b.ts)) <= floor(epoch(a.ts)) + 3600
+""",
+)
+def x86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windows import interval_join_available_now
+
+    return interval_join_available_now(spark, sf_dir, horizon_s=3600)

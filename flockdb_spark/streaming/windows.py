@@ -345,3 +345,85 @@ def sketch_available_now(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def interval_join_available_now(
+    spark,
+    sf_dir: str,
+    left_type: str = "click",
+    right_type: str = "purchase",
+    horizon_s: int = 3600,
+    timeout_s: int = 600,
+) -> DataFrame:
+    """Stream-stream event-time interval join on the REAL streaming engine:
+    every ``left_type`` event joined to the same user's ``right_type``
+    events within ``[t, t+horizon]`` — the attribution/enrichment join
+    (click→purchase, impression→conversion) that motivates Spark's
+    stream-stream join state machine.  Fifth streaming oracle bridge: x66
+    pins session state, x68 window state, x74 running-agg state, x81
+    sketch state — this pins JOIN state (two buffered sides + event-time
+    range condition).
+
+    Both sides carry watermarks and the join condition bounds right-time
+    against left-time, which is exactly what lets the engine evict buffered
+    rows older than (watermark − horizon) instead of holding both streams
+    forever — the ONLY join shape that is viable over unbounded input.
+    Inner joins emit on match, so append mode yields the complete pair set
+    once the backlog drains; the oracle is the plain batch self-join.
+
+    Output: (click_event_id, purchase_event_id, user_id, delay_s).
+    """
+    from .. import tsutil
+
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+
+    def _side(kind: str, alias: str):
+        ev = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        ts_s = tsutil.epoch_col(ev, "ts", "s")
+        return ev.where(F.col("event_type") == kind).select(
+            F.col("event_id").alias(f"{alias}_event_id"),
+            F.col("user_id").alias(f"{alias}_user"),
+            F.timestamp_seconds(ts_s).alias(f"{alias}_time"),
+        )
+
+    left = _side(left_type, "l").withWatermark("l_time", "1 hour")
+    right = _side(right_type, "r").withWatermark("r_time", "2 hours")
+    joined = left.join(
+        right,
+        F.expr(
+            f"l_user = r_user AND r_time >= l_time "
+            f"AND r_time <= l_time + INTERVAL {int(horizon_s)} SECONDS"
+        ),
+        "inner",
+    ).select(
+        F.col("l_event_id").alias("click_event_id"),
+        F.col("r_event_id").alias("purchase_event_id"),
+        F.col("l_user").alias("user_id"),
+        (F.unix_seconds(F.col("r_time")) - F.unix_seconds(F.col("l_time")))
+        .cast("long")
+        .alias("delay_s"),
+    )
+    _SINK_SEQ[0] += 1
+    name = f"_stream_ijoin_{_SINK_SEQ[0]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"availableNow drain did not finish within {timeout_s}s; "
+                f"memory sink {name!r} would be partial"
+            )
+    finally:
+        q.stop()
+    return spark.table(name)

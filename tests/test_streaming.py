@@ -649,3 +649,35 @@ def test_sketch_available_now_matches_batch(spark):
         ).collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_interval_join_available_now_matches_batch(spark):
+    """The stream-stream interval join emits exactly the batch self-join's
+    pair set (inner joins emit on match; the availableNow drain sees the
+    whole backlog)."""
+    from conftest import SF_DIR
+    from flockdb_spark.streaming.windows import interval_join_available_now
+    from flockdb_spark import tsutil
+    from pyspark.sql import functions as F
+
+    streamed = {
+        (r["click_event_id"], r["purchase_event_id"], r["user_id"], r["delay_s"])
+        for r in interval_join_available_now(spark, SF_DIR).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ts = tsutil.epoch_col(ev, "ts", "s")
+    sides = ev.select("event_id", "user_id", "event_type", ts.alias("t"))
+    a = sides.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("ca"), F.col("user_id").alias("ua"), F.col("t").alias("ta"))
+    b = sides.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("cb"), F.col("user_id").alias("ub"), F.col("t").alias("tb"))
+    batch = {
+        (r["ca"], r["cb"], r["ua"], r["tb"] - r["ta"])
+        for r in a.join(
+            b,
+            (F.col("ua") == F.col("ub"))
+            & (F.col("tb") >= F.col("ta"))
+            & (F.col("tb") <= F.col("ta") + 3600),
+        ).collect()
+    }
+    assert streamed == batch and len(streamed) > 0
