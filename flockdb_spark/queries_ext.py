@@ -2368,3 +2368,41 @@ def x86(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.windows import interval_join_available_now
 
     return interval_join_available_now(spark, sf_dir, horizon_s=3600)
+
+
+# ---------------------------------------------------------------------------
+# x87/x88 — source-format round-trip gates: the documents table written out
+# as JSONL / full-quoted CSV and read back through the pinned-schema
+# readers (sources/corpus.py), value-hashed against the parquet oracle —
+# the ingestion surface a training pipeline actually receives data through
+# ---------------------------------------------------------------------------
+
+_ROUNDTRIP_ORACLE = "SELECT doc_id, text, lang, source, n_chars FROM documents"
+
+
+def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    import tempfile
+
+    from .sources import corpus as corpus_src
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = tempfile.mkdtemp(prefix=f"flockdb_{fmt}_rt_")
+    if fmt == "jsonl":
+        corpus_src.write_documents_jsonl(docs, path, n_files=4)
+        back = corpus_src.read_documents_jsonl(spark, path, keep_corrupt=False)
+    else:
+        corpus_src.write_documents_csv(docs, path, n_files=4)
+        back = corpus_src.read_documents_csv(spark, path)
+    return back.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+@query("x87_jsonl_roundtrip", _ROUNDTRIP_ORACLE)
+def x87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "jsonl")
+
+
+@query("x88_csv_roundtrip", _ROUNDTRIP_ORACLE)
+def x88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip(spark, sf_dir, "csv")

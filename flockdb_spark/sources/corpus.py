@@ -95,3 +95,44 @@ def write_curated(
 
 def read_curated(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def write_documents_csv(docs: DataFrame, path: str, n_files: int | None = None) -> None:
+    """Write a corpus as CSV with full-fidelity quoting: every field quoted,
+    embedded quotes doubled (RFC 4180), so commas, quotes, and newlines in
+    document text survive the round trip — the interchange settings that
+    make CSV safe for free text at all.
+    """
+    out = docs.repartition(n_files) if n_files else docs
+    (
+        out.write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .option("escape", '"')
+        .csv(path)
+    )
+
+
+def read_documents_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOCUMENT_SCHEMA,
+) -> DataFrame:
+    """Load a CSV document corpus with a pinned schema.
+
+    ``multiLine`` lets quoted fields span physical lines (document text
+    contains newlines); ``escape='"'`` reads RFC 4180 doubled quotes.  The
+    explicit schema skips inference (a full extra pass at corpus scale) —
+    same rationale as :func:`read_documents_jsonl`.  Note ``multiLine``
+    makes a single file non-splittable (quote state can't be resumed
+    mid-file), so corpus-scale CSV should arrive as MANY files — the
+    parallelism is across files, not within them.
+    """
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .option("mode", "FAILFAST")
+        .csv(path)
+    )

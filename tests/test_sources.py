@@ -64,3 +64,42 @@ def test_curated_writer_one_file_per_partition_value(spark, tmp_path):
     for d in glob.glob(f"{path}/lang=*"):
         files = [f for f in glob.glob(f"{d}/*.parquet")]
         assert len(files) == 1, d
+
+
+def test_csv_roundtrip_hostile_text(spark, tmp_path):
+    """Free text with commas, RFC 4180 doubled quotes, newlines, and
+    non-ASCII must survive the CSV round trip bit-exactly."""
+    rows = [
+        (0, 'plain words', "en", "s", 11),
+        (1, 'comma, separated, values', "en", "s", 24),
+        (2, 'she said "hello" twice: ""', "en", "s", 26),
+        (3, 'line one\nline two\r\nline three', "en", "s", 29),
+        (4, 'unicode: café — 中文', "fr", "s", 14),
+        (5, '', "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    path = str(tmp_path / "csv_rt")
+    corpus.write_documents_csv(df, path)
+    back = {
+        r["doc_id"]: (r["text"], r["lang"], r["source"], r["n_chars"])
+        for r in corpus.read_documents_csv(spark, path).collect()
+    }
+    want = {r[0]: (r[1], r[2], r[3], r[4]) for r in rows}
+    # CSV has no empty-string-vs-null distinction; everything else exact
+    got = {k: (v[0] or '', v[1], v[2], v[3]) for k, v in back.items()}
+    assert got == want
+
+
+def test_csv_roundtrip_matches_jsonl_on_corpus(spark, tmp_path):
+    docs = _docs(spark).select("doc_id", "text", "lang", "source", "n_chars")
+    cpath, jpath = str(tmp_path / "c"), str(tmp_path / "j")
+    corpus.write_documents_csv(docs, cpath)
+    corpus.write_documents_jsonl(docs, jpath)
+    c = {tuple(r) for r in corpus.read_documents_csv(spark, cpath).collect()}
+    j = {
+        tuple(r)
+        for r in corpus.read_documents_jsonl(spark, jpath, keep_corrupt=False).collect()
+    }
+    assert c == j and len(c) == docs.count()
