@@ -22,6 +22,7 @@ from .functions import (
 from . import tsutil
 from .queries import ORACLES, query, store_for
 from .sources.edges import _read, with_fixture_ctes
+from .sources.layout import zorder_key_sql
 
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
 
@@ -2406,3 +2407,26 @@ def x87(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("x88_csv_roundtrip", _ROUNDTRIP_ORACLE)
 def x88(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "csv")
+
+
+# ---------------------------------------------------------------------------
+# x89 — Z-order (Morton) clustering key: the multi-dimensional layout key
+# behind OPTIMIZE ZORDER; exact bit-interleave arithmetic, value-matched
+# against the DuckDB twin; the layout's file-pruning dominance over a
+# linear sort is pinned by test (tests/test_layout.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x89_zorder_key",
+    "SELECT l_orderkey, l_partkey, "
+    + zorder_key_sql("l_orderkey", "l_partkey")
+    + " AS zkey FROM lineitem",
+)
+def x89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.layout import zorder_key
+
+    li = _read(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_partkey", zorder_key("l_orderkey", "l_partkey").alias("zkey")
+    )
