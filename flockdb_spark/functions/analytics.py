@@ -394,3 +394,94 @@ und{r} AS (
         f"FROM {prev} GROUP BY a"
     )
     return ",\n".join(parts), final
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    graph_id: int,
+    iterations: int = 3,
+    seed_mod: int = 29,
+) -> DataFrame:
+    """Personalized PageRank: random walks that TELEPORT back to a seed set
+    instead of to everywhere — the recommendation/similarity primitive
+    ("who is relevant to THESE accounts"), vs global PageRank's "who is
+    important overall".
+
+        pr₀(v)   = UNIT·[v ∈ S]
+        prᵢ₊₁(v) = (1−d)·UNIT·[v ∈ S] + d·Σ_{u→v} prᵢ(u) div out_deg(u)
+
+    Seeds here are the deterministic fixture ``node_id % seed_mod == 0``
+    (scale-factor independent); same nano-unit integer arithmetic as
+    :func:`pagerank`, same dangling-mass convention, replayed by the
+    oracle as chained CTEs (:func:`personalized_pagerank_sql`).
+
+    Shape: identical per-iteration join+agg as PageRank — the seed
+    indicator is a map-side expression, so personalization costs nothing
+    extra; at cluster scale the same pre-bucketed edge layout co-locates
+    the per-iteration join.
+
+    Output: (node_id, pr) in nano-units; non-seed nodes unreachable from
+    seeds carry pr = 0.
+    """
+    e = edges.where((F.col("graph_id") == graph_id) & (F.col("state") == 0)).select(
+        F.col("source_id").alias("src"), F.col("destination_id").alias("dst")
+    )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    e_deg = e.join(out_deg, "src").cache()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    base = PR_UNIT * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    seed = f"(CASE WHEN node % {seed_mod} = 0 THEN 1 ELSE 0 END)"
+    pr = nodes.select("node", F.expr(f"CAST({seed} * {PR_UNIT} AS BIGINT)").alias("pr"))
+    for _ in range(iterations):
+        contrib = (
+            e_deg.join(pr.select(F.col("node").alias("src"), "pr"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("pr div out_deg")).alias("in_sum"))
+        )
+        pr = nodes.join(contrib, "node", "left").select(
+            "node",
+            F.expr(
+                f"CAST({seed} * {base}"
+                f" + (coalesce(in_sum, 0) * {PR_DAMP_NUM}) div {PR_DAMP_DEN}"
+                f" AS BIGINT)"
+            ).alias("pr"),
+        )
+    return pr.select(F.col("node").alias("node_id"), "pr")
+
+
+def personalized_pagerank_sql(
+    graph_id: int, iterations: int = 3, seed_mod: int = 29
+) -> tuple[str, str]:
+    """DuckDB twin of :func:`personalized_pagerank` — ``(cte_chain,
+    final_select)`` for ``with_fixture_ctes``."""
+    base = PR_UNIT * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    seed = f"(CASE WHEN node % {seed_mod} = 0 THEN 1 ELSE 0 END)"
+    parts = [
+        f"""e AS (
+  SELECT source_id AS src, destination_id AS dst FROM edges
+  WHERE graph_id = {graph_id} AND state = 0
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+deg AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+ppr0 AS (SELECT node, CAST({seed} * {PR_UNIT} AS BIGINT) AS pr FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f"""ppr{i} AS (
+  SELECT n.node,
+         CAST({seed.replace('node', 'n.node')} * {base}
+              + (coalesce(s.in_sum, 0) * {PR_DAMP_NUM}) // {PR_DAMP_DEN}
+              AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(p.pr // d.out_deg) AS in_sum
+    FROM ppr{i - 1} p JOIN deg d ON p.node = d.src JOIN e ON e.src = d.src
+    GROUP BY e.dst
+  ) s ON n.node = s.node
+)"""
+        )
+    final = f"SELECT node AS node_id, pr FROM ppr{iterations}"
+    return ",\n".join(parts), final

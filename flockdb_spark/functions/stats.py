@@ -180,3 +180,84 @@ SELECT '_orphan_vectors' AS source,
 FROM embeddings e
 WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id)
 """
+
+
+def last_touch_attribution(
+    events: DataFrame,
+    touch_type: str = "click",
+    convert_type: str = "purchase",
+    horizon_s: int = 3600,
+) -> DataFrame:
+    """Last-touch attribution: each conversion credited to the SAME user's
+    most recent touch event within ``horizon_s`` seconds — the standard
+    marketing/funnel attribution rule, and the per-conversion complement of
+    x86's full interval-join pair set.
+
+    Implemented on the as-of sweep (operators/asof.py): union both sides,
+    one shuffle on user_id, carry-forward window — NO range join, no
+    per-user quadratic blow-up; the horizon is a post-filter on the matched
+    timestamp.  Touches are pre-aggregated to one row per (user, second)
+    (max event id wins) so the as-of contract's uniqueness holds and ties
+    break deterministically.
+
+    Output: (purchase_event_id, user_id, purchase_s, click_event_id,
+    delay_s) — attributed conversions only.
+    """
+    from ..operators.asof import asof_join
+
+    ts = tsutil.epoch_col(events, "ts", "s")
+    base = events.select("event_id", "user_id", "event_type", ts.alias("t"))
+    touches = (
+        base.where(F.col("event_type") == touch_type)
+        .groupBy("user_id", F.col("t").alias("touch_t"))
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    conv = base.where(F.col("event_type") == convert_type).select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("t").alias("purchase_s"),
+    )
+    hit = asof_join(
+        conv,
+        touches.select("user_id", "touch_t", "click_event_id"),
+        on=["user_id"],
+        left_time="purchase_s",
+        right_time="touch_t",
+        payload=["click_event_id", "touch_t"],
+        prefix="",
+    )
+    return hit.where(
+        F.col("touch_t").isNotNull()
+        & (F.col("purchase_s") - F.col("touch_t") <= horizon_s)
+    ).select(
+        "purchase_event_id",
+        "user_id",
+        F.col("purchase_s").cast("long").alias("purchase_s"),
+        "click_event_id",
+        (F.col("purchase_s") - F.col("touch_t")).cast("long").alias("delay_s"),
+    )
+
+
+def last_touch_attribution_sql(
+    touch_type: str = "click", convert_type: str = "purchase", horizon_s: int = 3600
+) -> str:
+    """DuckDB twin of :func:`last_touch_attribution` (native ASOF join)."""
+    return f"""
+WITH c AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS touch_t,
+         max(event_id) AS click_event_id
+  FROM events WHERE event_type = '{touch_type}'
+  GROUP BY user_id, floor(epoch(ts))
+),
+p AS (
+  SELECT event_id AS purchase_event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS purchase_s
+  FROM events WHERE event_type = '{convert_type}'
+)
+SELECT p.purchase_event_id, p.user_id, p.purchase_s,
+       c.click_event_id,
+       CAST(p.purchase_s - c.touch_t AS BIGINT) AS delay_s
+FROM p ASOF JOIN c
+  ON p.user_id = c.user_id AND p.purchase_s >= c.touch_t
+WHERE p.purchase_s - c.touch_t <= {int(horizon_s)}
+"""

@@ -1176,3 +1176,94 @@ SELECT word, CAST(count(*) AS BIGINT) AS cnt
 FROM toks GROUP BY word
 HAVING count(*) >= (SELECT t FROM thr)
 """
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney bigram model counts (LM estimation over the corpus)
+# ---------------------------------------------------------------------------
+
+KN_DISCOUNT_NUM, KN_DISCOUNT_DEN = 3, 4  # D = 0.75, the standard KN discount
+
+
+def kneser_ney_bigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities over the corpus — the
+    n-gram LM estimation pass (the model behind KenLM-style quality/
+    perplexity filters, here at bigram order):
+
+        p_kn(w2|w1) = max(c(w1,w2) − D, 0)/c(w1·)
+                      + D·N1+(w1·)/c(w1·) · N1+(·w2)/T
+
+    with D = 3/4, N1+(w1·) = distinct continuations of w1, N1+(·w2) =
+    distinct left contexts of w2 (the continuation count that makes KN
+    KN), T = total bigram types.  All terms are exact integer micro-units
+    with a pinned floor-division order, so any engine replays the same
+    table bit-for-bit.
+
+    Shape at 100 TB: bigram generation is map-side (zip-with-tail); one
+    shuffle to bigram-type grain; the two marginals re-aggregate FROM the
+    type table (vocabulary-sized, not corpus-sized); T is a 1-row
+    broadcast.  The final join is type-table × two vocab-sized sides —
+    the same keyed-join shape as x47's surprisal.
+
+    Output: (w1, w2, c, p_kn_micro).
+    """
+    w = F.col("_w")
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bg = (
+        docs.select(tokens(text_col).alias("_w"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n_follow")
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n_precede"))
+    tt = c12.agg(F.count(F.lit(1)).alias("tt"))
+    dn, dd = KN_DISCOUNT_NUM, KN_DISCOUNT_DEN
+    return (
+        c12.join(c1, "w1")
+        .join(cont, "w2")
+        .join(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.expr(
+                f"({dd} * c - {dn}) * 1000000 div ({dd} * c1)"
+                f" + (({dn} * n_follow * 1000000 div ({dd} * c1))"
+                f"    * (n_precede * 1000000 div tt)) div 1000000"
+            ).cast("long").alias("p_kn_micro"),
+        )
+    )
+
+
+def kneser_ney_bigrams_sql(table: str = "documents") -> str:
+    """DuckDB twin of :func:`kneser_ney_bigrams`."""
+    w = "string_split(text, ' ')"
+    dn, dd = KN_DISCOUNT_NUM, KN_DISCOUNT_DEN
+    return f"""
+WITH t AS (SELECT {w} AS w FROM {table}),
+bg AS (
+  SELECT unnest(list_transform(range(1, greatest(length(w), 1)),
+                i -> concat_ws(chr(32), w[i], w[i+1]))) AS pair
+  FROM t
+),
+sp AS (SELECT string_split(pair, ' ')[1] AS w1, string_split(pair, ' ')[2] AS w2 FROM bg),
+c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM sp GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c) AS c1, count(*) AS n_follow FROM c12 GROUP BY w1),
+cont AS (SELECT w2, count(*) AS n_precede FROM c12 GROUP BY w2),
+tt AS (SELECT count(*) AS tt FROM c12)
+SELECT c12.w1, c12.w2, c12.c,
+       CAST(({dd} * c - {dn}) * 1000000 // ({dd} * c1)
+            + (({dn} * n_follow * 1000000 // ({dd} * c1))
+               * (n_precede * 1000000 // tt)) // 1000000 AS BIGINT) AS p_kn_micro
+FROM c12 JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN tt
+"""

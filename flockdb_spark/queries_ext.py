@@ -2430,3 +2430,43 @@ def x89(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey", "l_partkey", zorder_key("l_orderkey", "l_partkey").alias("zkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# x91 — Kneser-Ney bigram LM estimation: the n-gram model behind
+# KenLM-style perplexity/quality filters, exact integer micro-probabilities
+# ---------------------------------------------------------------------------
+
+
+@query("x91_kneser_ney", text.kneser_ney_bigrams_sql())
+def x91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.kneser_ney_bigrams(_read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# x92 — last-touch attribution: each purchase credited to the same user's
+# most recent click within 1h, on the as-of sweep (one shuffle, no range
+# join); oracle is DuckDB's native ASOF JOIN
+# ---------------------------------------------------------------------------
+
+
+@query("x92_last_touch", stats.last_touch_attribution_sql(horizon_s=3600))
+def x92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats.last_touch_attribution(
+        _read(spark, sf_dir, "events"), horizon_s=3600
+    )
+
+
+# ---------------------------------------------------------------------------
+# x93 — personalized PageRank (teleport to the node_id % 29 == 0 seed set,
+# 3 iterations) — the recommendation primitive; oracle replays the
+# iterations as chained CTEs like x14/x79
+# ---------------------------------------------------------------------------
+
+_X93_CTES, _X93_FINAL = analytics.personalized_pagerank_sql(graph_id=3, iterations=3)
+
+
+@query("x93_personalized_pagerank", with_fixture_ctes(_X93_FINAL, _X93_CTES))
+def x93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = store_for(spark, sf_dir)
+    return analytics.personalized_pagerank(st.edges, graph_id=3, iterations=3)

@@ -1381,3 +1381,89 @@ def test_token_budget_select_greedy_fill(spark):
     # a doc that straddles the boundary is dropped entirely (fit-whole rule)
     out2 = {r["doc_id"] for r in splits.token_budget_select(df, budget_tokens=15).collect()}
     assert out2 == {2, 3}
+
+
+def test_kneser_ney_matches_reference_arithmetic(spark):
+    rows = [(i, "a b a c a b d a") for i in range(3)] + [(9, "b c d a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["w1"], r["w2"]): (r["c"], r["p_kn_micro"])
+           for r in text.kneser_ney_bigrams(df).collect()}
+
+    # reference recomputation with the same pinned integer ops
+    from collections import Counter, defaultdict
+    c12 = Counter()
+    for _, t in rows:
+        w = t.split(" ")
+        for a, b in zip(w, w[1:]):
+            c12[(a, b)] += 1
+    c1, nf, npre = Counter(), Counter(), Counter()
+    for (a, b), c in c12.items():
+        c1[a] += c
+        nf[a] += 1
+        npre[b] += 1
+    tt = len(c12)
+    for (a, b), c in c12.items():
+        want = (4 * c - 3) * 1_000_000 // (4 * c1[a]) + (
+            (3 * nf[a] * 1_000_000 // (4 * c1[a])) * (npre[b] * 1_000_000 // tt)
+        ) // 1_000_000
+        assert out[(a, b)] == (c, want), (a, b)
+
+    # full-vocab distribution: observed discounted mass + backoff mass over
+    # the WHOLE vocabulary sums to ~1 per left context (interpolated KN's
+    # defining property; observed rows alone must sum BELOW 1)
+    for a in c1:
+        t1 = sum((c12[(a, b)] - 0.75) / c1[a] for b in {p[1] for p in c12 if p[0] == a})
+        lam = 0.75 * nf[a] / c1[a]
+        full = t1 + lam * sum(npre[b] for b in npre) / tt
+        assert abs(full - 1.0) < 1e-9, (a, full)
+        observed = sum(out[(a, b)][1] for b in {p[1] for p in c12 if p[0] == a})
+        assert observed < 1_000_000
+
+
+def test_last_touch_attribution_semantics(spark):
+    from flockdb_spark.functions import stats as statsf
+
+    # user 1: clicks at t=0 and t=100, purchase at t=150 -> credit t=100 click
+    # user 2: click at t=0, purchase at t=5000 -> outside 1h horizon, dropped
+    # user 3: purchase with no click -> dropped
+    rows = [
+        (10, "1970-01-01 00:00:00", 1, "click"),
+        (11, "1970-01-01 00:01:40", 1, "click"),
+        (12, "1970-01-01 00:02:30", 1, "purchase"),
+        (20, "1970-01-01 00:00:00", 2, "click"),
+        (21, "1970-01-01 01:23:20", 2, "purchase"),
+        (30, "1970-01-01 00:00:10", 3, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = statsf.last_touch_attribution(df, horizon_s=3600).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["purchase_event_id"] == 12 and r["click_event_id"] == 11
+    assert r["delay_s"] == 50
+
+
+def test_personalized_pagerank_localizes_to_seeds(spark):
+    from conftest import SF_DIR
+    from flockdb_spark.queries import store_for
+
+    st = store_for(spark, SF_DIR)
+    ppr = {
+        r["node_id"]: r["pr"]
+        for r in analytics.personalized_pagerank(st.edges, graph_id=3).collect()
+    }
+    gpr = {
+        r["node_id"]: r["pr"]
+        for r in analytics.pagerank(st.edges, graph_id=3).collect()
+    }
+    assert set(ppr) == set(gpr)
+    # total PPR mass is far below global PR mass (teleport only to seeds)
+    assert sum(ppr.values()) < sum(gpr.values()) / 2
+    # seeds hold most of their own teleport mass
+    seeds = [n for n in ppr if n % 29 == 0]
+    assert seeds and all(ppr[s] > 0 for s in seeds)
+    # and the ranking differs from global PR (it IS personalized)
+    top_ppr = sorted(ppr, key=ppr.get, reverse=True)[:5]
+    top_gpr = sorted(gpr, key=gpr.get, reverse=True)[:5]
+    assert top_ppr != top_gpr
