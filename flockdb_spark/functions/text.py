@@ -1185,6 +1185,25 @@ HAVING count(*) >= (SELECT t FROM thr)
 KN_DISCOUNT_NUM, KN_DISCOUNT_DEN = 3, 4  # D = 0.75, the standard KN discount
 
 
+def _bigram_pairs(docs: DataFrame, text_col: str, with_doc: bool = False) -> DataFrame:
+    """Map-side bigram stream (w1, w2) [+ doc_id] via zip-with-tail."""
+    w = F.col("_w")
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    head = ["doc_id"] if with_doc else []
+    return (
+        docs.select(*head, tokens(text_col).alias("_w"))
+        .select(*head, F.explode(pairs).alias("p"))
+        .select(*head, "p.w1", "p.w2")
+    )
+
+
 def kneser_ney_bigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Interpolated Kneser-Ney bigram probabilities over the corpus — the
     n-gram LM estimation pass (the model behind KenLM-style quality/
@@ -1207,20 +1226,7 @@ def kneser_ney_bigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Output: (w1, w2, c, p_kn_micro).
     """
-    w = F.col("_w")
-    pairs = F.when(
-        F.size(w) >= 2,
-        F.zip_with(
-            F.slice(w, 1, F.size(w) - 1),
-            F.slice(w, 2, F.size(w) - 1),
-            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    bg = (
-        docs.select(tokens(text_col).alias("_w"))
-        .select(F.explode(pairs).alias("p"))
-        .select("p.w1", "p.w2")
-    )
+    bg = _bigram_pairs(docs, text_col)
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c"))
     c1 = c12.groupBy("w1").agg(
         F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n_follow")
@@ -1266,4 +1272,126 @@ SELECT c12.w1, c12.w2, c12.c,
             + (({dn} * n_follow * 1000000 // ({dd} * c1))
                * (n_precede * 1000000 // tt)) // 1000000 AS BIGINT) AS p_kn_micro
 FROM c12 JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN tt
+"""
+
+
+def kn_surprisal(
+    train: DataFrame, score: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Held-out LM quality scoring: each ``score`` document's mean inverse
+    Kneser-Ney bigram probability under a model estimated from ``train`` —
+    the perplexity-filter shape (train the cheap LM on the corpus, score
+    candidate documents, gate on the score), with real OOV handling, which
+    is exactly what x47's self-trained frequency ratio cannot do:
+
+    - bigram seen in train:  p = p_kn (x91's interpolated estimate)
+    - unseen bigram, seen context w1:  p = λ(w1)·p_cont(w2) (pure backoff)
+    - unseen context:  p = p_cont(w2) (continuation unigram)
+    - everything floors at 1 micro so unseen-everything stays finite.
+
+    Score = mean of (10¹² div p_micro) over the document's bigrams —
+    exact integers, engine-portable.  Low = fluent in-distribution text;
+    high = OOV-dense or shuffled.
+
+    Shape at 100 TB: model tables are vocabulary-sized aggregates of the
+    train corpus; scoring is one explode + three keyed joins against them
+    (broadcastable when the vocab is small, shuffle joins otherwise —
+    Catalyst/AQE decides from stats) and one agg back to doc grain.
+
+    Output: (doc_id, n_bigrams, kn_surprisal).
+    """
+    model = kneser_ney_bigrams(train, text_col).select("w1", "w2", "p_kn_micro")
+    tr = _bigram_pairs(train, text_col)
+    c12 = tr.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    dn, dd = KN_DISCOUNT_NUM, KN_DISCOUNT_DEN
+    lam = (
+        c12.groupBy("w1")
+        .agg(F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n_follow"))
+        .select(
+            "w1",
+            F.expr(f"{dn} * n_follow * 1000000 div ({dd} * c1)").alias("lam_micro"),
+        )
+    )
+    tt = c12.agg(F.count(F.lit(1)).alias("tt"))
+    pc = (
+        c12.groupBy("w2")
+        .agg(F.count(F.lit(1)).alias("n_precede"))
+        .join(F.broadcast(tt))
+        .select("w2", F.expr("n_precede * 1000000 div tt").alias("pcont_micro"))
+    )
+    sd = _bigram_pairs(score, text_col, with_doc=True)
+    joined = (
+        sd.join(model, ["w1", "w2"], "left")
+        .join(lam, "w1", "left")
+        .join(pc, "w2", "left")
+        .select(
+            "doc_id",
+            F.expr(
+                "greatest(CASE"
+                " WHEN p_kn_micro IS NOT NULL THEN p_kn_micro"
+                " WHEN lam_micro IS NOT NULL THEN"
+                "   (lam_micro * coalesce(pcont_micro, 0)) div 1000000"
+                " ELSE coalesce(pcont_micro, 0) END, 1)"
+            ).alias("p"),
+        )
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.expr("sum(1000000000000 div p) div count(*)")
+        .cast("long")
+        .alias("kn_surprisal"),
+    )
+
+
+def kn_surprisal_sql(
+    table: str = "documents", train_pred: str = "doc_id % 10 <> 0"
+) -> str:
+    """DuckDB twin of :func:`kn_surprisal` with train/score split by
+    ``train_pred`` over ``table``."""
+    w = "string_split(text, ' ')"
+    dn, dd = KN_DISCOUNT_NUM, KN_DISCOUNT_DEN
+    return f"""
+WITH tr AS (SELECT {w} AS w FROM {table} WHERE {train_pred}),
+trbg AS (
+  SELECT unnest(list_transform(range(1, greatest(length(w), 1)),
+                i -> concat_ws(chr(32), w[i], w[i+1]))) AS pair
+  FROM tr
+),
+trsp AS (SELECT string_split(pair, ' ')[1] AS w1, string_split(pair, ' ')[2] AS w2 FROM trbg),
+c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM trsp GROUP BY w1, w2),
+c1 AS (SELECT w1, sum(c) AS c1, count(*) AS n_follow FROM c12 GROUP BY w1),
+cont AS (SELECT w2, count(*) AS n_precede FROM c12 GROUP BY w2),
+tt AS (SELECT count(*) AS tt FROM c12),
+model AS (
+  SELECT c12.w1, c12.w2,
+         ({dd} * c - {dn}) * 1000000 // ({dd} * c1)
+           + (({dn} * n_follow * 1000000 // ({dd} * c1))
+              * (n_precede * 1000000 // tt)) // 1000000 AS p_kn_micro
+  FROM c12 JOIN c1 USING (w1) JOIN cont USING (w2) CROSS JOIN tt
+),
+lam AS (SELECT w1, {dn} * n_follow * 1000000 // ({dd} * c1) AS lam_micro FROM c1),
+pc AS (SELECT w2, n_precede * 1000000 // tt AS pcont_micro FROM cont CROSS JOIN tt),
+sc AS (SELECT doc_id, {w} AS w FROM {table} WHERE NOT ({train_pred})),
+scbg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(length(w), 1)),
+                i -> concat_ws(chr(32), w[i], w[i+1]))) AS pair
+  FROM sc
+),
+sd AS (SELECT doc_id, string_split(pair, ' ')[1] AS w1, string_split(pair, ' ')[2] AS w2 FROM scbg),
+j AS (
+  SELECT sd.doc_id,
+         greatest(CASE
+           WHEN m.p_kn_micro IS NOT NULL THEN m.p_kn_micro
+           WHEN l.lam_micro IS NOT NULL THEN
+             (l.lam_micro * coalesce(p.pcont_micro, 0)) // 1000000
+           ELSE coalesce(p.pcont_micro, 0) END, 1) AS p
+  FROM sd
+  LEFT JOIN model m ON sd.w1 = m.w1 AND sd.w2 = m.w2
+  LEFT JOIN lam l ON sd.w1 = l.w1
+  LEFT JOIN pc p ON sd.w2 = p.w2
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(1000000000000 // p) // count(*) AS BIGINT) AS kn_surprisal
+FROM j GROUP BY doc_id
 """

@@ -2470,3 +2470,19 @@ _X93_CTES, _X93_FINAL = analytics.personalized_pagerank_sql(graph_id=3, iteratio
 def x93(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = store_for(spark, sf_dir)
     return analytics.personalized_pagerank(st.edges, graph_id=3, iterations=3)
+
+
+# ---------------------------------------------------------------------------
+# x94 — held-out KN perplexity filter: model trained on doc_id % 10 != 0,
+# the held-out tenth scored with full OOV backoff (unseen bigram → λ·p_cont,
+# unseen context → continuation unigram) — the LM quality gate x47's
+# self-trained ratio cannot express
+# ---------------------------------------------------------------------------
+
+
+@query("x94_kn_perplexity", text.kn_surprisal_sql())
+def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return text.kn_surprisal(
+        docs.where(F.col("doc_id") % 10 != 0), docs.where(F.col("doc_id") % 10 == 0)
+    )

@@ -1467,3 +1467,22 @@ def test_personalized_pagerank_localizes_to_seeds(spark):
     top_ppr = sorted(ppr, key=ppr.get, reverse=True)[:5]
     top_gpr = sorted(gpr, key=gpr.get, reverse=True)[:5]
     assert top_ppr != top_gpr
+
+
+def test_kn_surprisal_oov_scores_higher(spark):
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(10)],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat"),       # in-distribution
+            (101, "the cat sat on the chair"),     # one unseen bigram/word
+            (102, "zq xv qqq zz yy ww"),           # fully OOV
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["kn_surprisal"] for r in text.kn_surprisal(train, score).collect()}
+    assert out[100] < out[101] < out[102]
+    # fully-OOV bigrams hit the 1-micro floor: 1e12 // 1 per bigram
+    assert out[102] == 10**12
