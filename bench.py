@@ -65,6 +65,12 @@ BENCH_QUERIES = [
     "x70_bpe_pair_counts",
     "x71_source_overlap",
     "x72_span_dedup_rewrite",
+    # r5 second-session additions: the two-pass sketch-pruned frequent-term
+    # extraction, the per-source token-budget window, and the KN bigram LM
+    # estimation — three more full-corpus passes
+    "x84_heavy_hitters",
+    "x90_token_budget",
+    "x91_kneser_ney",
 ]
 
 #: queries whose plan .cache()es a corpus-side index (persist_index=True):
