@@ -1395,3 +1395,72 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
        CAST(sum(1000000000000 // p) // count(*) AS BIGINT) AS kn_surprisal
 FROM j GROUP BY doc_id
 """
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    top_k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Collocation (multi-word-expression) extraction: adjacent word pairs
+    ranked by pointwise lift c(w1,w2)·T / (c(w1·)·c(·w2)) over the bigram
+    table — the phrase-detection pass (word2vec-phrases style) that decides
+    which pairs become single tokens before tokenizer training.
+
+    All marginals are taken over the bigram table itself (left marginal
+    c(w1·), right marginal c(·w2), total T), so the statistic needs no
+    second corpus pass.  Integer micro-lift with a pinned floor order —
+    ``(c·10⁶ div c1)·T div c2`` — keeps every intermediate ≤ 10⁶·T,
+    overflow-safe at any corpus size (the naive c·T·10⁶ numerator is not).
+
+    Shape at 100 TB: one shuffle to bigram-type grain; the marginals
+    re-aggregate from the type table; top-k is a TakeOrdered (no global
+    sort).  Output: (w1, w2, c, lift_micro), ties broken on (w1, w2).
+    """
+    bg = _bigram_pairs(docs, text_col)
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    left = c12.groupBy("w1").agg(F.sum("c").alias("c1"))
+    right = c12.groupBy("w2").agg(F.sum("c").alias("c2"))
+    tt = c12.agg(F.sum("c").alias("tt"))
+    scored = (
+        c12.where(F.col("c") >= min_count)
+        .join(left, "w1")
+        .join(right, "w2")
+        .join(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            "c",
+            F.expr("(c * 1000000 div c1) * tt div c2").cast("long").alias("lift_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift_micro"), F.asc("w1"), F.asc("w2")
+    ).limit(top_k)
+
+
+def collocations_sql(
+    min_count: int = 5, top_k: int = 100, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`collocations`."""
+    w = "string_split(text, ' ')"
+    return f"""
+WITH t AS (SELECT {w} AS w FROM {table}),
+bg AS (
+  SELECT unnest(list_transform(range(1, greatest(length(w), 1)),
+                i -> concat_ws(chr(32), w[i], w[i+1]))) AS pair
+  FROM t
+),
+sp AS (SELECT string_split(pair, ' ')[1] AS w1, string_split(pair, ' ')[2] AS w2 FROM bg),
+c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM sp GROUP BY w1, w2),
+l AS (SELECT w1, sum(c) AS c1 FROM c12 GROUP BY w1),
+r AS (SELECT w2, sum(c) AS c2 FROM c12 GROUP BY w2),
+tt AS (SELECT sum(c) AS tt FROM c12)
+SELECT c12.w1, c12.w2, c12.c,
+       CAST((c * 1000000 // c1) * tt // c2 AS BIGINT) AS lift_micro
+FROM c12 JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tt
+WHERE c >= {int(min_count)}
+ORDER BY lift_micro DESC, w1 ASC, w2 ASC
+LIMIT {int(top_k)}
+"""

@@ -2486,3 +2486,14 @@ def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.kn_surprisal(
         docs.where(F.col("doc_id") % 10 != 0), docs.where(F.col("doc_id") % 10 == 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# x95 — collocation extraction: adjacent pairs ranked by integer lift over
+# the bigram table (the phrase-detection pass before tokenizer training)
+# ---------------------------------------------------------------------------
+
+
+@query("x95_collocations", text.collocations_sql(min_count=5, top_k=100))
+def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.collocations(_read(spark, sf_dir, "documents"), min_count=5, top_k=100)

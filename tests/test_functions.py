@@ -1486,3 +1486,16 @@ def test_kn_surprisal_oov_scores_higher(spark):
     assert out[100] < out[101] < out[102]
     # fully-OOV bigrams hit the 1-micro floor: 1e12 // 1 per bigram
     assert out[102] == 10**12
+
+
+def test_collocations_rank_exclusive_pairs_first(spark):
+    # "new york" only ever occur together; "the x" pairs spread over many
+    # right-words -> low lift despite high frequency
+    body = "new york is the city of the people and the idea of the state"
+    rows = [(i, body) for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text.collocations(df, min_count=5, top_k=5).collect()
+    assert (out[0]["w1"], out[0]["w2"]) == ("new", "york")
+    lifts = {(r["w1"], r["w2"]): r["lift_micro"] for r in out}
+    the_pairs = [v for (a, _), v in lifts.items() if a == "the"]
+    assert all(lifts[("new", "york")] > v for v in the_pairs) or not the_pairs
