@@ -2497,3 +2497,29 @@ def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("x95_collocations", text.collocations_sql(min_count=5, top_k=100))
 def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.collocations(_read(spark, sf_dir, "documents"), min_count=5, top_k=100)
+
+
+# ---------------------------------------------------------------------------
+# x96 — salted-join equivalence gate: the hot-key mitigation
+# (operators/skew.py) joining each document to its source's stats through
+# 16-way key salting — result must be IDENTICAL to the plain join (the
+# salt is an execution strategy, not a semantics change)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x96_salted_join",
+    """
+WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY source)
+SELECT d.doc_id, d.source, s.n_docs
+FROM documents d JOIN s USING (source)
+""",
+)
+def x96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.skew import salted_join
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    stats = docs.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return salted_join(docs, stats, on=["source"], salt=16).select(
+        "doc_id", "source", "n_docs"
+    )
