@@ -1030,7 +1030,9 @@ def hll_registers(
     proj = df.select(
         *group_cols,
         F.pmod(fp, F.lit(m)).cast("int").alias("bucket"),
-        (fp / F.lit(m)).cast("long").alias("w"),
+        # integer shift, not float division — m is 2^p and fp ≥ 0, so this
+        # is exactly the DuckDB twin's `fp // m`
+        F.shiftright(fp, p).cast("long").alias("w"),
     )
     return (
         proj.select(*group_cols, "bucket", _rho(F.col("w")).alias("rho"))

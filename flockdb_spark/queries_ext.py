@@ -2382,6 +2382,7 @@ _ROUNDTRIP_ORACLE = "SELECT doc_id, text, lang, source, n_chars FROM documents"
 
 
 def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    import hashlib
     import tempfile
 
     from .sources import corpus as corpus_src
@@ -2389,7 +2390,11 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    path = tempfile.mkdtemp(prefix=f"flockdb_{fmt}_rt_")
+    # deterministic per-(format, sf_dir) path + overwrite-mode writers:
+    # repeated gate runs reuse the same directory instead of leaking a new
+    # tempdir per invocation
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
+    path = f"{tempfile.gettempdir()}/flockdb_{fmt}_rt_{tag}"
     if fmt == "jsonl":
         corpus_src.write_documents_jsonl(docs, path, n_files=4)
         back = corpus_src.read_documents_jsonl(spark, path, keep_corrupt=False)
