@@ -31,13 +31,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver gates only the FIRST 50 registry entries each round, so we order
-# the registry by gate priority.  Rotated for r5: ungated-first are the three
-# r4 hash-fails (x31/x33/x54 — root cause was DuckDB HUGEINT sums rendering as
-# float64 in the oracle output, fixed by CAST ... AS BIGINT) plus the twelve
-# queries added this round (x70–x81) — 15 ungated total; the next 35 slots
-# re-gate the stalest r3-green entries (x36–x49, q01–q21); the r4-green
-# entries and the remaining r3 set (x01–x05, x16, x17 — all green in this
-# round's full local sf0.01+sf0.1 gates) come last.
+# the registry by gate priority.  Rotated for r5 (registry now 119): ungated-
+# first are the three r4 hash-fails (x31/x33/x54 — root cause was DuckDB
+# HUGEINT sums rendering as float64 in the oracle output, fixed by CAST ...
+# AS BIGINT) plus everything added this round (x70–x96, 27 entries) — 30
+# ungated total; the next 20 slots re-gate the stalest r3-green entries
+# (x36–x49, q01–q06); the r4-green entries and the remaining r3 set — all
+# green in this round's full local sf0.01 + sf0.1 gates and the sf1.0
+# extension run — come last.
 _GATED_GREEN = [
     # Green in r3 but NOT re-gated in r4 (stalest first — r5 re-covers most).
     "x36_json_rollup", "x37_boilerplate", "x38_embedding_dedup", "x39_funnel",
