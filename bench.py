@@ -82,6 +82,13 @@ BENCH_QUERIES = [
 #: sees after the one-off index build).
 INDEX_PERSISTED = {"x15_ivf_ann", "x18_lsh_neardup", "x35_multiprobe_ann"}
 
+#: queries whose DataFrame CONSTRUCTION performs eager corpus work (x84
+#: collects the count-min sketch to inline it as probe literals).  The
+#: prepared-statement reuse above would leave that work outside the timed
+#: section while the DuckDB baseline pays everything in-pass — so these
+#: rebuild their DataFrame INSIDE every timed pass.
+CONSTRUCT_IN_PASS = {"x84_heavy_hitters"}
+
 
 def shuffle_partitions_for(sf_dir: str) -> int:
     """Size the shuffle by DATA, not by cluster width (SCALE.md §6): ~8 MB of
@@ -121,7 +128,11 @@ def main() -> None:
     # deployment amortizes client-side plan construction exactly like this;
     # the DuckDB baseline's per-call SQL parse is microseconds, so the
     # comparison stays apples-to-apples on the data path)
-    dfs = {name: qs[name](spark, SF_DIR) for name in BENCH_QUERIES}
+    dfs = {
+        name: qs[name](spark, SF_DIR)
+        for name in BENCH_QUERIES
+        if name not in CONSTRUCT_IN_PASS
+    }
 
     # three passes, keep the per-query minimum: pass 1 pays one-off physical
     # planning / codegen / cache materialization; the min is the stable
@@ -136,7 +147,8 @@ def main() -> None:
                 # pass pays the full build, like the DuckDB baseline does
                 spark.catalog.clearCache()
             t0 = time.perf_counter()
-            dfs[name].write.format("noop").mode("overwrite").save()
+            df = qs[name](spark, SF_DIR) if name in CONSTRUCT_IN_PASS else dfs[name]
+            df.write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
             if name not in times or dt < times[name]:
                 times[name] = dt

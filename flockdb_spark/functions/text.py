@@ -1119,8 +1119,6 @@ def heavy_hitters(
     Output: (word, cnt) with cnt ≥ threshold.
     """
     toks = docs.select(F.explode(tokens(text_col)).alias("word"))
-    total = toks.count()
-    thr = max(total * per_mille // 1000, 1)
 
     fp = portable_hash("word")
     arms = []
@@ -1149,6 +1147,11 @@ def heavy_hitters(
     grid = [[0] * width for _ in range(depth)]
     for row in cells:
         grid[row["row"]][row["bucket"]] = row["n"]
+    # every token lands in exactly one bucket of each row, so row 0's mass
+    # IS the total token count — the threshold comes free with the sketch
+    # (no separate counting pass over the corpus)
+    total = sum(grid[0])
+    thr = max(total * per_mille // 1000, 1)
 
     # pass 2: probe the inlined sketch per token; exact-count survivors only
     probed = toks.select("word", *arms)
@@ -1228,8 +1231,21 @@ def kneser_ney_bigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Output: (w1, w2, c, p_kn_micro).
     """
+    return _kn_from_c12(_bigram_type_counts(docs, text_col))
+
+
+def _bigram_type_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """Corpus → cached bigram-type table (w1, w2, c).  Cached because every
+    KN marginal (left, continuation, total) re-aggregates FROM this table —
+    without the cache each marginal would replay the corpus-wide bigram
+    aggregation instead of re-reading the vocabulary-sized type table."""
     bg = _bigram_pairs(docs, text_col)
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).cache()
+
+
+def _kn_from_c12(c12: DataFrame) -> DataFrame:
     c1 = c12.groupBy("w1").agg(
         F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n_follow")
     )
@@ -1302,9 +1318,8 @@ def kn_surprisal(
 
     Output: (doc_id, n_bigrams, kn_surprisal).
     """
-    model = kneser_ney_bigrams(train, text_col).select("w1", "w2", "p_kn_micro")
-    tr = _bigram_pairs(train, text_col)
-    c12 = tr.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    c12 = _bigram_type_counts(train, text_col)
+    model = _kn_from_c12(c12).select("w1", "w2", "p_kn_micro")
     dn, dd = KN_DISCOUNT_NUM, KN_DISCOUNT_DEN
     lam = (
         c12.groupBy("w1")
@@ -1420,8 +1435,7 @@ def collocations(
     re-aggregate from the type table; top-k is a TakeOrdered (no global
     sort).  Output: (w1, w2, c, lift_micro), ties broken on (w1, w2).
     """
-    bg = _bigram_pairs(docs, text_col)
-    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    c12 = _bigram_type_counts(docs, text_col)
     left = c12.groupBy("w1").agg(F.sum("c").alias("c1"))
     right = c12.groupBy("w2").agg(F.sum("c").alias("c2"))
     tt = c12.agg(F.sum("c").alias("tt"))
