@@ -67,9 +67,15 @@ build over the query stream, so the warm number is what a deployed ANN
 service sees; the cold number is the apples-to-apples race the ratio
 tables use.  Side effect worth knowing: the cache clear also evicts
 caches OTHER queries legitimately reuse within one execution (x14
-PageRank's loop-invariant join input, x37's shingle table); their plans
-re-materialize those caches inside each timed pass, which is the honest
-cold cost and slightly above what earlier rounds reported.
+PageRank's loop-invariant join input, x37's shingle table, x91/x94/x95's
+shared bigram-type table); their plans re-materialize those caches inside
+each timed pass, which is the honest cold cost and slightly above what
+earlier rounds reported.  One query goes further: x84's DataFrame
+CONSTRUCTION eagerly collects the count-min sketch to inline it as probe
+literals, so the prepared-statement reuse the harness applies everywhere
+else would leave a full corpus pass outside the timed section — x84 is
+rebuilt INSIDE every timed pass (`bench.py` CONSTRUCT_IN_PASS), paying
+sketch build + probe + exact recount end-to-end like its DuckDB twin.
 
 | query | warm @sf0.1 | warm @sf1.0 | warm @sf3.0 | cold @sf3.0 |
 |---|---|---|---|---|"""
