@@ -650,3 +650,66 @@ SELECT doc_id, source, n_tokens,
 FROM scored
 QUALIFY cum_tokens <= {int(budget_tokens)}
 """.strip()
+
+
+def negative_samples(
+    docs: DataFrame,
+    k: int = 3,
+    stride: int = 7919,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs: each
+    anchor document gets ``k`` negatives at fixed scrambled offsets
+    (id + j·stride mod N), EXCLUDING any candidate with identical content —
+    an exact duplicate is a false negative that actively poisons a
+    contrastive objective, so the dup check is part of the operator, not a
+    downstream filter.
+
+    Offsets (with a prime stride) rather than per-row randomness keep the
+    draw reproducible on any cluster size and any execution order; the
+    id domain size N is the one collected scalar (the same bounded-fixture
+    pattern as the ANN query vectors).
+
+    Shape at 100 TB: the candidate expansion is map-side (×k); resolving a
+    candidate id to its content and the anchor to its content are two
+    keyed equi-joins on the id — co-partitioned after one shuffle each;
+    the text-equality exclusion compares two already-joined columns
+    map-side.  Nothing is quadratic and no global order exists.
+
+    Output: (anchor_id, neg_id, j) — j is the 1-based offset slot; slots
+    whose candidate id does not exist or whose content matches the anchor
+    are absent.
+    """
+    n = docs.count()
+    base = docs.select(F.col(id_col).alias("anchor_id"), F.col(text_col).alias("_atext"))
+    cands = base.select(
+        "anchor_id",
+        "_atext",
+        F.explode(F.array(*[F.lit(j) for j in range(1, k + 1)])).alias("j"),
+    ).withColumn(
+        "neg_id", F.pmod(F.col("anchor_id") + F.col("j") * stride, F.lit(n))
+    )
+    negs = docs.select(F.col(id_col).alias("neg_id"), F.col(text_col).alias("_ntext"))
+    return (
+        cands.join(negs, "neg_id")
+        .where(F.col("_atext") != F.col("_ntext"))
+        .select("anchor_id", "neg_id", F.col("j").cast("long").alias("j"))
+    )
+
+
+def negative_samples_sql(
+    table: str = "documents", k: int = 3, stride: int = 7919
+) -> str:
+    """DuckDB twin of :func:`negative_samples`."""
+    return f"""
+WITH n AS (SELECT count(*) AS n FROM {table}),
+cand AS (
+  SELECT d.doc_id AS anchor_id, d.text AS atext, j.j,
+         (d.doc_id + j.j * {int(stride)}) % (SELECT n FROM n) AS neg_id
+  FROM {table} d CROSS JOIN (SELECT unnest(range(1, {int(k) + 1})) AS j) j
+)
+SELECT c.anchor_id, c.neg_id, CAST(c.j AS BIGINT) AS j
+FROM cand c JOIN {table} d2 ON c.neg_id = d2.doc_id
+WHERE c.atext <> d2.text
+"""

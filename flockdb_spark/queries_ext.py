@@ -2528,3 +2528,15 @@ def x96(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(docs, stats, on=["source"], salt=16).select(
         "doc_id", "source", "n_docs"
     )
+
+
+# ---------------------------------------------------------------------------
+# x97 — deterministic negative sampling for contrastive pairs: k fixed
+# prime-stride offset negatives per anchor, exact-duplicate candidates
+# excluded (a dup is a false negative that poisons the objective)
+# ---------------------------------------------------------------------------
+
+
+@query("x97_negative_samples", splits.negative_samples_sql(k=3))
+def x97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return splits.negative_samples(_read(spark, sf_dir, "documents"), k=3)
