@@ -655,61 +655,117 @@ QUALIFY cum_tokens <= {int(budget_tokens)}
 def negative_samples(
     docs: DataFrame,
     k: int = 3,
-    stride: int = 7919,
+    n_buckets: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Deterministic negative sampling for contrastive training pairs: each
-    anchor document gets ``k`` negatives at fixed scrambled offsets
-    (id + j·stride mod N), EXCLUDING any candidate with identical content —
-    an exact duplicate is a false negative that actively poisons a
-    contrastive objective, so the dup check is part of the operator, not a
-    downstream filter.
+    """Deterministic negative sampling for contrastive training pairs via a
+    bucketed consistent-hash ring: every document sits on a ring at its
+    scrambled key; each anchor probes the ring at ``k`` independent seeded
+    positions and takes the next document clockwise — reproducible on any
+    cluster size, any execution order, and (unlike modular id offsets) any
+    id distribution, dense or sparse.  Candidates with the anchor's exact
+    content and the anchor itself are EXCLUDED at pick time (the next valid
+    document wins) — a duplicate is a false negative that actively poisons
+    a contrastive objective, so the dup check is part of the operator.
 
-    Offsets (with a prime stride) rather than per-row randomness keep the
-    draw reproducible on any cluster size and any execution order; the
-    id domain size N is the one collected scalar (the same bounded-fixture
-    pattern as the ANN query vectors).
+    Shape: the ring is aggregated into one SORTED slot array per bucket
+    (bounded by bucket size — pick ``n_buckets`` proportional to corpus
+    size, the usual ring-sharding rule, so arrays stay O(100s) regardless
+    of N); probes equi-join their bucket and the successor scan is a
+    codegen array filter — no row blowup, one shuffle each side.  The
+    clockwise wrap stays inside the bucket; a probe in an empty bucket
+    yields no negative for that slot (vanishingly rare at real bucket
+    occupancy).
 
-    Shape at 100 TB: the candidate expansion is map-side (×k); resolving a
-    candidate id to its content and the anchor to its content are two
-    keyed equi-joins on the id — co-partitioned after one shuffle each;
-    the text-equality exclusion compares two already-joined columns
-    map-side.  Nothing is quadratic and no global order exists.
-
-    Output: (anchor_id, neg_id, j) — j is the 1-based offset slot; slots
-    whose candidate id does not exist or whose content matches the anchor
-    are absent.
+    Output: (anchor_id, neg_id, j) — j is the 1-based slot.
     """
-    n = docs.count()
-    base = docs.select(F.col(id_col).alias("anchor_id"), F.col(text_col).alias("_atext"))
-    cands = base.select(
-        "anchor_id",
-        "_atext",
-        F.explode(F.array(*[F.lit(j) for j in range(1, k + 1)])).alias("j"),
-    ).withColumn(
-        "neg_id", F.pmod(F.col("anchor_id") + F.col("j") * stride, F.lit(n))
+    bwidth = HASH_MOD // n_buckets + 1
+    nkey = order_scramble(id_col, seed=0)
+    ring = (
+        docs.select(
+            F.col(id_col).alias("neg_id"),
+            F.col(text_col).alias("_ntext"),
+            nkey.alias("nkey"),
+        )
+        .withColumn("bucket", F.expr(f"nkey div {bwidth}"))
+        .groupBy("bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("nkey", "neg_id", "_ntext"))
+            ).alias("slots")
+        )
     )
-    negs = docs.select(F.col(id_col).alias("neg_id"), F.col(text_col).alias("_ntext"))
-    return (
-        cands.join(negs, "neg_id")
-        .where(F.col("_atext") != F.col("_ntext"))
-        .select("anchor_id", "neg_id", F.col("j").cast("long").alias("j"))
+    probes = (
+        docs.select(F.col(id_col).alias("anchor_id"), F.col(text_col).alias("_atext"))
+        .select(
+            "anchor_id",
+            "_atext",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        order_scramble("anchor_id", seed=j).alias("pkey"),
+                    )
+                    for j in range(1, k + 1)
+                ])
+            ).alias("p"),
+        )
+        .select("anchor_id", "_atext", "p.j", "p.pkey")
+        .withColumn("bucket", F.expr(f"pkey div {bwidth}"))
+    )
+    valid = lambda x: (x["_ntext"] != F.col("_atext")) & (  # noqa: E731
+        x["neg_id"] != F.col("anchor_id")
+    )
+    joined = probes.join(ring, "bucket").select(
+        "anchor_id",
+        "j",
+        F.coalesce(
+            F.get(F.filter("slots", lambda x: (x["nkey"] >= F.col("pkey")) & valid(x)), 0),
+            F.get(F.filter("slots", valid), 0),
+        ).alias("best"),
+    )
+    return joined.where(F.col("best").isNotNull()).select(
+        "anchor_id",
+        F.col("best.neg_id").alias("neg_id"),
+        F.col("j").cast("long").alias("j"),
     )
 
 
 def negative_samples_sql(
-    table: str = "documents", k: int = 3, stride: int = 7919
+    table: str = "documents", k: int = 3, n_buckets: int = 64
 ) -> str:
     """DuckDB twin of :func:`negative_samples`."""
+    bwidth = HASH_MOD // n_buckets + 1
+    nkey = order_scramble_sql("doc_id", seed=0)
+    arms = "\nUNION ALL\n".join(
+        f"SELECT anchor_id, atext, {j} AS j, "
+        f"{order_scramble_sql('anchor_id', seed=j)} AS pkey FROM a"
+        for j in range(1, k + 1)
+    )
+    valid = "x.ntext <> p.atext AND x.neg_id <> p.anchor_id"
     return f"""
-WITH n AS (SELECT count(*) AS n FROM {table}),
-cand AS (
-  SELECT d.doc_id AS anchor_id, d.text AS atext, j.j,
-         (d.doc_id + j.j * {int(stride)}) % (SELECT n FROM n) AS neg_id
-  FROM {table} d CROSS JOIN (SELECT unnest(range(1, {int(k) + 1})) AS j) j
+WITH r0 AS (
+  SELECT doc_id AS neg_id, text AS ntext, {nkey} AS nkey FROM {table}
+),
+ring AS (
+  SELECT nkey // {bwidth} AS bucket,
+         list_sort(list({{'nkey': nkey, 'neg_id': neg_id, 'ntext': ntext}})) AS slots
+  FROM r0 GROUP BY 1
+),
+a AS (SELECT doc_id AS anchor_id, text AS atext FROM {table}),
+probes AS (
+{arms}
+),
+picked AS (
+  SELECT p.anchor_id, p.j,
+         coalesce(
+           list_filter(r.slots, x -> x.nkey >= p.pkey AND {valid})[1],
+           list_filter(r.slots, x -> {valid})[1]
+         ) AS best
+  FROM probes p JOIN ring r ON p.pkey // {bwidth} = r.bucket
 )
-SELECT c.anchor_id, c.neg_id, CAST(c.j AS BIGINT) AS j
-FROM cand c JOIN {table} d2 ON c.neg_id = d2.doc_id
-WHERE c.atext <> d2.text
+SELECT anchor_id, best.neg_id AS neg_id, CAST(j AS BIGINT) AS j
+FROM picked WHERE best IS NOT NULL
 """
+

@@ -2537,6 +2537,8 @@ def x96(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("x97_negative_samples", splits.negative_samples_sql(k=3))
+@query("x97_negative_samples", splits.negative_samples_sql(k=3, n_buckets=16))
 def x97(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return splits.negative_samples(_read(spark, sf_dir, "documents"), k=3)
+    return splits.negative_samples(
+        _read(spark, sf_dir, "documents"), k=3, n_buckets=16
+    )

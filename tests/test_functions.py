@@ -1501,25 +1501,27 @@ def test_collocations_rank_exclusive_pairs_first(spark):
     assert all(lifts[("new", "york")] > v for v in the_pairs) or not the_pairs
 
 
-def test_negative_samples_excludes_duplicates_and_is_deterministic(spark):
+def test_negative_samples_ring_properties(spark):
     from flockdb_spark.functions import splits
 
-    # 10 docs, ids 0..9; stride 1 so anchor i draws i+1, i+2, i+3 (mod 10).
-    # docs 4 and 5 share content -> anchor 4's j=1 slot must be excluded,
-    # as must anchor 5's wraparound draw of 4 (j=9? no: k=3 -> 6,7,8). 
-    rows = [(i, f"text {i}") for i in range(10)]
-    rows[5] = (5, "text 4")  # duplicate of doc 4
+    # sparse, highly-offset ids (the gen_sfN replica shape) — the ring draw
+    # must still fill every slot
+    rows = [(i * 9_999_991 + 7, f"text {i}") for i in range(40)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    out = {(r["anchor_id"], r["j"]): r["neg_id"]
-           for r in splits.negative_samples(df, k=3, stride=1).collect()}
-    # anchor 4: candidates 5,6,7 -> 5 excluded (same text)
-    assert (4, 1) not in out and out[(4, 2)] == 6 and out[(4, 3)] == 7
-    # anchor 3: candidates 4,5,6 -> 5 excluded (dup of 4? no — dup of anchor
-    # only matters; 5's text differs from anchor 3's) -> all three kept
-    assert out[(3, 1)] == 4 and out[(3, 2)] == 5 and out[(3, 3)] == 6
-    # anchors never draw themselves (stride*j < N here)
-    assert all(a != n for (a, _), n in out.items())
+    out = splits.negative_samples(df, k=3, n_buckets=4).collect()
+    assert len(out) == 40 * 3
+    ids = {r[0] for r in rows}
+    for r in out:
+        assert r["neg_id"] in ids and r["neg_id"] != r["anchor_id"]
+        assert 1 <= r["j"] <= 3
     # deterministic across runs
-    again = {(r["anchor_id"], r["j"]): r["neg_id"]
-             for r in splits.negative_samples(df, k=3, stride=1).collect()}
-    assert out == again
+    again = splits.negative_samples(df, k=3, n_buckets=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+    # exact-duplicate candidates are excluded at pick time
+    dup_rows = [(0, "same"), (1, "same"), (2, "other a"), (3, "other b")]
+    ddf = spark.createDataFrame(dup_rows, "doc_id long, text string")
+    douts = splits.negative_samples(ddf, k=3, n_buckets=1).collect()
+    text = dict(dup_rows)
+    for r in douts:
+        assert text[r["neg_id"]] != text[r["anchor_id"]]
