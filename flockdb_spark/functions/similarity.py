@@ -699,6 +699,156 @@ def int8_ann_topk(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    arXiv 2303.09540): partition the embedding space with k-means cells,
+    form near-duplicate pairs ONLY within a cell, resolve the pairs into
+    duplicate groups, and keep ONE representative per group — the member
+    FARTHEST from its cluster centroid (the paper's keep-low-centroid-
+    similarity rule: the most peripheral example carries the most signal).
+
+    Differs from :func:`lsh_neardup_pairs`-based dedup (x38) in both the
+    bucketing geometry (learned k-means cells vs random hyperplanes — cells
+    adapt to density, so semantically-close pairs are far less likely to be
+    split across buckets) and the survivor rule (centroid-distance argmax
+    vs min-id).
+
+    Deterministic and oracle-checkable end-to-end: seeds are the
+    ``n_clusters`` smallest-id vectors (cid = id rank), assignment is
+    argmin exact integer squared distance with ties to the lower cid
+    (``kmeans_fit``'s rule), pair score is the exact integer dot
+    (cosine·1e12 on unit vectors), groups are min-label connected
+    components, and the survivor is argmax centroid distance with ties to
+    the lower id.
+
+    Scale shape (100 TB): assignment is one corpus pass against the
+    broadcast K×dims centroid matrix (pure codegen expressions here since
+    K is small; the production path for K in the thousands is the same
+    Arrow GEMM as ``kmeans_fit``'s assignment step); pair generation
+    shuffles on the cell id so cost is Σ|cell|², never N² — the identical
+    bound LSH banding gives, but density-adaptive; group resolution is
+    :func:`flockdb_spark.functions.dedup.resolve_duplicates`' iterative
+    min-label propagation.
+
+    Output: (vec_id, cluster, canonical_id, dist_micro2, kept) — one row
+    per member of a duplicate group; ``kept`` = 1 for the group survivor.
+    """
+    import pandas as pd
+
+    seed_rows = (
+        emb.orderBy(id_col).limit(n_clusters).select(id_col, vec_col).collect()
+    )
+    seed_rows.sort(key=lambda r: r[id_col])
+    c_mat = _np_quantize(pd.Series([r[vec_col] for r in seed_rows]))
+
+    ev = quantized(vec_col)
+    dists = []
+    for cid in range(c_mat.shape[0]):
+        cvec = F.array(*[F.lit(int(x)).cast("long") for x in c_mat[cid]])
+        d = F.aggregate(
+            F.zip_with(F.col("ev"), cvec, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        dists.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
+    best = F.array_min(F.array(*dists))
+    assigned = (
+        emb.select(F.col(id_col).alias("vec_id"), ev.alias("ev"))
+        .select(
+            "vec_id",
+            "ev",
+            best["cid"].cast("int").alias("cluster"),
+            best["d"].cast("long").alias("dist_micro2"),
+        )
+    )
+    assigned = assigned.localCheckpoint(eager=False)  # reused by pairs AND survivors
+
+    thr = int(threshold * MICRO * MICRO)
+    a = assigned.select(
+        F.col("vec_id").alias("a"), F.col("ev").alias("ev_a"), "cluster"
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("b"), F.col("ev").alias("ev_b"), "cluster"
+    )
+    pairs = (
+        a.join(b, "cluster")
+        .where(F.col("a") < F.col("b"))
+        .where(dot_q(F.col("ev_a"), F.col("ev_b")) >= thr)
+        .select("a", "b")
+    )
+
+    from .dedup import resolve_duplicates
+
+    groups = resolve_duplicates(pairs).withColumnRenamed("doc_id", "vec_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc("dist_micro2"), F.asc("vec_id")
+    )
+    return (
+        groups.join(assigned.drop("ev"), "vec_id")
+        .withColumn(
+            "kept", (F.row_number().over(w) == 1).cast("int")
+        )
+        .select("vec_id", "cluster", "canonical_id", "dist_micro2", "kept")
+    )
+
+
+def semantic_dedup_sql(
+    n_clusters: int = 8,
+    threshold: float = 0.45,
+    dims: int = 64,
+    where: str = "",
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup` over ``embeddings`` — seeds,
+    argmin assignment, within-cell pairs, recursive min-label reach, and
+    the centroid-distance survivor window, all replayed in plain SQL."""
+    quant = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000))"
+    dist = (
+        f"list_sum(list_transform(range(1, {dims + 1}), "
+        "i -> (ev[i] - cv[i]) * (ev[i] - cv[i])))"
+    )
+    thr = int(threshold * MICRO * MICRO)
+    return f"""
+WITH RECURSIVE v AS (SELECT vec_id, {quant} AS ev FROM embeddings {where}),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, ev AS cv
+  FROM v ORDER BY vec_id LIMIT {n_clusters}
+),
+d AS (SELECT v.vec_id, s.cid, v.ev, {dist} AS dist FROM v CROSS JOIN seeds s),
+asg AS (
+  SELECT vec_id, cid AS cluster, ev, dist FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cid ASC) AS rn
+    FROM d) WHERE rn = 1
+),
+pairs AS (
+  SELECT x.vec_id AS a, y.vec_id AS b
+  FROM asg x JOIN asg y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+  WHERE CAST(list_dot_product(x.ev, y.ev) AS BIGINT) >= {thr}
+),
+und AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
+reach(id, root) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN und e ON e.src = r.id
+),
+grp AS (SELECT id AS vec_id, min(root) AS canonical_id FROM reach GROUP BY id)
+SELECT g.vec_id, CAST(asg.cluster AS INTEGER) AS cluster, g.canonical_id,
+       CAST(asg.dist AS BIGINT) AS dist_micro2,
+       CAST(CASE WHEN row_number() OVER (
+              PARTITION BY g.canonical_id
+              ORDER BY asg.dist DESC, g.vec_id ASC) = 1
+            THEN 1 ELSE 0 END AS INTEGER) AS kept
+FROM grp g JOIN asg ON asg.vec_id = g.vec_id
+"""
+
+
 def label_centroids(embeddings: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Per-label mean embedding — the centroid table a clustering / IVF /
     classifier-calibration stage trains from labeled vectors (the k-means

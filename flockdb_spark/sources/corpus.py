@@ -136,3 +136,26 @@ def read_documents_csv(
         .option("mode", "FAILFAST")
         .csv(path)
     )
+
+
+def write_documents_orc(docs: DataFrame, path: str, n_files: int | None = None) -> None:
+    """Write a corpus as ORC with zlib compression — the columnar
+    interchange format the Hive/Trino side of a lakehouse hands over when
+    parquet isn't the house standard.  Spark's ORC writer records min/max
+    stripe statistics, so the reader below gets predicate pushdown for
+    free, same as parquet."""
+    out = docs.repartition(n_files) if n_files else docs
+    out.write.mode("overwrite").option("compression", "zlib").orc(path)
+
+
+def read_documents_orc(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOCUMENT_SCHEMA,
+) -> DataFrame:
+    """Load an ORC document corpus with a pinned schema (no inference pass;
+    ORC embeds its schema but pinning keeps ingestion contracts explicit —
+    a column-type drift fails loudly here instead of downstream).  ORC
+    stripes are splittable, so unlike multiLine CSV a single large file
+    still parallelizes."""
+    return spark.read.schema(schema).orc(path)
