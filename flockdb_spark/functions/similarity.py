@@ -357,12 +357,12 @@ def lsh_bucket_sql(list_expr: str, planes: int, dims: int, table: int = 0) -> st
 def lsh_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.45,
-    planes: int = 6,
+    planes: int = 4,
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     hash_mode: str = "xxhash64",
-    n_tables: int = 1,
+    n_tables: int = 16,
     persist_index: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs beyond broadcastable corpus sizes: candidates
@@ -375,6 +375,12 @@ def lsh_neardup_pairs(
     p = (1 - θ/π)^planes; ``n_tables`` OR-amplifies it to 1-(1-p)^L with L
     independent hyperplane sets (production tuning lives in RECALL.md —
     planes bounds the bucket size, tables buy recall).
+
+    The defaults (planes=4, n_tables=16) are the RECALL.md-measured
+    production shape: pair recall 0.97 at threshold 0.45.  Cheaper shapes
+    (fewer tables — e.g. the single-table planes=4 L=1 shape the x18 oracle
+    gate replays in SQL, recall 0.17) remain available explicitly when the
+    candidate-volume budget matters more than recall.
     Output: (a, b, dot_micro2) with a < b, dot ≥ threshold."""
     # corpus signing is the vectorized numpy path (read once, no cache);
     # planes=0 keeps the degenerate one-bucket column expression
@@ -529,13 +535,13 @@ def lsh_ann_topk(
     emb: DataFrame,
     query_ids: list[int],
     k: int = 10,
-    planes: int = 6,
+    planes: int = 4,
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     hash_mode: str = "xxhash64",
-    n_probe: int = 1,
-    n_tables: int = 1,
+    n_probe: int = 4,
+    n_tables: int = 8,
     persist_index: bool = False,
 ) -> DataFrame:
     """Bucketed ANN: exact ranking restricted to the query's LSH bucket(s).
@@ -548,7 +554,12 @@ def lsh_ann_topk(
     count buys recall without re-hashing the corpus; ``n_tables`` adds L
     independent hyperplane sets (OR-amplification, recall 1-(1-p)^L) at L×
     signing + candidate cost.  The corpus side stays signed ONCE per table
-    either way; only the tiny broadcast query side fans out."""
+    either way; only the tiny broadcast query side fans out.
+
+    The defaults (planes=4, n_probe=4, n_tables=8) are the RECALL.md-measured
+    production shape: recall@10 = 1.00 on the test corpus.  Cheaper shapes
+    (e.g. the single-table planes=6 n_probe=1 L=1 minimum, recall 0.08)
+    remain available explicitly when candidate volume must be minimal."""
     from pyspark.sql import Window
 
     # corpus signing: vectorized numpy GEMM path (the query side below stays

@@ -326,32 +326,75 @@ def x05(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# x06 — LSH-bucketed ANN.  Portable hyperplane signs (parity of a
-# multiplicative scramble) make the bucket assignment — and therefore the
-# whole candidate set and ranking — reproducible in the DuckDB oracle.
+# x06 — LSH-bucketed ANN at the PRODUCTION DEFAULT shape (planes=4,
+# n_probe=4, n_tables=8 — the RECALL.md-measured recall-1.0 parameter set
+# that `lsh_ann_topk` now defaults to).  Portable hyperplane signs (parity
+# of a multiplicative scramble) make every per-table bucket assignment, the
+# multi-probe bucket set, the cross-table candidate union, and the ranking
+# reproducible in the DuckDB oracle.  The cheap single-table shapes remain
+# gated by x35 (planes=6, n_probe=4, L=1) and x52 (L=3, no probes).
 # ---------------------------------------------------------------------------
 
-_X06_PLANES = 6
+_X06_PLANES = 6  # the explicit cheap shape, still gated via x35/x52
 
 
-@query(
-    "x06_lsh_ann",
-    f"""
+def _multi_sig_cte(planes: int, n_tables: int) -> str:
+    """sig CTE: (vec_id, ev, tbl, bucket) for every (row, table)."""
+    selects = [
+        f"SELECT vec_id, ev, {t} AS tbl, "
+        f"CAST({similarity.lsh_bucket_sql('ev', planes, 64, table=t)} AS BIGINT) AS bucket "
+        "FROM v"
+        for t in range(n_tables)
+    ]
+    return "sig AS (\n" + "\nUNION ALL\n".join(selects) + "\n)"
+
+
+def _multiprobe_oracle_sql(planes: int, n_probe: int, n_tables: int) -> str:
+    """DuckDB twin of ``lsh_ann_topk`` at (planes, n_probe, n_tables): the
+    per-table portable bucket assignment (UNION ALL sig), each query's
+    per-table margins → base bucket + the ``n_probe - 1`` smallest-|margin|
+    bit flips, the cross-table candidate union (DISTINCT before ranking),
+    and the exact rerank."""
+    qid_list = ", ".join(map(str, ANN_QUERY_IDS))
+    qs_selects = []
+    for t in range(n_tables):
+        sums = ", ".join(
+            similarity.lsh_plane_sign_sql("ev", t * planes + p, 64)
+            for p in range(planes)
+        )
+        qs_selects.append(
+            f"SELECT vec_id AS query_id, ev AS qv, {t} AS qtbl, [{sums}] AS ss "
+            f"FROM v WHERE vec_id IN ({qid_list})"
+        )
+    qs = "\nUNION ALL\n".join(qs_selects)
+    base = " + ".join(
+        f"(CASE WHEN ss[{p + 1}] > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+        for p in range(planes)
+    )
+    return f"""
 WITH v AS (SELECT vec_id, {_QUANT} AS ev FROM embeddings),
-sig AS (
-  SELECT vec_id, ev,
-         CAST({{bucket}} AS BIGINT) AS bucket
-  FROM v
+{_multi_sig_cte(planes, n_tables)},
+qs AS (
+{qs}
 ),
-q AS (
-  SELECT vec_id AS query_id, ev AS qv, bucket AS qbucket FROM sig
-  WHERE vec_id IN ({", ".join(map(str, ANN_QUERY_IDS))})
+qb AS (
+  SELECT query_id, qv, qtbl, CAST({base} AS BIGINT) AS base,
+         list_sort(list_transform(range(0, {planes}), p -> abs(ss[p + 1]) * 64 + p)) AS keys
+  FROM qs
+),
+probes AS (
+  SELECT query_id, qv, qtbl,
+         unnest(list_distinct(list_prepend(base,
+           list_transform(list_slice(keys, 1, {n_probe - 1}),
+                          k -> xor(base, CAST(1 AS BIGINT) << CAST(k % 64 AS INT)))
+         ))) AS qbucket
+  FROM qb
 ),
 scored AS (
-  SELECT query_id, s.vec_id AS neighbor_id,
+  SELECT DISTINCT query_id, s.vec_id AS neighbor_id,
          CAST(list_dot_product(qv, s.ev) AS BIGINT) AS dot_micro2
-  FROM sig s JOIN q ON s.bucket = q.qbucket
-  WHERE s.vec_id <> q.query_id
+  FROM sig s JOIN probes p ON s.bucket = p.qbucket AND s.tbl = p.qtbl
+  WHERE s.vec_id <> p.query_id
 )
 SELECT query_id, neighbor_id, dot_micro2,
        CAST(row_number() OVER (
@@ -359,13 +402,15 @@ SELECT query_id, neighbor_id, dot_micro2,
        ) AS INTEGER) AS rank
 FROM scored
 QUALIFY rank <= 10
-""".format(bucket=similarity.lsh_bucket_sql("ev", _X06_PLANES, 64)),
-)
+"""
+
+
+@query("x06_lsh_ann", _multiprobe_oracle_sql(4, 4, 8))
 def x06(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
+    # no shape args: this gate pins the DEFAULT (planes=4, n_probe=4, L=8)
     return similarity.lsh_ann_topk(
-        emb, ANN_QUERY_IDS, k=10, planes=_X06_PLANES, hash_mode="portable",
-        persist_index=True,
+        emb, ANN_QUERY_IDS, k=10, hash_mode="portable", persist_index=True,
     )
 
 
@@ -433,10 +478,13 @@ def x07(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# x18 — LSH-bucketed embedding near-dup pairs (beyond-broadcast scale twin of
-# x07).  Portable hyperplane signs → the oracle re-derives buckets, candidate
-# pairs, and exact rescored dots; precision remains exact by construction and
-# tests pin the ⊆-of-exact relationship.
+# x18 — LSH-bucketed embedding near-dup pairs (beyond-broadcast scale twin
+# of x07) at the PRODUCTION DEFAULT shape (planes=4, n_tables=16 — the
+# RECALL.md pair-recall-0.97 parameter set `lsh_neardup_pairs` now defaults
+# to).  Portable hyperplane signs → the oracle re-derives every table's
+# buckets, the cross-table candidate union, and the exact rescored dots;
+# precision remains exact by construction and tests pin the ⊆-of-exact
+# relationship.  The cheap L=3 shape stays gated by x53.
 # ---------------------------------------------------------------------------
 
 _X18_PLANES = 4
@@ -446,20 +494,19 @@ _X18_PLANES = 4
     "x18_lsh_neardup",
     f"""
 WITH v AS (SELECT vec_id, {_QUANT} AS ev FROM embeddings),
-sig AS (
-  SELECT vec_id, ev, CAST({{bucket}} AS BIGINT) AS bucket FROM v
-)
+{{sig}}
 SELECT DISTINCT a.vec_id AS a, b.vec_id AS b,
        CAST(list_dot_product(a.ev, b.ev) AS BIGINT) AS dot_micro2
-FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                     AND a.vec_id < b.vec_id
 WHERE CAST(list_dot_product(a.ev, b.ev) AS BIGINT) >= 450000000000
-""".format(bucket=similarity.lsh_bucket_sql("ev", _X18_PLANES, 64)),
+""".format(sig=_multi_sig_cte(_X18_PLANES, 16)),
 )
 def x18(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
+    # no shape args: this gate pins the DEFAULT (planes=4, n_tables=16)
     return similarity.lsh_neardup_pairs(
-        emb, threshold=0.45, planes=_X18_PLANES, hash_mode="portable",
-        persist_index=True,
+        emb, threshold=0.45, hash_mode="portable", persist_index=True,
     )
 
 
@@ -1096,63 +1143,16 @@ def x34(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# x35 — multi-probe LSH ANN (scale twin of x06 with recall bought by probe
-# count instead of fewer planes).  Portable hyperplane signs let the oracle
-# re-derive the margins, the probe bucket set (base + smallest-|margin| bit
-# flips), the candidate union, and the exact rerank.
+# x35 — multi-probe LSH ANN at the EXPLICIT CHEAP SHAPE (planes=6,
+# n_probe=4, L=1): single-table probing, minimal candidate volume — kept as
+# a gate so the cheap option a user opts into stays oracle-verified now
+# that the defaults moved to the recall-1.0 shape (gated by x06).
 # ---------------------------------------------------------------------------
 
 _X35_NPROBE = 4
 
 
-def _multiprobe_oracle_sql() -> str:
-    planes = _X06_PLANES
-    sums = ", ".join(
-        similarity.lsh_plane_sign_sql("ev", p, 64) for p in range(planes)
-    )
-    base = " + ".join(
-        f"(CASE WHEN ss[{p + 1}] > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
-        for p in range(planes)
-    )
-    return f"""
-WITH v AS (SELECT vec_id, {_QUANT} AS ev FROM embeddings),
-sig AS (
-  SELECT vec_id, ev, CAST({similarity.lsh_bucket_sql("ev", planes, 64)} AS BIGINT) AS bucket
-  FROM v
-),
-qs AS (
-  SELECT vec_id AS query_id, ev AS qv, [{sums}] AS ss FROM v
-  WHERE vec_id IN ({", ".join(map(str, ANN_QUERY_IDS))})
-),
-qb AS (
-  SELECT query_id, qv, CAST({base} AS BIGINT) AS base,
-         list_sort(list_transform(range(0, {planes}), p -> abs(ss[p + 1]) * 64 + p)) AS keys
-  FROM qs
-),
-probes AS (
-  SELECT query_id, qv,
-         unnest(list_distinct(list_prepend(base,
-           list_transform(list_slice(keys, 1, {_X35_NPROBE - 1}),
-                          k -> xor(base, CAST(1 AS BIGINT) << CAST(k % 64 AS INT)))
-         ))) AS qbucket
-  FROM qb
-),
-scored AS (
-  SELECT DISTINCT query_id, s.vec_id AS neighbor_id,
-         CAST(list_dot_product(qv, s.ev) AS BIGINT) AS dot_micro2
-  FROM sig s JOIN probes p ON s.bucket = p.qbucket
-  WHERE s.vec_id <> p.query_id
-)
-SELECT query_id, neighbor_id, dot_micro2,
-       CAST(row_number() OVER (
-         PARTITION BY query_id ORDER BY dot_micro2 DESC, neighbor_id ASC
-       ) AS INTEGER) AS rank
-FROM scored
-QUALIFY rank <= 10
-"""
-
-
-@query("x35_multiprobe_ann", _multiprobe_oracle_sql())
+@query("x35_multiprobe_ann", _multiprobe_oracle_sql(_X06_PLANES, _X35_NPROBE, 1))
 def x35(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return similarity.lsh_ann_topk(
@@ -1161,6 +1161,7 @@ def x35(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         planes=_X06_PLANES,
         n_probe=_X35_NPROBE,
+        n_tables=1,
         hash_mode="portable",
         persist_index=True,
     )
@@ -1223,7 +1224,10 @@ SELECT id AS vec_id, min(root) AS canonical_id FROM reach GROUP BY id
 def x38(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     pairs = similarity.lsh_neardup_pairs(
-        emb, threshold=_X38_THRESHOLD, planes=_X18_PLANES, hash_mode="portable"
+        # n_tables pinned to 1: this gate's oracle replays the single-table
+        # bucket assignment (the recall-shape default is gated by x18)
+        emb, threshold=_X38_THRESHOLD, planes=_X18_PLANES, hash_mode="portable",
+        n_tables=1,
     )
     out = dedup.resolve_duplicates(pairs.select("a", "b")).withColumnRenamed(
         "doc_id", "vec_id"
@@ -1610,27 +1614,14 @@ def x51(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# x52/x53 — the PRODUCTION multi-table LSH paths, oracle-gated.  x06/x18
-# gate the single-table (L=1) special case; RECALL.md shows production
-# recall comes from OR-amplification across L independent hyperplane
-# tables (recall 1-(1-p)^L).  These gates pin the L>1 machinery itself —
-# per-table signing, cross-table candidate union, dedup-before-rank —
-# against a DuckDB twin that replays every table (UNION ALL of the
-# per-table portable bucket assignments).
+# x52/x53 — SMALL-L multi-table LSH, oracle-gated.  x06/x18 now gate the
+# production DEFAULT shapes (L=8 with probes / L=16); these two pin an
+# intermediate L=3 point — per-table signing, cross-table candidate union,
+# dedup-before-rank at a table count cheap enough to eyeball in the oracle
+# (UNION ALL of the per-table portable bucket assignments).
 # ---------------------------------------------------------------------------
 
-_X52_TABLES = 3
-
-
-def _multi_sig_cte(planes: int, n_tables: int) -> str:
-    """sig CTE: (vec_id, ev, tbl, bucket) for every (row, table)."""
-    selects = [
-        f"SELECT vec_id, ev, {t} AS tbl, "
-        f"CAST({similarity.lsh_bucket_sql('ev', planes, 64, table=t)} AS BIGINT) AS bucket "
-        "FROM v"
-        for t in range(n_tables)
-    ]
-    return "sig AS (\n" + "\nUNION ALL\n".join(selects) + "\n)"
+_X52_TABLES = 3  # `_multi_sig_cte` (defined with the x06 oracle helpers)
 
 
 @query(
@@ -1665,8 +1656,8 @@ QUALIFY rank <= 10
 def x52(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return similarity.lsh_ann_topk(
-        emb, ANN_QUERY_IDS, k=10, planes=_X06_PLANES, hash_mode="portable",
-        n_tables=_X52_TABLES,
+        emb, ANN_QUERY_IDS, k=10, planes=_X06_PLANES, n_probe=1,
+        hash_mode="portable", n_tables=_X52_TABLES,
     )
 
 
