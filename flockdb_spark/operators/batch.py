@@ -24,7 +24,16 @@ from pyspark.sql import functions as F
 
 from ..graph import EdgeStore
 from ..schema import local_df
-from .algebra import Difference, Intersection, QueryNode, Simple, Union, WhereIn, _flat_leaves
+from .algebra import (
+    Difference,
+    Intersection,
+    QueryNode,
+    Simple,
+    Term,
+    Union,
+    WhereIn,
+    _flat_leaves,
+)
 
 
 def _pair_flags(
@@ -129,6 +138,66 @@ def batch_select2(
         selected.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= page_count)
         .select("qix", "op", "a", "b", "id")
+    )
+
+
+def batch_edge_pages(
+    store: EdgeStore,
+    queries: list[tuple["Term", tuple[int, ...] | None, int]],
+) -> DataFrame:
+    """N single-term FULL-EDGE Start pages from ONE edge scan — the batch
+    ``selectEdges`` (``Flockdb.thrift:158-160`` takes ``list<EdgeQuery>``;
+    ``EdgesService.scala:102-119`` answers them per-query; here the whole
+    batch is one job).
+
+    Each query is ``(term, destination_ids | None, page_count)`` — a Simple
+    or intersectEdges (R10) leaf.  One coarse-filtered scan tags each edge
+    row with every query index it satisfies (a row CAN serve two queries);
+    pages are per-query windows in the reference's Start-page order —
+    position DESC with the page's id column (destination for forward terms,
+    source for backward) as tiebreak (``SqlShard.select``'s default
+    direction).
+
+    Returns (qix, rn, <edge cols>) with ``rn`` ≤ page_count+1 — the +1 row
+    is the caller's has-more probe (``SqlShard.scala:263-278``'s same-round-
+    trip trick).  At 100 TB this is one pruned scan + one N·page-sized
+    shuffle for any number of queries, vs N scans in the reference."""
+    preds = []
+    for term, dest_ids, _count in queries:
+        p = (
+            (F.col("graph_id") == term.graph_id)
+            & (F.col(term.vertex_col) == term.source_id)
+            & F.col("state").isin(list(term.states))
+        )
+        if dest_ids is not None:
+            p = p & F.col(term.id_col).isin([int(d) for d in dest_ids])
+        preds.append(p)
+    coarse = preds[0]
+    for p in preds[1:]:
+        coarse = coarse | p
+    tagged = (
+        store.edges.where(coarse)
+        .withColumn("qix", F.explode(F.array(*[F.when(p, F.lit(i)) for i, p in enumerate(preds)])))
+        .where(F.col("qix").isNotNull())
+    )
+    spec = local_df(
+        store.spark,
+        [
+            (i, int(count), bool(not term.forward))
+            for i, (term, _dest, count) in enumerate(queries)
+        ],
+        "qix int, page_count int, backward boolean",
+    )
+    pid = F.when(F.col("backward"), F.col("source_id")).otherwise(
+        F.col("destination_id")
+    )
+    w = Window.partitionBy("qix").orderBy(F.desc("position"), F.desc("_pid"))
+    return (
+        tagged.join(F.broadcast(spec), "qix")
+        .withColumn("_pid", pid)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= F.col("page_count") + 1)
+        .drop("page_count", "backward", "_pid")
     )
 
 

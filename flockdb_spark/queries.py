@@ -925,3 +925,67 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("qix").cast("int").alias("qix"), "op", "a", "b", "id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Q24 — selectEdges multi-query batch (R8/R10 batched, Flockdb.thrift:158-160
+# takes list<EdgeQuery>; EdgesService.scala:102-119 loops it).  Twelve edge
+# pages — ten forward wildcard terms, one intersectEdges IN-list, one
+# backward term — answered by ONE coarse-filtered scan + one N·page-sized
+# shuffle (operators/batch.batch_edge_pages, select2's q23 treatment for the
+# full-edge-row variant).  rn ≤ count+1: the +1 row is the has-more cursor
+# probe fetched in the same round trip (SqlShard.scala:263-278).
+# ---------------------------------------------------------------------------
+
+_Q24_EDGE_COLS = 'graph_id, source_id, destination_id, position, updated_at, "count", state'
+
+
+@query(
+    "q24_select_edges_batch",
+    with_fixture_ctes(f"""
+SELECT CAST(qix AS INTEGER) AS qix, CAST(rn AS INTEGER) AS rn, {_Q24_EDGE_COLS}
+FROM (
+  SELECT q.qix, 5 AS pc, {", ".join("e." + c for c in ['graph_id', 'source_id', 'destination_id', 'position', 'updated_at', '"count"', 'state'])},
+         row_number() OVER (
+           PARTITION BY q.qix ORDER BY e.position DESC, e.destination_id DESC
+         ) AS rn
+  FROM (SELECT row_number() OVER (ORDER BY source_id) - 1 AS qix, source_id
+        FROM src10) q
+  JOIN edges e
+    ON e.graph_id = 1 AND e.state = 0 AND e.source_id = q.source_id
+  UNION ALL
+  SELECT 10 AS qix, 8 AS pc, {", ".join("e." + c for c in ['graph_id', 'source_id', 'destination_id', 'position', 'updated_at', '"count"', 'state'])},
+         row_number() OVER (ORDER BY e.position DESC, e.destination_id DESC) AS rn
+  FROM edges e
+  WHERE e.graph_id = 1 AND e.state = 0
+    AND e.source_id = (SELECT min(source_id) FROM src10)
+    AND e.destination_id IN (
+      SELECT destination_id FROM edges
+      WHERE graph_id = 1 AND source_id = (SELECT min(source_id) FROM src10)
+      ORDER BY destination_id LIMIT 10)
+  UNION ALL
+  SELECT 11 AS qix, 5 AS pc, {", ".join("e." + c for c in ['graph_id', 'source_id', 'destination_id', 'position', 'updated_at', '"count"', 'state'])},
+         row_number() OVER (ORDER BY e.position DESC, e.source_id DESC) AS rn
+  FROM edges e
+  WHERE e.graph_id = 1 AND e.state = 0
+    AND e.destination_id = (
+      SELECT min(destination_id) FROM edges
+      WHERE graph_id = 1 AND source_id = (SELECT min(source_id) FROM src10))
+)
+WHERE rn <= pc + 1
+"""),
+)
+def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.batch import batch_edge_pages
+
+    st = store_for(spark, sf_dir)
+    p = params_for(spark, sf_dir)
+    specs: list = [(Term(1, s, True, (0,)), None, 5) for s in p["src10"]]
+    specs.append((Term(1, p["first"], True, (0,)), tuple(p["true10"]), 8))
+    specs.append((Term(1, p["true10"][0], False, (0,)), None, 5))
+    out = batch_edge_pages(st, specs)
+    return out.select(
+        F.col("qix").cast("int").alias("qix"),
+        F.col("rn").cast("int").alias("rn"),
+        *EDGE_COLUMNS,
+    )

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from .graph import EdgeStore
 from .operators.algebra import QueryNode, Simple, Term, WhereIn
-from .operators.batch import batch_flat_pages
+from .operators.batch import batch_edge_pages, batch_flat_pages
 from .operators.counts import fetch_leaf_counts, size_estimate
 from .operators.merge import apply_oplog
 from .operators.paging import CURSOR_END, CURSOR_START, Cursor, Page, paginate
@@ -28,12 +28,31 @@ from .plans.compiler import (
 from .schema import State
 
 
+class FlockException(Exception):
+    """Parity twin of the reference's ``FlockException``
+    (``Flockdb.thrift:128-131``): raised by ``get``/``get_metadata`` when
+    ``strict=True`` and the edge/row is absent.  The default (non-strict)
+    Pythonic contract returns ``None`` instead — a deliberate divergence
+    from the reference, which always throws (``Flockdb.thrift:141-149``)."""
+
+
 @dataclass
 class SelectQuery:
     """One select2 request: an RPN program + a page spec (Flockdb.thrift:85-88)."""
 
     operations: list[SelectOperation]
     page_count: int = 20
+    cursor: Cursor | str = CURSOR_START
+
+
+@dataclass
+class EdgeQuery:
+    """One selectEdges request: a single term + page spec
+    (``Flockdb.thrift:90-93`` — ``QueryTerm term; Page page``)."""
+
+    term: Term
+    destination_ids: tuple[int, ...] | None = None
+    count: int = 20
     cursor: Cursor | str = CURSOR_START
 
 
@@ -48,8 +67,13 @@ class FlockService:
 
     # -- point reads (EdgesService.scala:42-84) -----------------------------
 
-    def get(self, source_id: int, graph_id: int, destination_id: int):
-        """R1 (``EdgesService.scala:62-72``)."""
+    def get(self, source_id: int, graph_id: int, destination_id: int, strict: bool = False):
+        """R1 (``EdgesService.scala:62-72``).
+
+        Divergence from the reference (documented, COVERAGE.md §2.a): the
+        Thrift ``get`` THROWS ``FlockException`` on absence
+        (``Flockdb.thrift:141-144``); the Pythonic default here returns
+        ``None``.  Pass ``strict=True`` for reference-exact raising."""
         rows = (
             self.store.graph(graph_id)
             .where(
@@ -59,15 +83,25 @@ class FlockService:
             .limit(1)
             .collect()
         )
-        return rows[0] if rows else None
+        if not rows:
+            if strict:
+                raise FlockException(
+                    f"no edge ({source_id} -[{graph_id}]-> {destination_id})"
+                )
+            return None
+        return rows[0]
 
     def contains(self, source_id: int, graph_id: int, destination_id: int) -> bool:
         """R2 — exists in state Normal or Negative (``EdgesService.scala:51-60``)."""
         row = self.get(source_id, graph_id, destination_id)
         return row is not None and row["state"] in (int(State.NORMAL), int(State.NEGATIVE))
 
-    def get_metadata(self, source_id: int, graph_id: int):
-        """R3 (``EdgesService.scala:74-84``)."""
+    def get_metadata(self, source_id: int, graph_id: int, strict: bool = False):
+        """R3 (``EdgesService.scala:74-84``).
+
+        Same documented divergence as :meth:`get`: the reference throws on
+        absence (``Flockdb.thrift:146-149``); default here is ``None``,
+        ``strict=True`` raises ``FlockException``."""
         rows = (
             self.store.metadata.where(
                 (F.col("graph_id") == graph_id) & (F.col("source_id") == source_id)
@@ -75,7 +109,11 @@ class FlockService:
             .limit(1)
             .collect()
         )
-        return rows[0] if rows else None
+        if not rows:
+            if strict:
+                raise FlockException(f"no metadata ({source_id}, graph {graph_id})")
+            return None
+        return rows[0]
 
     def contains_metadata(self, source_id: int, graph_id: int) -> bool:
         return self.get_metadata(source_id, graph_id) is not None
@@ -127,18 +165,67 @@ class FlockService:
         count: int = 20,
         cursor: Cursor | str = CURSOR_START,
     ) -> Page:
-        """R8/R10 — single-term full-edge page (``EdgesService.scala:102-119``;
-        no compound support, ``Flockdb.thrift:158-160``)."""
+        """R8/R10 — single-term full-edge page (``EdgesService.scala:102-119``).
+        Convenience form of :meth:`select_edges_batch` for one forward term."""
         term = Term(graph_id, source_id, True, states)
+        return self._term_page(term, destination_ids, count, cursor)
+
+    def _term_page(
+        self,
+        term: Term,
+        destination_ids: tuple[int, ...] | None,
+        count: int,
+        cursor: Cursor | str,
+    ) -> Page:
         node = WhereIn(term, destination_ids) if destination_ids else Simple(term)
         return paginate(
             node.edges(self.store),
             "position",
-            "destination_id",
+            term.id_col,
             count,
             cursor,
             include_rows=True,
         )
+
+    def select_edges_batch(self, queries: list[EdgeQuery]) -> list[Page]:
+        """The reference's REAL selectEdges signature — ``list<EdgeQuery>`` in
+        one call (``Flockdb.thrift:158-160``; ``EdgesService.scala:102-119``
+        loops the list).  The whole batch of Start-cursor queries runs as ONE
+        edge scan + one N·page-sized shuffle
+        (``operators/batch.batch_edge_pages`` — q24's gated plan shape, the
+        selectEdges twin of select2's q23 batcher); mid-walk cursors fall back
+        to one plan per query."""
+        if not all(q.cursor == CURSOR_START for q in queries):
+            return [
+                self._term_page(q.term, q.destination_ids, q.count, q.cursor)
+                for q in queries
+            ]
+        batched = batch_edge_pages(
+            self.store, [(q.term, q.destination_ids, q.count) for q in queries]
+        )
+        by_qix: dict[int, list] = {i: [] for i in range(len(queries))}
+        for r in batched.collect():
+            by_qix[r["qix"]].append(r)
+        out = []
+        for i, q in enumerate(queries):
+            rows = sorted(by_qix[i], key=lambda r: r["rn"])
+            has_more = len(rows) > q.count
+            rows = rows[: q.count]
+            id_col = q.term.id_col
+            next_cursor: Cursor | str = (
+                Cursor(rows[-1]["position"], rows[-1][id_col])
+                if rows and has_more
+                else CURSOR_END
+            )
+            out.append(
+                Page(
+                    [(r["position"], r[id_col]) for r in rows],
+                    next_cursor,
+                    CURSOR_START,
+                    full_rows=rows,
+                )
+            )
+        return out
 
     # -- estimates (EdgesService.scala:131-140) -----------------------------
 
@@ -151,6 +238,16 @@ class FlockService:
         return [size_estimate(self.store, t, _counts=counts) for t in trees]
 
     count = count2  # deprecated alias (Flockdb.thrift:165)
+
+    def select(
+        self,
+        operations: list[SelectOperation],
+        page_count: int = 20,
+        cursor: Cursor | str = CURSOR_START,
+    ) -> Page:
+        """Deprecated single-program select (``Flockdb.thrift:166-167``) —
+        exactly one select2 query, kept for surface parity."""
+        return self.select2([SelectQuery(operations, page_count, cursor)])[0]
 
     # -- copy-path reads/writes (shards/SqlShard.scala:216-238,402-430) -----
 

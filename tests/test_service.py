@@ -73,6 +73,63 @@ def test_select_edges_full_rows(svc):
     assert [r["destination_id"] for r in page3.full_rows] == [12, 10]
 
 
+def test_select_edges_batch_one_scan(svc):
+    """Batch selectEdges (Flockdb.thrift:158-160 takes list<EdgeQuery>):
+    the whole Start-cursor batch answers in one scan and each page matches
+    the single-query path exactly — rows, order, and has-more cursor."""
+    from flockdb_spark.operators.algebra import Term
+    from flockdb_spark.operators.paging import CURSOR_END
+    from flockdb_spark.service import EdgeQuery
+
+    pages = svc.select_edges_batch(
+        [
+            EdgeQuery(Term(1, 1), count=2),
+            EdgeQuery(Term(1, 2), count=5),
+            EdgeQuery(Term(1, 1), destination_ids=(10, 12, 77), count=5),
+            EdgeQuery(Term(1, 12, forward=False), count=5),  # backward term
+        ]
+    )
+    assert [r["destination_id"] for r in pages[0].full_rows] == [12, 11]
+    assert isinstance(pages[0].next_cursor, Cursor)  # has-more probe fired
+    assert [r["destination_id"] for r in pages[1].full_rows] == [13, 12, 11]
+    assert pages[1].next_cursor == CURSOR_END
+    assert [r["destination_id"] for r in pages[2].full_rows] == [12, 10]
+    # backward: who points at 12 — page id column is source_id
+    assert [r["source_id"] for r in pages[3].full_rows] == [2, 1]
+    # a mid-walk cursor falls back to per-query paging, same result as single
+    follow = svc.select_edges_batch(
+        [EdgeQuery(Term(1, 1), count=2, cursor=pages[0].next_cursor)]
+    )
+    assert [r["destination_id"] for r in follow[0].full_rows] == [10]
+
+
+def test_deprecated_select_wrapper(svc):
+    """select(program, page) (Flockdb.thrift:166-167) == one select2 query."""
+    prog = [
+        SelectOperation(SelectOperationType.SIMPLE_QUERY, QueryTerm(1, 1)),
+        SelectOperation(SelectOperationType.SIMPLE_QUERY, QueryTerm(2, 1)),
+        SelectOperation(SelectOperationType.INTERSECTION),
+    ]
+    page = svc.select(prog, page_count=5)
+    [page2] = svc.select2([SelectQuery(prog, page_count=5)])
+    assert page.rows == page2.rows and page.next_cursor == page2.next_cursor
+
+
+def test_strict_get_raises_flock_exception(svc):
+    """Reference parity: Thrift get/get_metadata THROW on absence
+    (Flockdb.thrift:141-149); strict=True reproduces that."""
+    from flockdb_spark.service import FlockException
+
+    assert svc.get(1, 1, 99) is None
+    with pytest.raises(FlockException):
+        svc.get(1, 1, 99, strict=True)
+    assert svc.get_metadata(99, 1) is None
+    with pytest.raises(FlockException):
+        svc.get_metadata(99, 1, strict=True)
+    # present rows behave identically in both modes
+    assert svc.get(1, 1, 10, strict=True)["position"] == 100
+
+
 def test_mass_archive_then_readd(svc):
     svc.execute([op(ExecuteOperationType.ARCHIVE, 1)], at=5000)
     assert not svc.contains(1, 1, 10)
