@@ -37,6 +37,9 @@ from .schema import (
     METADATA_SCHEMA,
     empty_df,
     local_df,
+    ordered_uuid_position,
+    ordered_uuid_position_sql,
+    position_to_millis,
 )
 from .sources.edges import _read, build_edges, build_metadata, with_fixture_ctes
 
@@ -988,4 +991,38 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qix").cast("int").alias("qix"),
         F.col("rn").cast("int").alias("rn"),
         *EDGE_COLUMNS,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q25 — W5 ordered-uuid positions (UuidGenerator.scala:26-39): the
+# millis<<20 | low-20-bits layout, gated value-exact.  hash_mode="portable"
+# swaps the production xxhash64 low word for the multiplicative scramble so
+# the oracle re-derives every position; ms_back pins the reversible decode
+# (position div 2^20 == millis), low20 pins the in-millisecond word.
+# ---------------------------------------------------------------------------
+
+@query(
+    "q25_ordered_uuid",
+    with_fixture_ctes(f"""
+SELECT event_id, pos, pos // 1048576 AS ms_back, pos % 1048576 AS low20
+FROM (
+  SELECT event_id,
+         {ordered_uuid_position_sql(
+             "1700000000000 + event_id % 86400000", "user_id * 31 + event_id"
+         )} AS pos
+  FROM events WHERE event_id % 97 = 0
+)
+"""),
+)
+def q25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events").where(F.col("event_id") % 97 == 0)
+    ms = F.lit(1700000000000) + F.col("event_id") % 86400000
+    key = F.col("user_id") * 31 + F.col("event_id")
+    pos = ordered_uuid_position(ms, key, hash_mode="portable")
+    return ev.select(
+        "event_id",
+        pos.alias("pos"),
+        position_to_millis(pos).alias("ms_back"),
+        F.pmod(pos, F.lit(1 << 20)).alias("low20"),
     )

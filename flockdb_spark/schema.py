@@ -143,19 +143,52 @@ def local_df(spark, rows, schema_ddl: str) -> "DataFrame":
 POSITION_SHIFT = 1 << 20
 
 
-def ordered_uuid_position(millis: Column | str, key: Column | str) -> Column:
+#: the portable low-word scramble (same multiplicative-congruential family as
+#: functions/splits.split_bucket — Knuth's 2654435761 mod 1e9+7), replayable
+#: in any SQL engine; production uses xxhash64 (better avalanche)
+_UUID_MULT = 2654435761
+_UUID_MOD = 1_000_000_007
+
+
+def ordered_uuid_position(
+    millis: Column | str, key: Column | str, hash_mode: str = "xxhash64"
+) -> Column:
     """W5 — the reference's ordered-uuid position: time-sortable, collision
     resistant within a millisecond (``UuidGenerator.scala:26-39``).  The
     reference uses 20 random bits; we derive the low word from a key hash so
     results are replayable (Spark's ``monotonically_increasing_id`` is
     partition-dependent — wrong for deterministic tests).
 
-    The encoding is reversible: ``position >> 20`` recovers the millis."""
+    ``hash_mode="portable"`` (integer keys) swaps xxhash64 for the engine-
+    portable multiplicative scramble so a SQL oracle can re-derive every
+    position bit-for-bit (the q25 gate).
+
+    The encoding is reversible: ``position div 2^20`` recovers the millis."""
     m = F.col(millis) if isinstance(millis, str) else millis
     k = F.col(key) if isinstance(key, str) else key
-    return m * F.lit(POSITION_SHIFT) + F.pmod(F.xxhash64(k), F.lit(POSITION_SHIFT))
+    if hash_mode == "portable":
+        low = F.pmod(
+            F.pmod(k.cast("long"), F.lit(_UUID_MOD)) * F.lit(_UUID_MULT),
+            F.lit(_UUID_MOD),
+        )
+    else:
+        low = F.xxhash64(k)
+    return m * F.lit(POSITION_SHIFT) + F.pmod(low, F.lit(POSITION_SHIFT))
+
+
+def ordered_uuid_position_sql(millis_expr: str, key_expr: str) -> str:
+    """DuckDB twin of ``ordered_uuid_position(hash_mode="portable")``."""
+    low = f"(((CAST({key_expr} AS BIGINT) % {_UUID_MOD}) * {_UUID_MULT}) % {_UUID_MOD})"
+    return (
+        f"(CAST({millis_expr} AS BIGINT) * {POSITION_SHIFT} + {low} % {POSITION_SHIFT})"
+    )
 
 
 def position_to_millis(position: Column | str) -> Column:
     p = F.col(position) if isinstance(position, str) else position
-    return (p / F.lit(POSITION_SHIFT)).cast("long")
+    # exact: subtract the low word first so the float division is over an
+    # exact multiple of 2^20 (≤42 significant bits for any real clock —
+    # representable, and a power-of-two divide is lossless).  A bare
+    # ``(p / 2^20).cast("long")`` rounds double(p) to ±256 ulp at 2^61 and
+    # can carry across the boundary when the low word is within 256 of 2^20.
+    return ((p - F.pmod(p, F.lit(POSITION_SHIFT))) / F.lit(POSITION_SHIFT)).cast("long")

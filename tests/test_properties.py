@@ -69,6 +69,47 @@ def test_ordered_uuid_position(spark):
     assert len({r["pos"] for r in rows}) == 100  # same-ms keys don't collide
 
 
+def test_position_decode_exact_at_boundary(spark):
+    """position_to_millis must be exact even when the low word sits within
+    double-rounding range (±256 ulp at 2^61) of the 2^20 boundary — the
+    bare float divide carries into millis+1 there."""
+    from pyspark.sql import functions as F
+
+    from flockdb_spark.schema import POSITION_SHIFT, position_to_millis
+
+    ms = 1700000000123  # position ≈ 1.78e18, double spacing 512
+    rows = [(ms * POSITION_SHIFT + low,) for low in
+            (0, 1, POSITION_SHIFT - 1, POSITION_SHIFT - 128, POSITION_SHIFT - 255)]
+    df = spark.createDataFrame(rows, "pos long")
+    out = df.select(position_to_millis(F.col("pos")).alias("ms_back")).collect()
+    assert all(r["ms_back"] == ms for r in out)
+
+
+def test_ordered_uuid_portable_mode(spark):
+    """hash_mode='portable' (the q25 oracle twin) keeps the W5 contract:
+    reversible, low word < 2^20, deterministic across evaluations."""
+    from pyspark.sql import functions as F
+
+    from flockdb_spark.schema import (
+        POSITION_SHIFT,
+        ordered_uuid_position,
+        position_to_millis,
+    )
+
+    df = spark.createDataFrame(
+        [(1700000000123, i) for i in range(50)], "ms long, key long"
+    )
+    pos = ordered_uuid_position("ms", "key", hash_mode="portable")
+    rows = df.select(
+        pos.alias("pos"),
+        position_to_millis(pos).alias("ms_back"),
+        F.pmod(pos, F.lit(POSITION_SHIFT)).alias("low"),
+    ).collect()
+    assert all(r["ms_back"] == 1700000000123 for r in rows)
+    assert all(0 <= r["low"] < POSITION_SHIFT for r in rows)
+    assert len({r["pos"] for r in rows}) == 50
+
+
 def python_sequenced(ops):
     """Reference fold: canonical (ts, prio, pos) order; position preserved
     except on Removed/Negative -> Normal resurrection."""
