@@ -536,7 +536,9 @@ def personalized_pagerank(
                 f" AS BIGINT)"
             ).alias("pr"),
         )
-    return pr.select(F.col("node").alias("node_id"), "pr")
+    out = pr.select(F.col("node").alias("node_id"), "pr")
+    out._flockdb_caches = [e_deg]  # dedup.release_caches convention
+    return out
 
 
 def personalized_pagerank_sql(

@@ -1116,9 +1116,18 @@ def heavy_hitters(
     Net result equals the exact HAVING-count query (the oracle), but the
     vocabulary-sized aggregation only ever sees candidate tokens.
 
+    The tokenized projection is CACHED across the two passes (it is read
+    once from parquet and tokenized once; pass 1 materializes it while
+    building the sketch, pass 2 probes the cached tokens) — without it the
+    corpus is scanned and re-tokenized twice, which at sf3.0 doubled the
+    measured cost.  The cache handle rides on the result as
+    ``_flockdb_caches`` (the dedup.py convention) so callers release it
+    after materialization; at 100 TB use a disk-backed storage level or
+    accept the second scan.
+
     Output: (word, cnt) with cnt ≥ threshold.
     """
-    toks = docs.select(F.explode(tokens(text_col)).alias("word"))
+    toks = docs.select(F.explode(tokens(text_col)).alias("word")).cache()
 
     fp = portable_hash("word")
     arms = []
@@ -1159,12 +1168,14 @@ def heavy_hitters(
         F.element_at(F.array(*[F.lit(c) for c in grid[r]]), F.col(f"b{r}") + 1)
         for r in range(depth)
     ]
-    return (
+    out = (
         probed.where(F.least(*ests) >= thr)
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .where(F.col("cnt") >= thr)
     )
+    out._flockdb_caches = [toks]  # released by the caller post-materialization
+    return out
 
 
 def heavy_hitters_sql(per_mille: int = 10, table: str = "documents") -> str:
@@ -1231,7 +1242,10 @@ def kneser_ney_bigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Output: (w1, w2, c, p_kn_micro).
     """
-    return _kn_from_c12(_bigram_type_counts(docs, text_col))
+    c12 = _bigram_type_counts(docs, text_col)
+    out = _kn_from_c12(c12)
+    out._flockdb_caches = [c12]  # dedup.release_caches convention
+    return out
 
 
 def _bigram_type_counts(docs: DataFrame, text_col: str) -> DataFrame:
@@ -1352,12 +1366,14 @@ def kn_surprisal(
             ).alias("p"),
         )
     )
-    return joined.groupBy("doc_id").agg(
+    out = joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.expr("sum(1000000000000 div p) div count(*)")
         .cast("long")
         .alias("kn_surprisal"),
     )
+    out._flockdb_caches = [c12]  # dedup.release_caches convention
+    return out
 
 
 def kn_surprisal_sql(
@@ -1428,8 +1444,14 @@ def collocations(
     All marginals are taken over the bigram table itself (left marginal
     c(w1·), right marginal c(·w2), total T), so the statistic needs no
     second corpus pass.  Integer micro-lift with a pinned floor order —
-    ``(c·10⁶ div c1)·T div c2`` — keeps every intermediate ≤ 10⁶·T,
-    overflow-safe at any corpus size (the naive c·T·10⁶ numerator is not).
+    ``(c·10⁶ div c1)·T div c2`` — evaluated with the middle product
+    widened to decimal(38,0) on BOTH engines (HUGEINT in the DuckDB twin),
+    because ``(c·10⁶ div c1)`` ≤ 10⁶ times T overflows int64 once the
+    corpus passes T > 2⁶³/10⁶ ≈ 9.2e12 bigram tokens (a ~100 TB corpus has
+    ~2e13).  The RESULT must still fit int64: lift ≤ 10⁶·T div c2, which
+    holds whenever T div c2 ≤ 9.2e12 — guaranteed by ``min_count`` ≥ 5 up
+    to T ≈ 4.6e13 and checked by the final cast (null on overflow rather
+    than silent wrap).
 
     Shape at 100 TB: one shuffle to bigram-type grain; the marginals
     re-aggregate from the type table; top-k is a TakeOrdered (no global
@@ -1443,17 +1465,22 @@ def collocations(
         c12.where(F.col("c") >= min_count)
         .join(left, "w1")
         .join(right, "w2")
-        .join(F.broadcast(tt))
+        .join(F.broadcast(tt))  # 1-row total: broadcast, never a cross shuffle
         .select(
             "w1",
             "w2",
             "c",
-            F.expr("(c * 1000000 div c1) * tt div c2").cast("long").alias("lift_micro"),
+            # decimal(38,0) middle product: see docstring's overflow bound
+            F.expr("CAST(c * 1000000 div c1 AS DECIMAL(38,0)) * tt div c2")
+            .cast("long")
+            .alias("lift_micro"),
         )
     )
-    return scored.orderBy(
+    out = scored.orderBy(
         F.desc("lift_micro"), F.asc("w1"), F.asc("w2")
     ).limit(top_k)
+    out._flockdb_caches = [c12]  # dedup.release_caches convention
+    return out
 
 
 def collocations_sql(
@@ -1474,7 +1501,9 @@ l AS (SELECT w1, sum(c) AS c1 FROM c12 GROUP BY w1),
 r AS (SELECT w2, sum(c) AS c2 FROM c12 GROUP BY w2),
 tt AS (SELECT sum(c) AS tt FROM c12)
 SELECT c12.w1, c12.w2, c12.c,
-       CAST((c * 1000000 // c1) * tt // c2 AS BIGINT) AS lift_micro
+       -- HUGEINT middle product: (c*1e6//c1) <= 1e6 times tt overflows
+       -- int64 past ~9.2e12 bigrams (same widening as the Spark side)
+       CAST((c * 1000000 // c1) * CAST(tt AS HUGEINT) // c2 AS BIGINT) AS lift_micro
 FROM c12 JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tt
 WHERE c >= {int(min_count)}
 ORDER BY lift_micro DESC, w1 ASC, w2 ASC

@@ -2381,11 +2381,15 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    # deterministic per-(format, sf_dir) path + overwrite-mode writers:
-    # repeated gate runs reuse the same directory instead of leaking a new
-    # tempdir per invocation
+    # deterministic per-(format, sf_dir, PROCESS) path + overwrite-mode
+    # writers: repeated gate runs in one process reuse the directory
+    # instead of leaking a new tempdir per invocation, while two
+    # concurrent gate runs over the same sf_dir never overwrite each
+    # other's files mid-read
+    import os
+
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:10]
-    path = f"{tempfile.gettempdir()}/flockdb_{fmt}_rt_{tag}"
+    path = f"{tempfile.gettempdir()}/flockdb_{fmt}_rt_{tag}_{os.getpid()}"
     if fmt == "jsonl":
         corpus_src.write_documents_jsonl(docs, path, n_files=4)
         back = corpus_src.read_documents_jsonl(spark, path, keep_corrupt=False)
@@ -2522,9 +2526,14 @@ def x96(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# x97 — deterministic negative sampling for contrastive pairs: k fixed
-# prime-stride offset negatives per anchor, exact-duplicate candidates
-# excluded (a dup is a false negative that poisons the objective)
+# x97 — deterministic negative sampling for contrastive pairs: a bucketed
+# consistent-hash ring draw — each anchor's k negatives are the ring
+# successors of k seeded probes into its hash bucket's sorted slot array
+# (codegen array filter, no shuffle beyond the bucket grain), with self and
+# exact-duplicate candidates excluded at pick time (a dup is a false
+# negative that poisons the objective).  Robust on sparse/clustered id
+# domains where fixed id-offset strides silently degenerate to zero
+# matches (the defect that killed the first design at sf1.0).
 # ---------------------------------------------------------------------------
 
 
@@ -2532,4 +2541,23 @@ def x96(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x97(spark: SparkSession, sf_dir: str) -> DataFrame:
     return splits.negative_samples(
         _read(spark, sf_dir, "documents"), k=3, n_buckets=16
+    )
+
+
+# ---------------------------------------------------------------------------
+# x98 — SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+# 2303.09540): k-means-cell bucketing (density-adaptive, vs x38's random
+# hyperplanes), within-cell exact pairs, min-label group resolve, and the
+# paper's keep-FARTHEST-from-centroid survivor rule — the oracle replays
+# seeds, argmin assignment, pairs, recursive reach, and the survivor window
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x98_semantic_dedup",
+    similarity.semantic_dedup_sql(n_clusters=8, threshold=0.45),
+)
+def x98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semantic_dedup(
+        _read(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.45
     )

@@ -98,17 +98,24 @@ def read_curated(spark: SparkSession, path: str) -> DataFrame:
 
 
 def write_documents_csv(docs: DataFrame, path: str, n_files: int | None = None) -> None:
-    """Write a corpus as CSV with full-fidelity quoting: every field quoted,
-    embedded quotes doubled (RFC 4180), so commas, quotes, and newlines in
-    document text survive the round trip — the interchange settings that
-    make CSV safe for free text at all.
+    """Write a corpus as CSV with full-fidelity quoting: fields containing
+    the delimiter, quotes, or newlines are quoted with embedded quotes
+    doubled (RFC 4180), so free text survives the round trip.
+
+    NULL vs empty string is kept distinguishable — the one thing quoteAll
+    cannot do (it renders both as ``""``): an empty string is written as a
+    QUOTED ``""`` (``emptyValue``) while NULL stays a bare empty field, and
+    :func:`read_documents_csv` maps only the bare field back to NULL.
+    Whitespace trimming is disabled so padded text survives unquoted.
     """
     out = docs.repartition(n_files) if n_files else docs
     (
         out.write.mode("overwrite")
         .option("header", "true")
-        .option("quoteAll", "true")
         .option("escape", '"')
+        .option("emptyValue", '""')
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
         .csv(path)
     )
 
@@ -127,12 +134,19 @@ def read_documents_csv(
     makes a single file non-splittable (quote state can't be resumed
     mid-file), so corpus-scale CSV should arrive as MANY files — the
     parallelism is across files, not within them.
+
+    ``nullValue`` is pinned to NUL (a byte that never appears in sane
+    text), so no document TEXT can be swallowed into NULL — only the
+    writer's bare empty field parses as NULL, and the quoted ``""`` the
+    writer emits for empty strings comes back as an empty string.
     """
     return (
         spark.read.schema(schema)
         .option("header", "true")
         .option("multiLine", "true")
         .option("escape", '"')
+        .option("emptyValue", "")
+        .option("nullValue", "\x00")
         .option("mode", "FAILFAST")
         .csv(path)
     )

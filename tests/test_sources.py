@@ -75,7 +75,10 @@ def test_csv_roundtrip_hostile_text(spark, tmp_path):
         (2, 'she said "hello" twice: ""', "en", "s", 26),
         (3, 'line one\nline two\r\nline three', "en", "s", 29),
         (4, 'unicode: café — 中文', "fr", "s", 14),
-        (5, '', "en", "s", 0),
+        (5, '', "en", "s", 0),           # empty string stays empty string
+        (6, None, "en", "s", 0),         # NULL stays NULL (distinct from 5)
+        (7, '\\N', "en", "s", 2),        # the classic null SENTINEL is text
+        (8, '  padded  ', "en", "s", 10),
     ]
     df = spark.createDataFrame(
         rows, "doc_id long, text string, lang string, source string, n_chars long"
@@ -87,9 +90,7 @@ def test_csv_roundtrip_hostile_text(spark, tmp_path):
         for r in corpus.read_documents_csv(spark, path).collect()
     }
     want = {r[0]: (r[1], r[2], r[3], r[4]) for r in rows}
-    # CSV has no empty-string-vs-null distinction; everything else exact
-    got = {k: (v[0] or '', v[1], v[2], v[3]) for k, v in back.items()}
-    assert got == want
+    assert back == want  # byte-exact, INCLUDING empty-vs-NULL
 
 
 def test_csv_roundtrip_matches_jsonl_on_corpus(spark, tmp_path):
