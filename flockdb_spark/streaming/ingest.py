@@ -30,8 +30,14 @@ OPS_SCHEMA = T.StructType(
         T.StructField("destination_id", T.LongType(), nullable=True),
         T.StructField("position", T.LongType()),
         T.StructField("updated_at", T.LongType()),
+        # W12 priority class (Priority.scala:19-23); absent/null = Medium
+        T.StructField("priority", T.IntegerType(), nullable=True),
     ]
 )
+
+#: the reference's three write-queue classes (``Priority.scala:19-23``;
+#: ``config/production.scala:98-102`` sizes one Kestrel queue per class)
+PRIORITY_HIGH, PRIORITY_MEDIUM, PRIORITY_LOW = 3, 2, 1
 
 
 def stream_writes(spark: SparkSession, ops_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
@@ -207,6 +213,8 @@ class EdgeStreamIngestor:
 
     def _apply_batch(self, ops: DataFrame, batch_id: int) -> None:
         # the micro-batch is read 2-3×; materialize once (batch-sized)
+        if "priority" in ops.columns:
+            ops = ops.drop("priority")  # routing concern, not merge input
         ops = ops.localCheckpoint(eager=True)
         if self.error_dir is not None:
             ops = self._quarantine(ops, batch_id)
@@ -457,6 +465,36 @@ class EdgeStreamIngestor:
         )
         q.awaitTermination()
         return q
+
+    def drain_prioritized(
+        self, ops_dir: str, max_files_per_trigger: int | None = None
+    ) -> None:
+        """W12 priority classes: the reference journals every write into one
+        of three Kestrel queues — High, Medium, Low (``Priority.scala:19-23``;
+        ``config/production.scala:98-102`` provisions a queue per class) —
+        and its schedulers drain High before the others, so a backlog of
+        bulk Low writes never delays user-facing High ones.
+
+        Spark-first mapping: each class is a FILTERED VIEW of the same
+        journal with its OWN streaming checkpoint (the three-queues shape
+        without three physical journals), drained to exhaustion in priority
+        order.  Every High op is therefore merged and COMMITTED (visible in
+        an earlier manifest version) before the first Medium op is read —
+        observable backlog behavior identical to the reference's, and each
+        class's checkpoint makes its drain independently resumable.  Ops
+        with no ``priority`` column value default to Medium (the reference's
+        default write class)."""
+        for pr in (PRIORITY_HIGH, PRIORITY_MEDIUM, PRIORITY_LOW):
+            cls = stream_writes(self.spark, ops_dir, max_files_per_trigger).where(
+                F.coalesce(F.col("priority"), F.lit(PRIORITY_MEDIUM)) == pr
+            )
+            q = (
+                cls.writeStream.foreachBatch(self._apply_batch)
+                .option("checkpointLocation", f"{self.checkpoint_dir}/priority={pr}")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
 
 
 #: per-op validity — the checks the reference's job parser enforces before a

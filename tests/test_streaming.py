@@ -681,3 +681,39 @@ def test_interval_join_available_now_matches_batch(spark):
         ).collect()
     }
     assert streamed == batch and len(streamed) > 0
+
+
+def test_priority_ordered_drain(spark, tmp_path):
+    """W12 priority classes (Priority.scala:19-23): one journal holding
+    High, Medium (default), and Low ops drains class-by-class — every High
+    op is committed in an EARLIER manifest version than any Medium op,
+    which is earlier than any Low op; final merged state is unaffected."""
+    from flockdb_spark.streaming.ingest import (
+        PRIORITY_HIGH,
+        PRIORITY_LOW,
+    )
+
+    ops_dir = tmp_path / "journal"
+    lo = dict(op(0, 1, 30, 1000, 3), priority=PRIORITY_LOW)
+    hi = dict(op(0, 1, 10, 1000, 1), priority=PRIORITY_HIGH)
+    med = op(0, 2, 20, 1000, 2)  # no priority field -> Medium default
+    # one file mixing all classes + one more low-priority file
+    write_batch(ops_dir, "b1.json", [lo, hi, med])
+    write_batch(ops_dir, "b2.json", [dict(op(0, 1, 31, 1000, 4), priority=PRIORITY_LOW)])
+
+    ing = EdgeStreamIngestor(spark, str(tmp_path / "table"), str(tmp_path / "ckpt"))
+    ing.drain_prioritized(str(ops_dir))
+
+    def first_version_with(dst):
+        for v in ing.versions():
+            if ing.edges(version=v).where(f"destination_id = {dst}").count():
+                return v
+        raise AssertionError(f"edge {dst} never committed")
+
+    v_hi, v_med = first_version_with(10), first_version_with(20)
+    v_lo, v_lo2 = first_version_with(30), first_version_with(31)
+    assert v_hi < v_med < min(v_lo, v_lo2)
+    # the merged end state is the same regardless of drain order
+    assert {r["destination_id"] for r in ing.edges().collect()} == {10, 20, 30, 31}
+    md = {(r["graph_id"], r["source_id"]): r["count"] for r in ing.metadata().collect()}
+    assert md[(1, 1)] == 3 and md[(1, 2)] == 1  # counts span all classes
