@@ -31,44 +31,60 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver gates only the FIRST 50 registry entries each round, so we order
-# the registry by gate priority.  Rotated for r5 (registry now 119): ungated-
-# first are the three r4 hash-fails (x31/x33/x54 — root cause was DuckDB
-# HUGEINT sums rendering as float64 in the oracle output, fixed by CAST ...
-# AS BIGINT) plus everything added this round (x70–x96, 27 entries) — 30
-# ungated total; the next 20 slots re-gate the stalest r3-green entries
-# (x36–x49, q01–q06); the r4-green entries and the remaining r3 set — all
-# green in this round's full local sf0.01 + sf0.1 gates and the sf1.0
-# extension run — come last.
+# the registry by gate priority.  Rotated for r6 (registry now 123): the
+# three NEW entries (q24 batch selectEdges, q25 ordered-uuid W5, x98
+# semantic dedup) are ungated and sort first automatically; next come the
+# 23 entries whose last driver-green row is r3 (VERDICT r5 item 1 — the
+# FlockDB core q06–q21 plus the x01–x05/x16/x17 dedup family); then the 13
+# entries whose CODE or ORACLE changed this round (ANN default-shape gates
+# x06/x18 + pinned-shape x35/x38/x52/x53, the x84 token-cache, the CSV/
+# roundtrip pair, the bigram-cache family x91/x93/x94/x95); the r4-green
+# set fills the remaining first-50 slots; the r5-green entries (freshest
+# driver rows) gate last.  All 123 are green in this round's local sf0.01
+# gate.
 _GATED_GREEN = [
-    # Green in r3 but NOT re-gated in r4 (stalest first — r5 re-covers most).
-    "x36_json_rollup", "x37_boilerplate", "x38_embedding_dedup", "x39_funnel",
-    "x40_mixture_upsample", "x41_bigram_vocab", "x42_khop", "x43_mutual_edges",
-    "x44_components", "x45_chunking", "x46_token_ids", "x47_bigram_surprisal",
-    "x48_curation_dag", "x49_quality_canonical",
-    "q01_point_lookup", "q02_contains", "q03_metadata", "q04_degree_counts",
-    "q05_wildcard", "q06_keyset_pages", "q07_by_destination", "q08_backward",
-    "q09_where_in", "q10_intersection", "q11_union", "q12_difference",
-    "q13_nested", "q14_select_edges", "q15_incl_archived", "q16_state_filters",
+    # last driver-green r3 (stalest — re-gate first)
+    "q06_keyset_pages", "q07_by_destination", "q08_backward", "q09_where_in",
+    "q10_intersection", "q11_union", "q12_difference", "q13_nested",
+    "q14_select_edges", "q15_incl_archived", "q16_state_filters",
     "q17_oplog_replay", "q18_mass_action", "q19_metadata_merge",
     "q20_reconcile", "q21_count_estimates", "x01_dedup_exact",
     "x02_ngram_jaccard", "x17_dedup_resolve", "x03_minhash_lsh", "x04_simhash",
     "x16_simhash_neardup", "x05_ann_topk",
-    # Green in CORRECTNESS_r04.json (freshest rows — gate these last).
-    "x06_lsh_ann", "x15_ivf_ann", "x07_embedding_neardup", "x18_lsh_neardup",
-    "x19_pipeline", "x08_quality", "x09_token_count", "x10_lang_id",
-    "x11_fingerprint", "x12_multimodal", "x20_sessionization", "x21_asof_join",
-    "x22_range_join", "x23_rollup", "x24_event_rollup", "x13_degree_dist",
-    "x14_pagerank", "x25_bm25", "x26_topk_per_group", "x27_triangles",
-    "x28_train_split", "x29_stratified_sample", "x50_pii_redaction",
-    "x51_training_order", "x52_lsh_ann_multitable", "x53_lsh_neardup_multitable",
-    "x55_select_top_quality", "x56_int8_ann", "x57_fuzzy_decontaminate",
-    "x58_tfidf_top_terms", "x59_inverted_index", "x60_normalize_text",
-    "x61_pair_integrity", "x62_oov_rate", "x63_corpus_diff",
-    "x64_label_centroids", "x65_leakage_free_splits",
-    "x66_stream_sessionization", "x67_duplicated_spans",
-    "x68_stream_event_rates", "x69_kmeans_fit",
-    "q22_select_all", "q23_select2_batch", "x30_length_quantiles",
-    "x32_repetition", "x34_decontaminate", "x35_multiprobe_ann",
+    # changed in r6 (code or oracle) — must re-gate
+    "x06_lsh_ann", "x18_lsh_neardup", "x35_multiprobe_ann",
+    "x38_embedding_dedup", "x52_lsh_ann_multitable",
+    "x53_lsh_neardup_multitable", "x84_heavy_hitters", "x87_jsonl_roundtrip",
+    "x88_csv_roundtrip", "x91_kneser_ney", "x93_personalized_pagerank",
+    "x94_kn_perplexity", "x95_collocations",
+    # last driver-green r4
+    "q22_select_all", "q23_select2_batch", "x15_ivf_ann",
+    "x07_embedding_neardup", "x19_pipeline", "x08_quality", "x09_token_count",
+    "x10_lang_id", "x11_fingerprint", "x12_multimodal", "x20_sessionization",
+    "x21_asof_join", "x22_range_join", "x23_rollup", "x24_event_rollup",
+    "x13_degree_dist", "x14_pagerank", "x25_bm25", "x26_topk_per_group",
+    "x27_triangles", "x28_train_split", "x29_stratified_sample",
+    "x30_length_quantiles", "x32_repetition", "x34_decontaminate",
+    "x50_pii_redaction", "x51_training_order", "x55_select_top_quality",
+    "x56_int8_ann", "x57_fuzzy_decontaminate", "x58_tfidf_top_terms",
+    "x59_inverted_index", "x60_normalize_text", "x61_pair_integrity",
+    "x62_oov_rate", "x63_corpus_diff", "x64_label_centroids",
+    "x65_leakage_free_splits", "x66_stream_sessionization",
+    "x67_duplicated_spans", "x68_stream_event_rates", "x69_kmeans_fit",
+    # last driver-green r5 (freshest — gate last)
+    "q01_point_lookup", "q02_contains", "q03_metadata", "q04_degree_counts",
+    "q05_wildcard", "x31_event_features", "x33_seq_packing",
+    "x36_json_rollup", "x37_boilerplate", "x39_funnel", "x40_mixture_upsample",
+    "x41_bigram_vocab", "x42_khop", "x43_mutual_edges", "x44_components",
+    "x45_chunking", "x46_token_ids", "x47_bigram_surprisal",
+    "x48_curation_dag", "x49_quality_canonical", "x54_temperature_sample",
+    "x70_bpe_pair_counts", "x71_source_overlap", "x72_span_dedup_rewrite",
+    "x73_incremental_dedup", "x74_stream_dedup_index", "x75_training_shards",
+    "x76_vocab_spectrum", "x77_embedding_outliers", "x78_lang_confusion",
+    "x79_k_core", "x80_count_min_sketch", "x81_stream_sketch",
+    "x82_bloom_decontaminate", "x83_hll_registers", "x85_fixed_size_sample",
+    "x86_stream_interval_join", "x89_zorder_key", "x90_token_budget",
+    "x92_last_touch", "x96_salted_join", "x97_negative_samples",
 ]
 
 
