@@ -71,6 +71,10 @@ BENCH_QUERIES = [
     "x84_heavy_hitters",
     "x90_token_budget",
     "x91_kneser_ney",
+    # r6 additions: the one-scan batch selectEdges (12 mixed edge pages)
+    # and SemDeDup-style semantic dedup (k-means cells + survivor rule)
+    "q24_select_edges_batch",
+    "x98_semantic_dedup",
 ]
 
 #: queries whose plan .cache()es a corpus-side index (persist_index=True):

@@ -48,6 +48,26 @@ def dot_q(a, b) -> F.Column:
     )
 
 
+def _gemm53(a, b) -> "np.ndarray":  # noqa: F821
+    """Exact int64 GEMM through float64 BLAS.
+
+    numpy has NO BLAS kernel for integer matmul — ``int64 @ int64`` falls
+    back to a generic C loop ~10-40× slower than dgemm.  Every product in
+    this module is exactly representable in float64: micro-quantized unit
+    vectors have |x| ≤ 1e6, so any partial sum is bounded by
+    dims·1e12 ≈ 6.4e13 ≪ 2^53, and float64 arithmetic on integers below
+    2^53 is EXACT — dgemm returns bit-identical values to the integer
+    product (asserted on the inputs' maxima, so a silently out-of-range
+    caller fails loudly instead of rounding)."""
+    import numpy as np
+
+    if a.size == 0 or b.size == 0:
+        return np.zeros((a.shape[0], b.shape[1]), dtype=np.int64)
+    bound = int(np.abs(a).max()) * int(np.abs(b).max()) * a.shape[1]
+    assert bound < (1 << 53), f"gemm53 exactness bound exceeded: {bound}"
+    return (a.astype(np.float64) @ b.astype(np.float64)).astype(np.int64)
+
+
 def brute_force_topk(
     emb: DataFrame, query_ids: list[int], k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
@@ -78,7 +98,7 @@ def brute_force_topk(
                 continue
             e_ids = pdf[id_col].to_numpy(dtype=np.int64)
             e_mat = _np_quantize(pdf[vec_col])
-            scores = e_mat @ qmat.T  # (n, n_q) int64 — exact
+            scores = _gemm53(e_mat, qmat.T)  # (n, n_q) int64 — exact
             out = pd.DataFrame(
                 {
                     "query_id": np.repeat(qids, len(e_ids)),
@@ -134,7 +154,7 @@ def neardup_pairs(
                 continue
             e_ids = pdf[id_col].to_numpy(dtype=np.int64)
             e_mat = _np_quantize(pdf[vec_col])
-            scores = e_mat @ cmat.T  # (n_part, n_corpus) int64
+            scores = _gemm53(e_mat, cmat.T)  # (n_part, n_corpus) int64
             li, ri = np.nonzero(scores >= thresh)
             a, b, d = e_ids[li], cids[ri], scores[li, ri]
             keep = a < b
@@ -318,7 +338,7 @@ def _np_sign(
             v = _np_quantize(pdf[vec_col])
             vl = list(v)
             for t in range(h.shape[0]):
-                sums = v @ h[t].T  # (n, planes) int64 — exact
+                sums = _gemm53(v, h[t].T)  # (n, planes) int64 — exact
                 buckets = ((sums > 0).astype(np.int64) * pow2).sum(axis=1)
                 yield pd.DataFrame(
                     {out_id: ids, out_vec: vl, "tbl": t, "bucket": buckets}
@@ -352,6 +372,38 @@ def lsh_bucket_sql(list_expr: str, planes: int, dims: int, table: int = 0) -> st
         for p in range(planes)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def lsh_auto_shape(
+    n_vectors: int,
+    threshold: float = 0.45,
+    target_recall: float = 0.95,
+    bucket_budget: int = 512,
+) -> dict:
+    """RECALL.md's tuning rule as code — size (planes, n_tables) for a
+    corpus of ``n_vectors``:
+
+    1. ``planes`` bounds the bucket population: the per-bucket exact-rescore
+       work is quadratic in |bucket| ≈ n/2^planes, so pick the smallest
+       planes keeping it under ``bucket_budget``;
+    2. ``n_tables`` buys the recall back: a pair at the threshold angle
+       θ = arccos(threshold) collides in one table with p = (1 − θ/π)^planes,
+       and L tables OR-amplify to 1 − (1 − p)^L, so
+       L = ⌈ln(1 − target) / ln(1 − p)⌉.
+
+    The static defaults (planes=4, L=16/8) are this rule evaluated at the
+    test corpus size; at 1e9+ vectors call
+    ``lsh_neardup_pairs(emb, **lsh_auto_shape(n))`` instead — total
+    candidate work then grows ~n·budget·L (sub-quadratic) rather than the
+    n²/2^planes a fixed shape degrades to.  Returns
+    ``{"planes": ..., "n_tables": ...}`` (usable as kwargs for both
+    ``lsh_neardup_pairs`` and ``lsh_ann_topk``)."""
+    import math
+
+    planes = max(2, math.ceil(math.log2(max(n_vectors, 1) / bucket_budget)))
+    p = (1 - math.acos(threshold) / math.pi) ** planes
+    n_tables = max(1, math.ceil(math.log(1 - target_recall) / math.log(1 - p)))
+    return {"planes": planes, "n_tables": n_tables}
 
 
 def lsh_neardup_pairs(
@@ -414,7 +466,7 @@ def lsh_neardup_pairs(
         outs = []
         for lo in range(0, len(ids), 2048):
             hi = min(lo + 2048, len(ids))
-            s = mat[lo:hi] @ mat.T  # (chunk, m) int64 — exact
+            s = _gemm53(mat[lo:hi], mat.T)  # (chunk, m) int64 — exact
             li, ri = np.nonzero(s >= thresh)
             a, b, d = ids[lo + li], ids[ri], s[li, ri]
             keep = a < b
@@ -490,7 +542,7 @@ def ivf_ann_topk(
             ids = pdf[id_col].to_numpy(np.int64)
             v = _np_quantize(pdf[vec_col])
             vl = list(v)
-            s = v @ cmat.T  # (n, n_centroids) int64 — exact
+            s = _gemm53(v, cmat.T)  # (n, n_centroids) int64 — exact
             ranked = np.argsort(-s, axis=1, kind="stable")  # ties → lower cid
             out = {
                 "vid": list(ids),
@@ -680,7 +732,7 @@ def int8_ann_topk(
                 continue
             e_ids = pdf[id_col].to_numpy(dtype=np.int64)
             e8, e_amax = _np_int8(_np_quantize(pdf[vec_col]))
-            sdot = e8 @ qmat.T  # (n, n_q) int64 code dot — exact
+            sdot = _gemm53(e8, qmat.T)  # (n, n_q) int64 code dot — exact
             # rescale to micro^2; trunc-toward-zero to match SQL `//`
             num = sdot * e_amax[:, None] * qam[None, :]
             rec = np.sign(num) * (np.abs(num) // (127 * 127))
@@ -959,7 +1011,7 @@ def kmeans_fit(
                 v = np.array(pdf["ev"].tolist(), dtype=np.int64)
                 # argmin |x-c|^2 == argmin(|c|^2 - 2 x·c); ties -> first
                 # (lowest cid: cmat rows are cid-ascending)
-                best = (cnorm[None, :] - 2 * (v @ cmat.T)).argmin(axis=1)
+                best = (cnorm[None, :] - 2 * _gemm53(v, cmat.T)).argmin(axis=1)
                 out = {"cluster": [], "dim": [], "sum_q": [], "cnt": []}
                 for b in np.unique(best):
                     sel = v[best == b]

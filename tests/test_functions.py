@@ -1525,3 +1525,40 @@ def test_negative_samples_ring_properties(spark):
     text = dict(dup_rows)
     for r in douts:
         assert text[r["neg_id"]] != text[r["anchor_id"]]
+
+
+def test_lsh_auto_shape_rule(spark):
+    """lsh_auto_shape implements RECALL.md's sizing rule: buckets stay under
+    budget, recall model clears the target, and the measured recall at the
+    shape it picks for the sf0.001 corpus actually clears 0.9."""
+    import math
+
+    from flockdb_spark.functions.similarity import (
+        brute_force_topk,
+        lsh_ann_topk,
+        lsh_auto_shape,
+    )
+    from flockdb_spark.sources.edges import _read
+
+    # model properties across 6 orders of magnitude
+    for n in (2_000, 60_000, 200_000, 10**9):
+        s = lsh_auto_shape(n)
+        assert n / (1 << s["planes"]) <= 512 or s["planes"] >= 2
+        p = (1 - math.acos(0.45) / math.pi) ** s["planes"]
+        assert 1 - (1 - p) ** s["n_tables"] >= 0.95
+    # budget actually binds: 1e9 vectors need far more planes than 2k
+    assert lsh_auto_shape(10**9)["planes"] > lsh_auto_shape(2_000)["planes"]
+
+    emb = _read(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    shape = lsh_auto_shape(n)
+    qids = [0, 1, 2, 3, 4]
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, qids, k=5).collect()
+    }
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_ann_topk(emb, qids, k=5, n_probe=1, **shape).collect()
+    }
+    assert len(got & exact) / len(exact) >= 0.9

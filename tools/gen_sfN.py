@@ -38,6 +38,16 @@ def union_replicas(k: int, select_for_r) -> str:
     return "\nUNION ALL\n".join(select_for_r(r) for r in range(k))
 
 
+def _rot_embedding(r: int, dims: int = 64) -> str:
+    rot = r % dims
+    base = (
+        "embedding"
+        if rot == 0
+        else f"list_concat(embedding[{rot + 1}:], embedding[1:{rot}])"
+    )
+    return f"list_transform({base}, x -> -x)" if r >= dims else base
+
+
 def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     out = Path(sys.argv[2] if len(sys.argv) > 2 else "/root/repo/_sfdata/sf1.0")
@@ -92,13 +102,17 @@ def main() -> None:
                    CAST(length(regexp_replace(text, '(\\w+)', 'r{r}\\1', 'g')) AS BIGINT) AS n_chars
             FROM src"""
         ),
-        # rotate dims by r: norm-preserving, decorrelates cross-replica cosine
+        # rotate dims by r mod 64 (norm-preserving, decorrelates
+        # cross-replica cosine); replicas >= 64 additionally NEGATE the
+        # vector, so the replica pairs that share a rotation (r, r+64) see
+        # cos' = -cos — no near-dup structure leaks between them either
+        # (valid for K <= 128)
         "embeddings": lambda r: (
             "SELECT vec_id, embedding, label FROM src"
             if r == 0
             else f"""
             SELECT vec_id + {r * KEY_OFF} AS vec_id,
-                   list_concat(embedding[{r + 1}:], embedding[1:{r}]) AS embedding,
+                   {_rot_embedding(r)} AS embedding,
                    label
             FROM src"""
         ),
