@@ -595,10 +595,27 @@ def bigram_surprisal(
     frequency ratio, no logs, so the result is exact and engine-portable.
 
     Plan: the bigram generator is map-side (zip-with-tail, as
-    :func:`bigram_stats`); corpus counts are one partial-agg shuffle; the
-    doc-side join is keyed on the bigram and reuses that partitioning; one
-    final agg back to doc grain.  The count table is corpus-sized — it
-    stays a shuffle join (broadcasting it would assume a small vocabulary).
+    :func:`bigram_stats`); the exploded occurrence stream is CACHED so
+    the corpus is tokenized and exploded exactly once (it feeds both the
+    corpus-count aggregation and the doc-side join — without the cache
+    Spark re-scans the parquet and re-tokenizes for each consumer).
+    Corpus counts are one partial-agg shuffle on ``pair``; the doc-side
+    join is keyed on the bigram and reuses that partitioning; one final
+    agg back to doc grain.  The count table is corpus-sized — it stays a
+    shuffle join (broadcasting it would assume a small vocabulary).  The
+    cached occurrence stream is attached as ``_flockdb_caches``
+    (dedup.release_caches convention).  A doc-grain pre-aggregation
+    ``(doc_id, pair, m)`` was measured and REJECTED: natural text has
+    few doc-local repeat bigrams, so the extra full-width shuffle buys
+    no row reduction (2× slower at sf1.0).
+
+    Overflow: the per-pair ratio is computed as
+    ``decimal(38,0)(N) * 10^6 div count`` (HUGEINT in the DuckDB twin),
+    so the intermediate never wraps int64 at any corpus size; the
+    per-doc mean is bounded by the rarest-pair ratio, so the final
+    BIGINT cast only saturates if a single doc's mean exceeds
+    9.2e18 micros (a hapax bigram in a >9.2e12-bigram corpus), where
+    ANSI engines null rather than wrap.
 
     Output: (doc_id, n_bigrams, surprisal_micro).
     """
@@ -615,19 +632,25 @@ def bigram_surprisal(
         docs.select("doc_id", tokens(text_col).alias("_w"))
         .select("doc_id", F.explode(pairs).alias("pair"))
     )
+    bg = bg.cache()
     counts = bg.groupBy("pair").agg(F.count(F.lit(1)).alias("c"))
     total = counts.agg(F.sum("c").alias("n")).select("n")
-    return (
+    out = (
         bg.join(counts, "pair")
         .join(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
             # mean of per-bigram integer ratios, floored at each step for
-            # cross-engine exactness
-            F.expr("sum(n * 1000000 div c) div count(*)").alias("surprisal_micro"),
+            # cross-engine exactness; decimal middle product per docstring
+            F.expr(
+                "CAST(sum(CAST(n AS DECIMAL(38,0)) * 1000000 div c)"
+                " div count(*) AS BIGINT)"
+            ).alias("surprisal_micro"),
         )
     )
+    out._flockdb_caches = [bg]  # released by the caller post-materialization
+    return out
 
 
 def bigram_surprisal_sql() -> str:
@@ -644,7 +667,10 @@ bg AS (
 counts AS (SELECT pair, count(*) AS c FROM bg GROUP BY pair),
 total AS (SELECT sum(c) AS n FROM counts)
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-       CAST(sum(n * 1000000 // c) // count(*) AS BIGINT) AS surprisal_micro
+       -- HUGEINT middle product: N*1e6 wraps int64 once the corpus
+       -- exceeds ~9.2e12 bigrams (see the Spark twin's docstring)
+       CAST(sum(CAST(n AS HUGEINT) * 1000000 // c) // count(*) AS BIGINT)
+         AS surprisal_micro
 FROM bg JOIN counts USING (pair) CROSS JOIN total
 GROUP BY doc_id
 """
