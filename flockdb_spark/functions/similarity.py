@@ -41,6 +41,63 @@ def _np_quantize(series) -> "np.ndarray":  # noqa: F821
     return (np.trunc(np.abs(m) + 0.5) * np.sign(m)).astype(np.int64)
 
 
+def _quantize_arrow(arr) -> "np.ndarray":  # noqa: F821
+    """Arrow-native twin of :func:`_np_quantize`: a pyarrow ListArray of
+    float embeddings → int64 matrix (n, dims), via zero-copy flatten of the
+    child buffer instead of per-element Python objects (``Series.tolist``
+    materializes every float as a PyObject — the dominant cost of the
+    pandas path at corpus scale).  float32 → float64 widening is exact, so
+    the quantized values are bit-identical to the pandas path (pinned by
+    the x05/x06/x18/x35 oracle gates)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.int64)
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    m = flat * MICRO
+    q = (np.trunc(np.abs(m) + 0.5) * np.sign(m)).astype(np.int64)
+    return q.reshape(n, -1)
+
+
+def _quantize_arrow_prequantized(arr, n: int) -> "np.ndarray":  # noqa: F821
+    """ListArray<int64> of ALREADY-quantized vectors → int64 matrix (n, d),
+    zero-copy flatten (no re-quantization)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.int64)
+    return arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64).reshape(n, -1)
+
+
+def _i64_arrow(arr) -> "np.ndarray":  # noqa: F821
+    """int64 numpy view of a pyarrow integer column (combining chunks)."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    return arr.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
+def _list_array(mat) -> "pa.ListArray":  # noqa: F821
+    """int64 matrix (n, d) → pyarrow ListArray<int64>, built once from the
+    flat buffer (reused verbatim across per-table emissions — no per-row
+    Python list is ever created)."""
+    import numpy as np
+    import pyarrow as pa
+
+    n, d = mat.shape
+    offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+    return pa.ListArray.from_arrays(offsets, pa.array(mat.reshape(-1)))
+
+
 def dot_q(a, b) -> F.Column:
     """Exact integer dot product of two quantized vector columns."""
     return F.aggregate(
@@ -317,7 +374,13 @@ def _np_sign(
     (no whole-stage codegen), so expression signing costs
     O(rows·planes·dims) lambda dispatches; here each Arrow batch is one
     int64 GEMM against the broadcast ±1 matrix — bit-identical buckets
-    (the gates x06/x18/x35/x38 pin this against the SQL oracle)."""
+    (the gates x06/x18/x35/x38 pin this against the SQL oracle).
+
+    Runs as ``mapInArrow``: the vector column flattens zero-copy into the
+    GEMM operand, and the quantized output ListArray is built ONCE from
+    the flat int64 buffer and re-emitted verbatim for all ``n_tables``
+    batches — the pandas path paid a per-row PyObject round-trip on both
+    sides, which dominated wall time at corpus scale."""
     import numpy as np
 
     spark = emb.sparkSession
@@ -328,23 +391,30 @@ def _np_sign(
     bc = spark.sparkContext.broadcast(hs)
 
     def run(batches):
-        import pandas as pd
+        import pyarrow as pa
 
         h = bc.value
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            ids = pdf[id_col].to_numpy(np.int64)
-            v = _np_quantize(pdf[vec_col])
-            vl = list(v)
+            ids = pa.array(_i64_arrow(batch.column(0)))
+            v = _quantize_arrow(batch.column(1))
+            vec = _list_array(v)
             for t in range(h.shape[0]):
                 sums = _gemm53(v, h[t].T)  # (n, planes) int64 — exact
                 buckets = ((sums > 0).astype(np.int64) * pow2).sum(axis=1)
-                yield pd.DataFrame(
-                    {out_id: ids, out_vec: vl, "tbl": t, "bucket": buckets}
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids,
+                        vec,
+                        pa.array(np.full(n, t, dtype=np.int32)),
+                        pa.array(buckets),
+                    ],
+                    names=[out_id, out_vec, "tbl", "bucket"],
                 )
 
-    return emb.select(id_col, vec_col).mapInPandas(
+    return emb.select(id_col, vec_col).mapInArrow(
         run, f"{out_id} long, {out_vec} array<long>, tbl int, bucket long"
     )
 
@@ -450,34 +520,37 @@ def lsh_neardup_pairs(
         sig = sig.cache()  # the signed corpus is the index (see lsh_ann_topk)
     thresh = int(threshold * MICRO * MICRO)
 
-    # Candidate scoring is a per-bucket numpy int64 GEMM (applyInPandas):
+    # Candidate scoring is a per-bucket numpy int64 GEMM (applyInArrow):
     # one shuffle on the bucket key, then each bucket's m×m dot block is
     # vectorized Arrow-side — the same exact integer dots as dot_q, ~40×
     # the per-pair higher-order-function chain at sf1.0 candidate volumes.
+    # The vector column flattens zero-copy out of the Arrow table (the old
+    # applyInPandas path re-materialized every element as a PyObject).
     # Row-chunked so a skewed bucket's score block stays bounded in memory;
     # the real bucket-size control is `planes` (RECALL.md: pick planes by
     # bucket budget, tables by recall target).
-    def score_bucket(pdf):
+    def score_bucket(tbl):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        ids = pdf["_id"].to_numpy(np.int64)
-        mat = np.array(pdf["_v"].tolist(), dtype=np.int64)
-        outs = []
+        ids = _i64_arrow(tbl.column("_id"))
+        mat = _quantize_arrow_prequantized(tbl.column("_v"), len(ids))
+        chunks_a, chunks_b, chunks_d = [], [], []
         for lo in range(0, len(ids), 2048):
             hi = min(lo + 2048, len(ids))
             s = _gemm53(mat[lo:hi], mat.T)  # (chunk, m) int64 — exact
             li, ri = np.nonzero(s >= thresh)
             a, b, d = ids[lo + li], ids[ri], s[li, ri]
             keep = a < b
-            outs.append(pd.DataFrame({"a": a[keep], "b": b[keep], "dot_micro2": d[keep]}))
-        return (
-            pd.concat(outs)
-            if outs
-            else pd.DataFrame({"a": [], "b": [], "dot_micro2": []})
+            chunks_a.append(a[keep])
+            chunks_b.append(b[keep])
+            chunks_d.append(d[keep])
+        cat = lambda xs: np.concatenate(xs) if xs else np.array([], dtype=np.int64)  # noqa: E731
+        return pa.table(
+            {"a": cat(chunks_a), "b": cat(chunks_b), "dot_micro2": cat(chunks_d)}
         )
 
-    out = sig.groupBy("tbl", "bucket").applyInPandas(
+    out = sig.groupBy("tbl", "bucket").applyInArrow(
         score_bucket, "a long, b long, dot_micro2 long"
     )
     # single-table: each id carries exactly ONE bucket per table, so a pair
