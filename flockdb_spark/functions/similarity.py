@@ -7,7 +7,7 @@ numpy matmul, and any SQL oracle agree bit-for-bit — float reductions would
 not.  A 64-dim unit vector's quantized dot stays ≤ ~6.4e13, comfortably int64.
 
 Physical strategy:
-- brute-force top-k and near-dup pairs run as Arrow-batched ``mapInPandas``
+- brute-force top-k and near-dup pairs run as Arrow-native ``mapInArrow``
   with a numpy int64 GEMM against a broadcast matrix — the legitimate
   pandas-UDF use case (vector math), ~100× a per-element lambda chain.
 - LSH-bucketed ANN keeps pure column expressions: the bucket join shrinks the
@@ -146,29 +146,34 @@ def brute_force_topk(
     q_mat = _np_quantize(pd.Series([r[vec_col] for r in q_rows]))
     bc = emb.sparkSession.sparkContext.broadcast((q_ids, q_mat))
 
-    def score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
-        import pandas as pd
+    def score(batches):
+        import pyarrow as pa
 
         qids, qmat = bc.value
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            e_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            e_mat = _np_quantize(pdf[vec_col])
+            e_ids = _i64_arrow(batch.column(0))
+            e_mat = _quantize_arrow(batch.column(1))
             scores = _gemm53(e_mat, qmat.T)  # (n, n_q) int64 — exact
-            out = pd.DataFrame(
-                {
-                    "query_id": np.repeat(qids, len(e_ids)),
-                    "neighbor_id": np.tile(e_ids, len(qids)),
-                    "dot_micro2": scores.T.reshape(-1),
-                }
+            qcol = np.repeat(qids, len(e_ids))
+            ncol = np.tile(e_ids, len(qids))
+            dcol = scores.T.reshape(-1)
+            mask = qcol != ncol
+            qcol, ncol, dcol = qcol[mask], ncol[mask], dcol[mask]
+            # local top-k per query: exact global result after the final
+            # window — lexsort on (query, -dot, neighbor), take first k of
+            # each query run
+            order = np.lexsort((ncol, -dcol, qcol))
+            qcol, ncol, dcol = qcol[order], ncol[order], dcol[order]
+            starts = np.flatnonzero(np.r_[True, qcol[1:] != qcol[:-1]])
+            rank = np.arange(len(qcol)) - np.repeat(starts, np.diff(np.r_[starts, len(qcol)]))
+            topk = rank < k
+            yield pa.record_batch(
+                {"query_id": qcol[topk], "neighbor_id": ncol[topk], "dot_micro2": dcol[topk]}
             )
-            out = out[out.query_id != out.neighbor_id]
-            # local top-k per query: exact global result after the final window
-            out = out.sort_values(["query_id", "dot_micro2", "neighbor_id"], ascending=[True, False, True])
-            yield out.groupby("query_id", sort=False).head(k)
 
-    scored = emb.select(id_col, vec_col).mapInPandas(
+    scored = emb.select(id_col, vec_col).mapInArrow(
         score, "query_id long, neighbor_id long, dot_micro2 long"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("dot_micro2"), F.asc("neighbor_id"))
@@ -204,20 +209,22 @@ def neardup_pairs(
     bc = emb.sparkSession.sparkContext.broadcast((ids, mat))
     thresh = int(threshold * MICRO * MICRO)
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def score(batches):
+        import pyarrow as pa
+
         cids, cmat = bc.value
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            e_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            e_mat = _np_quantize(pdf[vec_col])
+            e_ids = _i64_arrow(batch.column(0))
+            e_mat = _quantize_arrow(batch.column(1))
             scores = _gemm53(e_mat, cmat.T)  # (n_part, n_corpus) int64
             li, ri = np.nonzero(scores >= thresh)
             a, b, d = e_ids[li], cids[ri], scores[li, ri]
             keep = a < b
-            yield pd.DataFrame({"a": a[keep], "b": b[keep], "dot_micro2": d[keep]})
+            yield pa.record_batch({"a": a[keep], "b": b[keep], "dot_micro2": d[keep]})
 
-    return emb.select(id_col, vec_col).mapInPandas(score, "a long, b long, dot_micro2 long")
+    return emb.select(id_col, vec_col).mapInArrow(score, "a long, b long, dot_micro2 long")
 
 
 PLANE_MOD = 1_000_000_007
@@ -608,31 +615,44 @@ def ivf_ann_topk(
     bc = emb.sparkSession.sparkContext.broadcast((c_ids, c_mat, set(qids)))
 
     def assign(batches):
+        import pyarrow as pa
+
         cids, cmat, qset = bc.value
-        for pdf in batches:
-            if pdf.empty:
+        qarr = np.fromiter(qset, dtype=np.int64) if qset else np.array([], np.int64)
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
                 continue
-            ids = pdf[id_col].to_numpy(np.int64)
-            v = _np_quantize(pdf[vec_col])
-            vl = list(v)
+            ids = _i64_arrow(batch.column(0))
+            v = _quantize_arrow(batch.column(1))
             s = _gemm53(v, cmat.T)  # (n, n_centroids) int64 — exact
             ranked = np.argsort(-s, axis=1, kind="stable")  # ties → lower cid
-            out = {
-                "vid": list(ids),
-                "ev": vl,
-                "cell": list(cids[ranked[:, 0]]),
-                "crn": [1] * len(ids),
-            }
-            is_q = np.array([i in qset for i in ids])
-            for j in np.nonzero(is_q)[0]:
-                for p in range(1, min(n_probe, ranked.shape[1])):
-                    out["vid"].append(ids[j])
-                    out["ev"].append(vl[j])
-                    out["cell"].append(cids[ranked[j, p]])
-                    out["crn"].append(p + 1)
-            yield pd.DataFrame(out)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids),
+                    _list_array(v),
+                    pa.array(cids[ranked[:, 0]]),
+                    pa.array(np.ones(n, dtype=np.int32)),
+                ],
+                names=["vid", "ev", "cell", "crn"],
+            )
+            # query rows additionally probe their 2nd..n_probe-th cells —
+            # a tiny row-count (|queries| · (n_probe-1)), emitted as its own
+            # batch so the corpus batch above stays a verbatim buffer reuse
+            idx = np.nonzero(np.isin(ids, qarr))[0]
+            reps = min(n_probe, ranked.shape[1]) - 1
+            if idx.size and reps > 0:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.repeat(ids[idx], reps)),
+                        _list_array(np.repeat(v[idx], reps, axis=0)),
+                        pa.array(cids[ranked[idx, 1 : 1 + reps]].reshape(-1)),
+                        pa.array(np.tile(np.arange(2, 2 + reps, dtype=np.int32), idx.size)),
+                    ],
+                    names=["vid", "ev", "cell", "crn"],
+                )
 
-    ranked = emb.select(id_col, vec_col).mapInPandas(
+    ranked = emb.select(id_col, vec_col).mapInArrow(
         assign, "vid long, ev array<long>, cell long, crn int"
     )
     if persist_index:
@@ -798,32 +818,35 @@ def int8_ann_topk(
     q8, q_amax = _np_int8(_np_quantize(pd.Series([r[vec_col] for r in q_rows])))
     bc = emb.sparkSession.sparkContext.broadcast((q_ids, q8, q_amax))
 
-    def score(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+    def score(batches):
+        import pyarrow as pa
+
         qids, qmat, qam = bc.value
-        for pdf in batches:
-            if pdf.empty:
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            e_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            e8, e_amax = _np_int8(_np_quantize(pdf[vec_col]))
+            e_ids = _i64_arrow(batch.column(0))
+            e8, e_amax = _np_int8(_quantize_arrow(batch.column(1)))
             sdot = _gemm53(e8, qmat.T)  # (n, n_q) int64 code dot — exact
             # rescale to micro^2; trunc-toward-zero to match SQL `//`
             num = sdot * e_amax[:, None] * qam[None, :]
             rec = np.sign(num) * (np.abs(num) // (127 * 127))
-            out = pd.DataFrame(
-                {
-                    "query_id": np.repeat(qids, len(e_ids)),
-                    "neighbor_id": np.tile(e_ids, len(qids)),
-                    "dot_rec_micro2": rec.T.reshape(-1),
-                }
+            qcol = np.repeat(qids, len(e_ids))
+            ncol = np.tile(e_ids, len(qids))
+            dcol = rec.T.reshape(-1)
+            mask = qcol != ncol
+            qcol, ncol, dcol = qcol[mask], ncol[mask], dcol[mask]
+            # local top-k per query (see brute_force_topk.score)
+            order = np.lexsort((ncol, -dcol, qcol))
+            qcol, ncol, dcol = qcol[order], ncol[order], dcol[order]
+            starts = np.flatnonzero(np.r_[True, qcol[1:] != qcol[:-1]])
+            rank = np.arange(len(qcol)) - np.repeat(starts, np.diff(np.r_[starts, len(qcol)]))
+            topk = rank < k
+            yield pa.record_batch(
+                {"query_id": qcol[topk], "neighbor_id": ncol[topk], "dot_rec_micro2": dcol[topk]}
             )
-            out = out[out.query_id != out.neighbor_id]
-            out = out.sort_values(
-                ["query_id", "dot_rec_micro2", "neighbor_id"],
-                ascending=[True, False, True],
-            )
-            yield out.groupby("query_id", sort=False).head(k)
 
-    scored = emb.select(id_col, vec_col).mapInPandas(
+    scored = emb.select(id_col, vec_col).mapInArrow(
         score, "query_id long, neighbor_id long, dot_rec_micro2 long"
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1076,27 +1099,35 @@ def kmeans_fit(
             """Per-batch assignment + LOCAL per-cluster sums — the map-side
             combine done in numpy, so the shuffle carries K·dims rows per
             Arrow batch instead of one row per (vector, dim)."""
+            import pyarrow as pa
+
             cids, cmat = bc.value
             cnorm = (cmat * cmat).sum(axis=1)  # |c|^2, int64-exact
-            for pdf in batches:
-                if pdf.empty:
+            for batch in batches:
+                n = batch.num_rows
+                if n == 0:
                     continue
-                v = np.array(pdf["ev"].tolist(), dtype=np.int64)
+                v = _quantize_arrow_prequantized(
+                    batch.column(batch.schema.get_field_index("ev")), n
+                )
+                dims = v.shape[1]
                 # argmin |x-c|^2 == argmin(|c|^2 - 2 x·c); ties -> first
                 # (lowest cid: cmat rows are cid-ascending)
                 best = (cnorm[None, :] - 2 * _gemm53(v, cmat.T)).argmin(axis=1)
-                out = {"cluster": [], "dim": [], "sum_q": [], "cnt": []}
-                for b in np.unique(best):
-                    sel = v[best == b]
-                    sums = sel.sum(axis=0)
-                    out["cluster"] += [int(cids[b])] * sel.shape[1]
-                    out["dim"] += list(range(sel.shape[1]))
-                    out["sum_q"] += [int(x) for x in sums]
-                    out["cnt"] += [sel.shape[0]] * sel.shape[1]
-                yield pd.DataFrame(out)
+                uniq = np.unique(best)
+                sums = np.stack([v[best == b].sum(axis=0) for b in uniq])
+                cnts = np.array([(best == b).sum() for b in uniq], dtype=np.int64)
+                yield pa.record_batch(
+                    {
+                        "cluster": np.repeat(cids[uniq], dims),
+                        "dim": np.tile(np.arange(dims, dtype=np.int32), uniq.size),
+                        "sum_q": sums.reshape(-1),
+                        "cnt": np.repeat(cnts, dims),
+                    }
+                )
 
         update = (
-            quant.mapInPandas(
+            quant.mapInArrow(
                 partial_sums, "cluster long, dim int, sum_q long, cnt long"
             )
             .groupBy("cluster", "dim")
