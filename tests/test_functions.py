@@ -1562,3 +1562,47 @@ def test_lsh_auto_shape_rule(spark):
         for r in lsh_ann_topk(emb, qids, k=5, n_probe=1, **shape).collect()
     }
     assert len(got & exact) / len(exact) >= 0.9
+
+
+def test_quantize_arrow_matches_pandas():
+    """The zero-copy Arrow quantizer must be bit-identical to the pandas
+    path on boundary values: exact .5-micro half-away-from-zero rounding,
+    negatives, zeros, and float32 storage widening."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from flockdb_spark.functions.similarity import _np_quantize, _quantize_arrow
+
+    rows = [
+        [0.0000005, -0.0000005, 0.0000015, -0.0000015],   # exact .5 micro
+        [1.0, -1.0, 0.0, 0.9999995],
+        [0.1234567, -0.7654321, 3.5e-7, -2.5e-7],
+    ]
+    for dtype in (pa.float32(), pa.float64()):
+        arr = pa.array(
+            [[np.float32(x) if dtype == pa.float32() else x for x in r] for r in rows],
+            type=pa.list_(dtype),
+        )
+        want = _np_quantize(pd.Series(arr.to_pylist()))
+        got = _quantize_arrow(arr)
+        assert got.dtype == np.int64
+        assert (got == want).all(), (got, want)
+    # chunked input and the empty edge
+    ch = pa.chunked_array([pa.array(rows[:1], pa.list_(pa.float64())),
+                           pa.array(rows[1:], pa.list_(pa.float64()))])
+    assert (_quantize_arrow(ch) == _np_quantize(pd.Series(rows))).all()
+    assert _quantize_arrow(pa.array([], pa.list_(pa.float64()))).size == 0
+
+
+def test_list_array_roundtrip():
+    """_list_array must emit each matrix row as one list element, preserving
+    int64 values exactly (it is re-emitted verbatim per LSH table)."""
+    import numpy as np
+    import pyarrow as pa  # noqa: F401
+
+    from flockdb_spark.functions.similarity import _list_array
+
+    mat = np.array([[1, -2, 3], [4, 5, -6]], dtype=np.int64)
+    la = _list_array(mat)
+    assert la.to_pylist() == [[1, -2, 3], [4, 5, -6]]
