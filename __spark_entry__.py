@@ -35,13 +35,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # three NEW entries (q24 batch selectEdges, q25 ordered-uuid W5, x98
 # semantic dedup) are ungated and sort first automatically; next come the
 # 23 entries whose last driver-green row is r3 (VERDICT r5 item 1 — the
-# FlockDB core q06–q21 plus the x01–x05/x16/x17 dedup family); then the 13
+# FlockDB core q06–q21 plus the x01–x05/x16/x17 dedup family); then the 19
 # entries whose CODE or ORACLE changed this round (ANN default-shape gates
-# x06/x18 + pinned-shape x35/x38/x52/x53, the x84 token-cache, the CSV/
-# roundtrip pair, the bigram-cache family x91/x93/x94/x95); the r4-green
-# set fills the remaining first-50 slots; the r5-green entries (freshest
-# driver rows) gate last.  All 123 are green in this round's local sf0.01
-# gate.
+# x06/x18 + pinned-shape x35/x38/x52/x53, the Arrow-native scorer family
+# x56/x64/x69/x77/x96, the x47 occurrence-cache rewrite, the x84
+# token-cache, the CSV/roundtrip pair, the bigram-cache family
+# x91/x93/x94/x95); the r4-green set fills the remaining first-50 slots;
+# the r5-green entries (freshest driver rows) gate last.  All 123 are
+# green in this round's local sf0.01 gate.
 _GATED_GREEN = [
     # last driver-green r3 (stalest — re-gate first)
     "q06_keyset_pages", "q07_by_destination", "q08_backward", "q09_where_in",
@@ -51,10 +52,14 @@ _GATED_GREEN = [
     "q20_reconcile", "q21_count_estimates", "x01_dedup_exact",
     "x02_ngram_jaccard", "x17_dedup_resolve", "x03_minhash_lsh", "x04_simhash",
     "x16_simhash_neardup", "x05_ann_topk",
-    # changed in r6 (code or oracle) — must re-gate
+    # changed in r6 (code or oracle) — must re-gate.  Second r6 session
+    # added the Arrow-native ANN scorers (x56/x64/x69/x77/x96 join the LSH
+    # family below) and the x47 occurrence-cache/decimal rewrite.
     "x06_lsh_ann", "x18_lsh_neardup", "x35_multiprobe_ann",
     "x38_embedding_dedup", "x52_lsh_ann_multitable",
-    "x53_lsh_neardup_multitable", "x84_heavy_hitters", "x87_jsonl_roundtrip",
+    "x53_lsh_neardup_multitable", "x56_int8_ann", "x64_label_centroids",
+    "x69_kmeans_fit", "x77_embedding_outliers", "x96_salted_join",
+    "x47_bigram_surprisal", "x84_heavy_hitters", "x87_jsonl_roundtrip",
     "x88_csv_roundtrip", "x91_kneser_ney", "x93_personalized_pagerank",
     "x94_kn_perplexity", "x95_collocations",
     # last driver-green r4
@@ -66,25 +71,25 @@ _GATED_GREEN = [
     "x27_triangles", "x28_train_split", "x29_stratified_sample",
     "x30_length_quantiles", "x32_repetition", "x34_decontaminate",
     "x50_pii_redaction", "x51_training_order", "x55_select_top_quality",
-    "x56_int8_ann", "x57_fuzzy_decontaminate", "x58_tfidf_top_terms",
+    "x57_fuzzy_decontaminate", "x58_tfidf_top_terms",
     "x59_inverted_index", "x60_normalize_text", "x61_pair_integrity",
-    "x62_oov_rate", "x63_corpus_diff", "x64_label_centroids",
+    "x62_oov_rate", "x63_corpus_diff",
     "x65_leakage_free_splits", "x66_stream_sessionization",
-    "x67_duplicated_spans", "x68_stream_event_rates", "x69_kmeans_fit",
+    "x67_duplicated_spans", "x68_stream_event_rates",
     # last driver-green r5 (freshest — gate last)
     "q01_point_lookup", "q02_contains", "q03_metadata", "q04_degree_counts",
     "q05_wildcard", "x31_event_features", "x33_seq_packing",
     "x36_json_rollup", "x37_boilerplate", "x39_funnel", "x40_mixture_upsample",
     "x41_bigram_vocab", "x42_khop", "x43_mutual_edges", "x44_components",
-    "x45_chunking", "x46_token_ids", "x47_bigram_surprisal",
+    "x45_chunking", "x46_token_ids",
     "x48_curation_dag", "x49_quality_canonical", "x54_temperature_sample",
     "x70_bpe_pair_counts", "x71_source_overlap", "x72_span_dedup_rewrite",
     "x73_incremental_dedup", "x74_stream_dedup_index", "x75_training_shards",
-    "x76_vocab_spectrum", "x77_embedding_outliers", "x78_lang_confusion",
+    "x76_vocab_spectrum", "x78_lang_confusion",
     "x79_k_core", "x80_count_min_sketch", "x81_stream_sketch",
     "x82_bloom_decontaminate", "x83_hll_registers", "x85_fixed_size_sample",
     "x86_stream_interval_join", "x89_zorder_key", "x90_token_budget",
-    "x92_last_touch", "x96_salted_join", "x97_negative_samples",
+    "x92_last_touch", "x97_negative_samples",
 ]
 
 
