@@ -31,7 +31,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver gates only the FIRST 50 registry entries each round, so we order
-# the registry by gate priority.  Rotated for r6 (registry now 123): the
+# the registry by gate priority.  Rotated for r6 (registry now 125): the
 # three NEW entries (q24 batch selectEdges, q25 ordered-uuid W5, x98
 # semantic dedup) are ungated and sort first automatically; next come the
 # 23 entries whose last driver-green row is r3 (VERDICT r5 item 1 — the
@@ -41,8 +41,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # x56/x64/x69/x77/x96, the x47 occurrence-cache rewrite, the x84
 # token-cache, the CSV/roundtrip pair, the bigram-cache family
 # x91/x93/x94/x95); the r4-green set fills the remaining first-50 slots;
-# the r5-green entries (freshest driver rows) gate last.  All 123 are
-# green in this round's local sf0.01 gate.
+# the r5-green entries (freshest driver rows) gate last.  All 125 are
+# green in this round's local sf0.01 gate (x99 bm25-topk retrieval and
+# x100 linear quality classifier joined ungated → they sort first).
 _GATED_GREEN = [
     # last driver-green r3 (stalest — re-gate first)
     "q06_keyset_pages", "q07_by_destination", "q08_backward", "q09_where_in",

@@ -232,3 +232,105 @@ j AS (
 )
 SELECT doc_id, change FROM j WHERE change IS NOT NULL
 """
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier — the model-based filter step
+# ---------------------------------------------------------------------------
+
+#: integer weights of the linear quality model.  In production these are the
+#: distilled coefficients of a trained classifier (a fasttext/logistic quality
+#: model reduced to cheap engineered features — the standard way to run a
+#: "model-based" filter over 100 TB without GPU inference); here they are
+#: fixed plausible values so the gate is deterministic.  The score is a pure
+#: int64 dot product — no division, no floats — so it is bit-identical across
+#: engines and reduction orders.
+QC_WEIGHTS = {
+    "bias": -1200,
+    "stop_pm": 4,      # per-mille stopword ratio: English prose scores up
+    "wlen_milli": -1,  # milli mean token length: penalize code/URL soup
+    "digit_pm": -6,    # per-mille digit chars: penalize tables/serials
+    "upper_pm": -3,    # per-mille uppercase chars: penalize shouting/headers
+    "cap_tokens": 2,   # token count capped at 400: reward substantial docs
+}
+QC_THRESHOLD = 0
+
+
+def quality_classifier(
+    docs: DataFrame, threshold: int = QC_THRESHOLD, text_col: str = "text"
+) -> DataFrame:
+    """Model-based quality filter: an integer linear classifier over cheap
+    engineered features, scored in one codegen projection — zero shuffles,
+    zero Python, the shape that applies a quality model to a 100 TB corpus
+    as part of the scan it was already doing.
+
+    Features (all exact int64, floor division on non-negative counts):
+    per-mille stopword ratio, milli mean token length, per-mille digit and
+    uppercase character ratios, and the token count capped at 400.
+    ``score = bias + w·f`` and ``keep = score >= threshold`` (kept as an
+    int column so the cross-engine hash compare sees identical dtypes).
+
+    Output: (doc_id, score, keep).
+    """
+    w = text.tokens(text_col)
+    W = QC_WEIGHTS
+    # staged projection: counts materialize once per row, then one integer
+    # expression folds them into the score (Catalyst fuses both projections
+    # into the scan stage — .explain shows a single WholeStageCodegen span)
+    staged = docs.select(
+        "doc_id",
+        F.greatest(F.size(w).cast("long"), F.lit(1)).alias("nt"),
+        F.greatest(F.length(text_col).cast("long"), F.lit(1)).alias("nc"),
+        F.size(F.filter(w, lambda x: x.isin(*text.STOPWORDS))).cast("long").alias("stop_cnt"),
+        (
+            F.length(text_col) - F.length(F.regexp_replace(F.col(text_col), "[0-9]", ""))
+        ).cast("long").alias("digit_cnt"),
+        (
+            F.length(text_col) - F.length(F.regexp_replace(F.col(text_col), "[A-Z]", ""))
+        ).cast("long").alias("upper_cnt"),
+    )
+    score = F.expr(
+        f"{W['bias']}L"
+        f" + {W['stop_pm']} * ((stop_cnt * 1000) div nt)"
+        f" + {W['wlen_milli']} * (((nc - nt + 1) * 1000) div nt)"
+        f" + {W['digit_pm']} * ((digit_cnt * 1000) div nc)"
+        f" + {W['upper_pm']} * ((upper_cnt * 1000) div nc)"
+        f" + {W['cap_tokens']} * least(nt, 400L)"
+    )
+    return staged.select(
+        "doc_id",
+        score.cast("long").alias("score"),
+        (score >= F.lit(threshold)).cast("long").alias("keep"),
+    )
+
+
+def quality_classifier_sql(threshold: int = QC_THRESHOLD) -> str:
+    """DuckDB twin of :func:`quality_classifier` over ``documents``."""
+    W = QC_WEIGHTS
+    feats = (
+        "SELECT doc_id,\n"
+        "       greatest(CAST(length(string_split(text, ' ')) AS BIGINT), 1) AS nt,\n"
+        "       greatest(CAST(length(text) AS BIGINT), 1) AS nc,\n"
+        "       CAST(length(list_filter(string_split(text, ' '),"
+        f" x -> x IN ({', '.join(repr(s) for s in text.STOPWORDS)}))) AS BIGINT) AS stop_cnt,\n"
+        "       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digit_cnt,\n"
+        "       CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS upper_cnt\n"
+        "FROM documents"
+    )
+    score = (
+        f"{W['bias']}"
+        f" + {W['stop_pm']} * ((stop_cnt * 1000) // nt)"
+        f" + {W['wlen_milli']} * (((nc - nt + 1) * 1000) // nt)"
+        f" + {W['digit_pm']} * ((digit_cnt * 1000) // nc)"
+        f" + {W['upper_pm']} * ((upper_cnt * 1000) // nc)"
+        f" + {W['cap_tokens']} * least(nt, 400)"
+    )
+    return f"""
+WITH feats AS (
+{feats}
+)
+SELECT doc_id,
+       CAST({score} AS BIGINT) AS score,
+       CAST(CASE WHEN ({score}) >= {threshold} THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM feats
+"""

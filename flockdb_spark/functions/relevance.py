@@ -114,6 +114,124 @@ GROUP BY doc_id
 """
 
 
+def bm25_topk(
+    docs: DataFrame,
+    n_queries: int = 5,
+    terms_per_query: int = 2,
+    k: int = 10,
+    min_len: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """Multi-query BM25 top-k retrieval — the serving-shaped dual of
+    :func:`bm25_scores`: N queries are answered in ONE corpus pass, each
+    returning its ``k`` best documents.  This is the query-targeted corpus
+    selection step of a training-data pipeline (retrieve the top documents
+    per probe query, then feed them to curation), and the batch analogue of
+    an online retrieval endpoint.
+
+    The query set is derived deterministically for the gate fixture: the
+    ``n_queries·terms_per_query`` highest-document-frequency terms (≥
+    ``min_len`` chars, ties by term), chunked in rank order into queries of
+    ``terms_per_query`` terms.  In production the query table is
+    user-supplied and tiny — exactly what the broadcast below assumes.
+
+    Scale shape (100 TB corpus): one tokenize+explode builds (doc, term,
+    tf) with map-side combine [the only corpus-sized shuffle]; the query
+    table is BROADCAST into it (no shuffle); per-(query, doc) partial sums
+    combine map-side; the final top-k is a ``row_number`` window keyed by
+    query_id — N tiny sorted partitions.  Scoring arithmetic is identical
+    to :func:`bm25_scores` (integer micro fixed-point, floor division) so
+    results are bit-identical across engines and reduction orders.
+
+    Output: (query_id, doc_id, score_micro, rnk) with rnk ≤ k.
+    """
+    from pyspark.sql import Window
+
+    terms = doc_terms(docs, text_col).cache()
+    n_docs, sum_dl = docs.select(
+        F.count(F.lit(1)), F.sum(F.size(tokens(text_col)))
+    ).first()
+    avgdl_milli = sum_dl * 1000 // n_docs
+    df_table = terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+
+    # fixture query derivation: global row_number over the (df DESC, term)
+    # ranking.  The single-partition window sorts only the ≥min_len slice of
+    # the VOCABULARY (not the corpus) and exists only to make the fixture
+    # self-contained — a real deployment passes its own (query_id, term) table.
+    qn = n_queries * terms_per_query
+    w0 = Window.orderBy(F.desc("df"), F.asc("term"))
+    qtab = (
+        df_table.where(F.length("term") >= min_len)
+        .withColumn("rn", F.row_number().over(w0))
+        .where(F.col("rn") <= qn)
+        .select(
+            "term",
+            "df",
+            F.expr(f"cast((rn - 1) div {terms_per_query} as long)").alias("query_id"),
+        )
+    )
+
+    scored = terms.join(F.broadcast(qtab), "term")
+    term_score = F.expr(  # identical arithmetic to bm25_scores — keep in sync
+        f"(((({n_docs} - df) * 1000000) div (df + 1) + 1) * tf * {K1_MILLI + 1000}) "
+        f"div (tf * 1000 + ({K1_MILLI} * ({1000 - B_MILLI} + ({B_MILLI} * dl * 1000) div {avgdl_milli})) div 1000)"
+    )
+    per_doc = (
+        scored.select("query_id", "doc_id", term_score.alias("ts"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("ts").cast("long").alias("score_micro"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    out = (
+        per_doc.withColumn("rnk", F.row_number().over(wq).cast("long"))
+        .where(F.col("rnk") <= k)
+    )
+    out._flockdb_caches = [terms]  # released by the caller post-materialization
+    return out
+
+
+def bm25_topk_sql(
+    n_queries: int = 5, terms_per_query: int = 2, k: int = 10, min_len: int = 4
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` over ``documents``."""
+    qn = n_queries * terms_per_query
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(length(string_split(text, ' ')) AS BIGINT) AS dl,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, dl, term),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 (CAST(sum(dl) AS BIGINT) * 1000) // CAST(count(*) AS BIGINT) AS avgdl_milli
+          FROM (SELECT doc_id, max(dl) AS dl FROM tf GROUP BY doc_id)),
+qrank AS (SELECT term, df,
+                 row_number() OVER (ORDER BY df DESC, term ASC) AS rn
+          FROM dfreq WHERE length(term) >= {min_len}),
+qtab AS (SELECT term, df, CAST((rn - 1) // {terms_per_query} AS BIGINT) AS query_id
+         FROM qrank WHERE rn <= {qn}),
+per AS (
+  SELECT q.query_id, tf.doc_id,
+         CAST(sum(
+           (((s.n - q.df) * 1000000) // (q.df + 1) + 1) * tf.tf * {K1_MILLI + 1000}
+           // (tf.tf * 1000 + ({K1_MILLI} * ({1000 - B_MILLI} + ({B_MILLI} * tf.dl * 1000) // s.avgdl_milli)) // 1000)
+         ) AS BIGINT) AS score_micro
+  FROM tf JOIN qtab q USING (term) CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score_micro,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rnk
+  FROM per
+)
+SELECT query_id, doc_id, score_micro, rnk FROM ranked WHERE rnk <= {k}
+"""
+
+
 def tfidf_top_terms(
     docs: DataFrame, k: int = 3, text_col: str = "text"
 ) -> DataFrame:

@@ -2561,3 +2561,32 @@ def x98(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semantic_dedup(
         _read(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.45
     )
+
+
+# ---------------------------------------------------------------------------
+# x99 — multi-query BM25 top-k retrieval: N probe queries answered in ONE
+# corpus pass (broadcast query-term table into the single tokenize+explode,
+# per-(query, doc) partial sums, row_number top-k per query) — the
+# query-targeted corpus-selection step / batch analogue of a retrieval
+# endpoint, and the serving-shaped dual of x25's corpus scorer
+# ---------------------------------------------------------------------------
+
+
+@query("x99_bm25_topk", relevance.bm25_topk_sql(n_queries=5, terms_per_query=2, k=10))
+def x99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relevance.bm25_topk(
+        _read(spark, sf_dir, "documents"), n_queries=5, terms_per_query=2, k=10
+    )
+
+
+# ---------------------------------------------------------------------------
+# x100 — model-based quality filter: an integer linear classifier (distilled
+# fasttext-style weights over engineered features) scored in one codegen
+# projection — zero shuffles, zero Python; the scan-fused shape that applies
+# a trained quality model to a 100 TB corpus
+# ---------------------------------------------------------------------------
+
+
+@query("x100_quality_classifier", curation.quality_classifier_sql())
+def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.quality_classifier(_read(spark, sf_dir, "documents"))

@@ -67,8 +67,10 @@ def test_embedding_scan_prunes_columns(spark):
     m = re.search(r"ReadSchema: ([^\n]*)", plan)
     assert m and "vec_id" in m.group(1) and "embedding" in m.group(1)
     # the parquet file carries no other columns we could mis-read, but the
-    # python-eval stage must be Arrow-batched, not row-at-a-time
-    assert "MapInPandas" in plan
+    # python-eval stage must be Arrow-batched, not row-at-a-time (the scorer
+    # moved from mapInPandas to the zero-copy mapInArrow in r6)
+    assert "MapInArrow" in plan or "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
 
 
 def test_wildcard_over_cache_stays_in_codegen(spark, store):
@@ -79,7 +81,7 @@ def test_wildcard_over_cache_stays_in_codegen(spark, store):
     # predicate reaches the cached scan itself (filter args on the
     # InMemoryTableScan), and no Python evaluation anywhere in the read path
     assert "InMemoryTableScan" in pre and "source_id" in pre.split("InMemoryTableScan")[1].split("\n")[0]
-    assert "BatchEvalPython" not in pre and "MapInPandas" not in pre
+    assert "BatchEvalPython" not in pre and "MapInPandas" not in pre and "MapInArrow" not in pre
     # AQE finalizes codegen spans only at execution — run, then check
     df.collect()
     post = df._jdf.queryExecution().executedPlan().toString()
