@@ -1606,3 +1606,26 @@ def test_list_array_roundtrip():
     mat = np.array([[1, -2, 3], [4, 5, -6]], dtype=np.int64)
     la = _list_array(mat)
     assert la.to_pylist() == [[1, -2, 3], [4, 5, -6]]
+
+
+def test_quantize_arrow_offset_sliced():
+    """A SLICED ListArray carries a nonzero offset — `.values` would read the
+    full underlying buffer and misalign every row; `flatten()` must respect
+    the slice (the classic zero-copy trap pinned here so a refactor to
+    `.values` fails loudly)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from flockdb_spark.functions.similarity import (
+        _quantize_arrow,
+        _quantize_arrow_prequantized,
+    )
+
+    rows = [[0.1, 0.2], [0.3, 0.4], [0.5, 0.6], [0.7, 0.8]]
+    arr = pa.array(rows, pa.list_(pa.float64())).slice(1, 2)
+    got = _quantize_arrow(arr)
+    assert got.shape == (2, 2)
+    assert (got == np.array([[300000, 400000], [500000, 600000]])).all()
+
+    q = pa.array([[1, 2], [3, 4], [5, 6]], pa.list_(pa.int64())).slice(2, 1)
+    assert (_quantize_arrow_prequantized(q, 1) == np.array([[5, 6]])).all()
