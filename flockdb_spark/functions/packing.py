@@ -36,11 +36,16 @@ def pack_sequences(
     Documents straddle sequence boundaries exactly as in concat-then-chunk
     pretraining; downstream writers slice on ``seq_id``/``seq_offset``.
     """
+    # the tokenized projection feeds BOTH the shard-totals aggregate and the
+    # per-shard window — cache it so the corpus is read and tokenized ONCE.
+    # The cached frame is 3 int64s per document (no text), so at 100 TB it is
+    # ~24 bytes/doc — memory-trivial next to the corpus it replaces; the
+    # handle rides on the result as _flockdb_caches (dedup.py convention).
     d = df.select(
         F.col(id_col).alias("doc_id"),
         token_count(text_col).cast("long").alias("n_tokens"),
         F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
-    )
+    ).cache()
     totals = d.groupBy("shard").agg(F.sum("n_tokens").alias("shard_tokens"))
     # n_shards rows: the single-partition window here is over a tiny dim table
     w_base = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
@@ -53,7 +58,7 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col("base")
-    return (
+    out = (
         d.join(F.broadcast(base), "shard")
         .withColumn("cum_before", cum)
         .select(
@@ -64,6 +69,8 @@ def pack_sequences(
             (F.col("cum_before") % budget).alias("seq_offset"),
         )
     )
+    out._flockdb_caches = [d]  # released by the caller post-materialization
+    return out
 
 
 def ordered_prefix_sum(

@@ -1121,8 +1121,8 @@ def hll_estimate(registers: dict[int, int], p: int = HLL_P) -> float:
 def heavy_hitters(
     docs: DataFrame,
     per_mille: int = 10,
-    depth: int = 4,
-    width: int = 256,
+    depth: int = 2,
+    width: int = 512,
     text_col: str = "text",
 ) -> DataFrame:
     """Exact frequent terms (count ≥ per_mille‰ of total tokens) found via
@@ -1150,6 +1150,13 @@ def heavy_hitters(
     ``_flockdb_caches`` (the dedup.py convention) so callers release it
     after materialization; at 100 TB use a disk-backed storage level or
     accept the second scan.
+
+    Default sketch shape is depth=2 × width=512 (not the textbook 4×256):
+    the sketch pass fans every token out ``depth``× into the cell
+    aggregation, so halving depth halves the dominant explode while the
+    same total cell count keeps the per-row error bound at e/width — and
+    any extra false positives only cost rows in the exact recount, never
+    correctness (CMS overestimates only).
 
     Output: (word, cnt) with cnt ≥ threshold.
     """
