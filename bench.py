@@ -97,11 +97,13 @@ BENCH_QUERIES = [
 INDEX_PERSISTED = {"x15_ivf_ann", "x18_lsh_neardup", "x35_multiprobe_ann"}
 
 #: queries whose DataFrame CONSTRUCTION performs eager corpus work (x84
-#: collects the count-min sketch to inline it as probe literals).  The
-#: prepared-statement reuse above would leave that work outside the timed
-#: section while the DuckDB baseline pays everything in-pass — so these
-#: rebuild their DataFrame INSIDE every timed pass.
-CONSTRUCT_IN_PASS = {"x84_heavy_hitters"}
+#: collects the count-min sketch to inline it as probe literals; the BM25
+#: pair x25/x99 runs a corpus-sized tokenize to collect n_docs/avgdl as
+#: plan literals).  The prepared-statement reuse above would leave that
+#: work outside the timed section while the DuckDB baseline pays
+#: everything in-pass — so these rebuild their DataFrame INSIDE every
+#: timed pass.
+CONSTRUCT_IN_PASS = {"x84_heavy_hitters", "x25_bm25", "x99_bm25_topk"}
 
 
 def shuffle_partitions_for(sf_dir: str) -> int:

@@ -49,6 +49,22 @@ def top_df_terms(term_table: DataFrame, n: int = 5, min_len: int = 4) -> DataFra
     )
 
 
+def _corpus_stats(terms: DataFrame) -> tuple[int, int]:
+    """(n_docs, sum_dl) derived from the cached (doc, term, tf) table — NOT
+    a second tokenize of the corpus.  Every document appears in the table
+    (``split`` always yields ≥1 token, so dl ≥ 1), making this exactly the
+    oracle's stats CTE; the aggregation runs over the cached projection the
+    scorer needs anyway, so collecting the two scalars costs one small agg
+    instead of a full corpus scan."""
+    row = (
+        terms.groupBy("doc_id")
+        .agg(F.max("dl").alias("dl"))
+        .agg(F.count(F.lit(1)), F.sum("dl"))
+        .first()
+    )
+    return int(row[0]), int(row[1])
+
+
 def bm25_scores(
     docs: DataFrame, query_terms: DataFrame | None = None, text_col: str = "text"
 ) -> DataFrame:
@@ -67,9 +83,7 @@ def bm25_scores(
     if query_terms is None:
         query_terms = top_df_terms(terms)
 
-    n_docs, sum_dl = docs.select(
-        F.count(F.lit(1)), F.sum(F.size(tokens(text_col)))
-    ).first()
+    n_docs, sum_dl = _corpus_stats(terms)
     avgdl_milli = sum_dl * 1000 // n_docs
 
     df_table = terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
@@ -148,9 +162,7 @@ def bm25_topk(
     from pyspark.sql import Window
 
     terms = doc_terms(docs, text_col).cache()
-    n_docs, sum_dl = docs.select(
-        F.count(F.lit(1)), F.sum(F.size(tokens(text_col)))
-    ).first()
+    n_docs, sum_dl = _corpus_stats(terms)
     avgdl_milli = sum_dl * 1000 // n_docs
     df_table = terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
 
