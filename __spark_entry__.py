@@ -63,12 +63,16 @@ _GATED_GREEN = [
     "x47_bigram_surprisal", "x84_heavy_hitters", "x87_jsonl_roundtrip",
     "x88_csv_roundtrip", "x91_kneser_ney", "x93_personalized_pagerank",
     "x94_kn_perplexity", "x95_collocations",
+    # changed in the third r6 session: BM25 stats-from-cache (x25 shares
+    # the arithmetic x99 pins), pack_sequences cache, x84's 2x512 shape
+    # (already above)
+    "x25_bm25", "x33_seq_packing",
     # last driver-green r4
     "q22_select_all", "q23_select2_batch", "x15_ivf_ann",
     "x07_embedding_neardup", "x19_pipeline", "x08_quality", "x09_token_count",
     "x10_lang_id", "x11_fingerprint", "x12_multimodal", "x20_sessionization",
     "x21_asof_join", "x22_range_join", "x23_rollup", "x24_event_rollup",
-    "x13_degree_dist", "x14_pagerank", "x25_bm25", "x26_topk_per_group",
+    "x13_degree_dist", "x14_pagerank", "x26_topk_per_group",
     "x27_triangles", "x28_train_split", "x29_stratified_sample",
     "x30_length_quantiles", "x32_repetition", "x34_decontaminate",
     "x50_pii_redaction", "x51_training_order", "x55_select_top_quality",
@@ -79,7 +83,7 @@ _GATED_GREEN = [
     "x67_duplicated_spans", "x68_stream_event_rates",
     # last driver-green r5 (freshest — gate last)
     "q01_point_lookup", "q02_contains", "q03_metadata", "q04_degree_counts",
-    "q05_wildcard", "x31_event_features", "x33_seq_packing",
+    "q05_wildcard", "x31_event_features",
     "x36_json_rollup", "x37_boilerplate", "x39_funnel", "x40_mixture_upsample",
     "x41_bigram_vocab", "x42_khop", "x43_mutual_edges", "x44_components",
     "x45_chunking", "x46_token_ids",
