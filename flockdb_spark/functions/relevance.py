@@ -367,3 +367,254 @@ dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
 SELECT d.term, d.df, p.postings
 FROM dfreq d JOIN posting p USING (term)
 """
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    k_dense: int = 20,
+    k_lex: int = 20,
+    rrf_k: int = 60,
+    text_col: str = "text",
+) -> DataFrame:
+    """Hybrid retrieval: fuse a DENSE ranking (embedding cosine top-k) with a
+    LEXICAL ranking (IDF-weighted term-overlap top-k) by reciprocal-rank
+    fusion — the standard two-tower retrieval recipe (Cormack et al. 2009:
+    RRF(d) = Σ_lists 1/(κ + rank_list(d))), here in exact integer micro
+    units: ``rrf_micro = Σ 1_000_000 div (rrf_k + rank)`` over the lists that
+    ranked the document, so fusion is bit-identical across engines.
+
+    Each query id must exist in BOTH tables (``documents.doc_id`` for the
+    lexical leg, ``embeddings.vec_id`` for the dense leg — the driver fixture
+    aligns the two id spaces; x61 audits that alignment).  The query document
+    itself is excluded from both legs.
+
+    Scale shape (100 TB corpus):
+      dense leg   — :func:`~flockdb_spark.functions.similarity.brute_force_topk`
+                    (broadcast query matrix, per-partition Arrow GEMM, local
+                    top-k, one ≤k·|Q|-per-partition shuffle).  Any ANN twin
+                    with the same (query_id, neighbor_id, rank) contract
+                    (lsh_ann_topk / ivf_ann_topk) slots in for sub-linear
+                    candidate generation at corpus scale.
+      lexical leg — ONE tokenize+explode shuffle builds (doc, term) [shared
+                    via cache with the df table]; query terms are BROADCAST
+                    into it; per-(query, doc) IDF sums combine map-side.
+      fusion      — a full-outer join of two ≤(k_dense+k_lex)·|Q|-row frames:
+                    driver-trivial at any corpus size.
+
+    Output: (query_id, doc_id, rrf_micro, rank) with rank ≤ k, ranked by
+    (rrf_micro DESC, doc_id ASC).
+    """
+    from pyspark.sql import Window
+
+    from .similarity import brute_force_topk
+
+    qids = [int(i) for i in query_ids]
+    dense = brute_force_topk(emb, qids, k=k_dense).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("long").alias("dense_rank"),
+    )
+
+    # lexical leg: distinct (doc, term) from the shared tf table; score a
+    # candidate by the summed idf of its terms that the query doc also has
+    terms = doc_terms(docs, text_col).cache()
+    n_docs, _ = _corpus_stats(terms)
+    df_table = terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    qterms = (
+        terms.where(F.col("doc_id").isin(qids))
+        .select(F.col("doc_id").alias("query_id"), "term")
+        .join(df_table, "term")
+    )
+    lex_scored = (
+        terms.join(F.broadcast(qterms), "term")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.expr(f"((({n_docs} - df) * 1000000) div (df + 1)) + 1")
+            ).cast("long").alias("lex_score")
+        )
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.desc("lex_score"), F.asc("doc_id"))
+    lex = (
+        lex_scored.withColumn("lex_rank", F.row_number().over(wl).cast("long"))
+        .where(F.col("lex_rank") <= k_lex)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+
+    fused = dense.join(lex, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.expr(
+            f"coalesce(1000000 div ({rrf_k} + dense_rank), 0)"
+            f" + coalesce(1000000 div ({rrf_k} + lex_rank), 0)"
+        ).cast("long").alias("rrf_micro"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+    out = (
+        fused.withColumn("rank", F.row_number().over(wf).cast("long"))
+        .where(F.col("rank") <= k)
+    )
+    out._flockdb_caches = [terms]  # released by the caller post-materialization
+    return out
+
+
+def hybrid_rrf_sql(
+    query_ids: list[int],
+    k: int = 10,
+    k_dense: int = 20,
+    k_lex: int = 20,
+    rrf_k: int = 60,
+) -> str:
+    """DuckDB twin of :func:`hybrid_rrf_topk` over ``documents``/``embeddings``."""
+    ids = ", ".join(str(int(i)) for i in query_ids)
+    quant = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000))"
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, {quant} AS qv FROM embeddings
+  WHERE vec_id IN ({ids})
+),
+c AS (SELECT vec_id AS doc_id, {quant} AS ev FROM embeddings),
+dense AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY CAST(list_dot_product(qv, ev) AS BIGINT) DESC, doc_id ASC
+         ) AS BIGINT) AS dense_rank
+  FROM q, c WHERE doc_id <> query_id
+  QUALIFY dense_rank <= {k_dense}
+),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term FROM tok GROUP BY doc_id, term),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+qterms AS (
+  SELECT tf.doc_id AS query_id, tf.term, d.df
+  FROM tf JOIN dfreq d USING (term) WHERE tf.doc_id IN ({ids})
+),
+lexs AS (
+  SELECT q.query_id, t.doc_id,
+         CAST(sum((((n.n_docs - q.df) * 1000000) // (q.df + 1)) + 1) AS BIGINT)
+           AS lex_score
+  FROM tf t JOIN qterms q USING (term) CROSS JOIN n
+  WHERE t.doc_id <> q.query_id
+  GROUP BY q.query_id, t.doc_id
+),
+lex AS (
+  SELECT query_id, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY lex_score DESC, doc_id ASC
+         ) AS BIGINT) AS lex_rank
+  FROM lexs QUALIFY lex_rank <= {k_lex}
+),
+fused AS (
+  SELECT coalesce(d.query_id, l.query_id) AS query_id,
+         coalesce(d.doc_id, l.doc_id) AS doc_id,
+         CAST(coalesce(1000000 // ({rrf_k} + d.dense_rank), 0)
+            + coalesce(1000000 // ({rrf_k} + l.lex_rank), 0) AS BIGINT) AS rrf_micro
+  FROM dense d FULL OUTER JOIN lex l
+    ON d.query_id = l.query_id AND d.doc_id = l.doc_id
+)
+SELECT query_id, doc_id, rrf_micro,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id ASC
+       ) AS BIGINT) AS rank
+FROM fused QUALIFY rank <= {k}
+"""
+
+
+def top_bigram(docs: DataFrame, text_col: str = "text") -> tuple[str, str]:
+    """The corpus's most frequent adjacent word pair (ties: w1, w2 ascending)
+    — the deterministic phrase fixture for :func:`phrase_match` gates.  One
+    explode + one combine-heavy aggregate; the collect pulls a single row
+    (a parameter, not data)."""
+    t = F.col("_t")
+    pairs = (
+        docs.select(F.split(F.col(text_col), " ").alias("_t"))
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(_t, 1, size(_t) - 1), slice(_t, 2, size(_t) - 1),"
+                    " (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
+        .limit(1)
+        .first()
+    )
+    return str(pairs["w1"]), str(pairs["w2"])
+
+
+def phrase_match(
+    docs: DataFrame, phrase: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Exact-phrase search: documents containing the ``m`` words of
+    ``phrase`` CONSECUTIVELY, with the number of (possibly overlapping)
+    occurrences — the positional-index query a retrieval pipeline runs for
+    quoted phrases, here as a scan-fused predicate instead of a positional
+    posting join.
+
+    Scale shape (100 TB): the whole operator is ONE codegen projection over
+    the corpus scan — per document, scan the token array once with a
+    higher-order ``filter`` over candidate start positions (no explode, no
+    shuffle, no Python).  The only exchange is whatever the caller does with
+    the (doc_id, n_matches) result.  A positional inverted index (x59's
+    sibling) would beat this for low-selectivity phrases over an INDEXED
+    corpus; for the one-shot curation pass this is the optimal single-scan
+    plan.
+
+    Output: (doc_id, n_matches) with n_matches ≥ 1.
+    """
+    m = len(phrase)
+    if m < 1:
+        raise ValueError("phrase must have at least one word")
+    t = F.col("_t")
+    sel = docs.select("doc_id", F.split(F.col(text_col), " ").alias("_t"))
+    # candidate starts 1..size-m+1, guarded: sequence(1, 0) would generate a
+    # DESCENDING range, so short docs take the explicit empty-array branch
+    starts = F.expr(
+        f"CASE WHEN size(_t) >= {m} THEN sequence(1, size(_t) - {m - 1}) "
+        f"ELSE CAST(array() AS array<int>) END"
+    )
+
+    def pred(i):
+        c = F.element_at(t, i.cast("int")) == F.lit(phrase[0])
+        for j in range(1, m):
+            c = c & (F.element_at(t, (i + F.lit(j)).cast("int")) == F.lit(phrase[j]))
+        return c
+
+    n_matches = F.size(F.filter(starts, pred)).cast("long")
+    return (
+        sel.select("doc_id", n_matches.alias("n_matches"))
+        .where(F.col("n_matches") >= 1)
+    )
+
+
+def phrase_match_sql() -> str:
+    """DuckDB twin of the x102 gate: derive the top corpus bigram, then count
+    its per-document occurrences via the pair stream (join form — same counts
+    as the scan form for m=2, overlapping matches included)."""
+    return """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+flat AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS p
+  FROM tok
+),
+pairs AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM flat),
+top AS (
+  SELECT w1, w2 FROM pairs GROUP BY w1, w2
+  ORDER BY count(*) DESC, w1 ASC, w2 ASC LIMIT 1
+)
+SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM pairs p JOIN top USING (w1, w2)
+GROUP BY p.doc_id
+"""

@@ -2590,3 +2590,45 @@ def x99(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("x100_quality_classifier", curation.quality_classifier_sql())
 def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.quality_classifier(_read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# x101 — hybrid retrieval with reciprocal-rank fusion: the dense leg (exact
+# cosine top-k over embeddings, Arrow GEMM) and the lexical leg (IDF-weighted
+# term-overlap top-k over documents, one broadcast-joined corpus pass) are
+# fused per query by integer RRF (Σ 1e6 div (60 + rank)) — the standard
+# two-tower retrieval recipe, composed entirely from gated primitives (x05's
+# scorer, x58's idf table).  The oracle replays both legs and the fusion.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x101_hybrid_rrf",
+    relevance.hybrid_rrf_sql(ANN_QUERY_IDS, k=10, k_dense=20, k_lex=20),
+)
+def x101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relevance.hybrid_rrf_topk(
+        _read(spark, sf_dir, "documents"),
+        _read(spark, sf_dir, "embeddings"),
+        ANN_QUERY_IDS,
+        k=10,
+        k_dense=20,
+        k_lex=20,
+    )
+
+
+# ---------------------------------------------------------------------------
+# x102 — exact-phrase search: the gate derives the corpus's top bigram as the
+# phrase fixture (count DESC, pair ASC — one explode+agg, a 1-row parameter
+# pull), then runs the PRODUCTION path: a scan-fused higher-order-filter
+# count of consecutive-token matches per document — zero shuffles, zero
+# Python, overlapping occurrences included.  The oracle derives the same
+# phrase and counts via the pair stream (identical counts for m=2).
+# ---------------------------------------------------------------------------
+
+
+@query("x102_phrase_match", relevance.phrase_match_sql())
+def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    w1, w2 = relevance.top_bigram(docs)
+    return relevance.phrase_match(docs, [w1, w2])

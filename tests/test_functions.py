@@ -1629,3 +1629,84 @@ def test_quantize_arrow_offset_sliced():
 
     q = pa.array([[1, 2], [3, 4], [5, 6]], pa.list_(pa.int64())).slice(2, 1)
     assert (_quantize_arrow_prequantized(q, 1) == np.array([[5, 6]])).all()
+
+
+def test_phrase_match_counts_and_boundaries(spark):
+    from flockdb_spark.functions import relevance
+
+    rows = [
+        (0, "a a a a"),            # overlapping "a a": 3 matches
+        (1, "a b a b a"),          # "a b" twice, starts at 1 and 3
+        (2, "b a"),                # no "a b"
+        (3, "a"),                  # shorter than the phrase
+        (4, "x a b"),              # phrase at the very end
+        (5, "a b x"),              # phrase at the very start
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    aa = {r["doc_id"]: r["n_matches"] for r in relevance.phrase_match(docs, ["a", "a"]).collect()}
+    assert aa == {0: 3}
+
+    ab = {r["doc_id"]: r["n_matches"] for r in relevance.phrase_match(docs, ["a", "b"]).collect()}
+    assert ab == {1: 2, 4: 1, 5: 1}
+
+    # m=3 and a doc exactly phrase-sized
+    tri = {r["doc_id"]: r["n_matches"] for r in relevance.phrase_match(docs, ["a", "b", "a"]).collect()}
+    assert tri == {1: 2}  # overlapping at starts 1 and 3
+
+
+def test_top_bigram_deterministic_tiebreak(spark):
+    from flockdb_spark.functions import relevance
+
+    docs = spark.createDataFrame(
+        [(0, "p q"), (1, "a b"), (2, "p q"), (3, "a b")],
+        "doc_id long, text string",
+    )
+    # counts tie at 2 — (a, b) wins on pair-ascending tie-break
+    assert relevance.top_bigram(docs) == ("a", "b")
+
+
+def test_hybrid_rrf_fuses_both_legs(spark):
+    from flockdb_spark.functions import relevance
+
+    # doc 1 is the LEXICAL twin of query 0 (same rare words, orthogonal
+    # embedding); doc 2 is the DENSE twin (near-identical embedding, no
+    # shared words); doc 3 is weak on both.
+    docs = spark.createDataFrame(
+        [
+            (0, "zebra quark flux"),
+            (1, "zebra quark flux"),
+            (2, "apple banana cherry"),
+            (3, "dog zebra dog"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [0.999, 0.04]),
+            (3, [0.6, 0.8]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = relevance.hybrid_rrf_topk(docs, emb, [0], k=4, k_dense=3, k_lex=3)
+    rows = {r["doc_id"]: (r["rrf_micro"], r["rank"]) for r in out.collect()}
+    for c in getattr(out, "_flockdb_caches", []):
+        c.unpersist()
+
+    # dense ranking for query 0: 2 (dot .999) > 3 (.6) > 1 (0)
+    # lexical ranking: 1 (3 shared terms) > 3 (shares "zebra") ; 2 absent
+    d = {2: 1, 3: 2, 1: 3}
+    l = {1: 1, 3: 2}
+    expect = {
+        doc: (1_000_000 // (60 + d[doc]) if doc in d else 0)
+        + (1_000_000 // (60 + l[doc]) if doc in l else 0)
+        for doc in (1, 2, 3)
+    }
+    assert {k: v[0] for k, v in rows.items()} == expect
+    # docs 1 and 3 appear in BOTH legs and outrank doc 2, which tops the
+    # dense list but is absent from the lexical one — the fusion effect
+    assert [doc for doc, _ in sorted(rows.items(), key=lambda kv: kv[1][1])] == [1, 3, 2]
+    # the query doc itself is excluded
+    assert 0 not in rows
