@@ -85,6 +85,15 @@ BENCH_QUERIES = [
     "x98_semantic_dedup",
     "x99_bm25_topk",
     "x100_quality_classifier",
+    # r6 fourth-session additions: hybrid RRF retrieval (dense GEMM leg +
+    # lexical IDF-overlap leg + fusion), the scan-fused exact-phrase search,
+    # and the FORCED-sketch heavy-hitters twin (x84 is now cost-based and
+    # picks the single-pass exact plan at bench scale; x103 keeps the
+    # 100 TB sketch shape measured — its DuckDB twin is the exact plan, so
+    # that line quantifies the strategy's small-scale overhead on purpose)
+    "x101_hybrid_rrf",
+    "x102_phrase_match",
+    "x103_heavy_hitters_sketch",
 ]
 
 #: queries whose plan .cache()es a corpus-side index (persist_index=True):
@@ -103,7 +112,17 @@ INDEX_PERSISTED = {"x15_ivf_ann", "x18_lsh_neardup", "x35_multiprobe_ann"}
 #: work outside the timed section while the DuckDB baseline pays
 #: everything in-pass — so these rebuild their DataFrame INSIDE every
 #: timed pass.
-CONSTRUCT_IN_PASS = {"x84_heavy_hitters", "x25_bm25", "x99_bm25_topk"}
+CONSTRUCT_IN_PASS = {
+    "x84_heavy_hitters",
+    "x103_heavy_hitters_sketch",
+    "x25_bm25",
+    "x99_bm25_topk",
+    # x101 pulls corpus stats off its cached term table and x102 derives its
+    # phrase fixture (top-bigram agg + 1-row pull) — eager corpus-sized plan
+    # construction for the same reason
+    "x101_hybrid_rrf",
+    "x102_phrase_match",
+}
 
 
 def shuffle_partitions_for(sf_dir: str) -> int:

@@ -1124,10 +1124,31 @@ def heavy_hitters(
     depth: int = 2,
     width: int = 512,
     text_col: str = "text",
+    strategy: str = "auto",
+    sketch_min_bytes: int = 8 << 30,
 ) -> DataFrame:
-    """Exact frequent terms (count ≥ per_mille‰ of total tokens) found via
-    the classic two-pass sketch-pruned plan — the shape that finds heavy
-    hitters over a 100 TB token stream WITHOUT ever shuffling the full
+    """Exact frequent terms (count ≥ per_mille‰ of total tokens).
+
+    Two physical strategies with identical results, selected cost-based:
+
+    - ``"exact"`` — single pass: one vocabulary-keyed groupBy with map-side
+      combine; the threshold total re-aggregates the cached (word, cnt)
+      table, so the corpus is scanned ONCE.  Optimal while the vocabulary
+      hash-aggregate fits executor memory — i.e. at any single-node scale,
+      which is why this is what DuckDB always plans.
+    - ``"sketch"`` — the two-pass sketch-pruned plan described below: the
+      shape that survives a 100 TB token stream, where the vocabulary-sized
+      shuffle (not the scan) is the bottleneck.
+    - ``"auto"`` (default) — pick by the optimizer's estimated input size
+      (``optimizedPlan().stats().sizeInBytes`` — free, no job): below
+      ``sketch_min_bytes`` (8 GiB) the vocabulary aggregate is comfortably
+      in-memory and the extra sketch passes are pure overhead; at or above
+      it (or when the estimate is unavailable, which Spark reports as
+      Long.Max) the constant-shuffle sketch plan wins.  This is the same
+      runtime strategy choice AQE makes for joins, applied to an
+      aggregation rewrite.
+
+    The sketch strategy finds heavy hitters WITHOUT ever shuffling the full
     vocabulary:
 
     1. one scan builds a count-min sketch straight from the token stream
@@ -1160,6 +1181,29 @@ def heavy_hitters(
 
     Output: (word, cnt) with cnt ≥ threshold.
     """
+    if strategy == "auto":
+        try:
+            est = int(
+                docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:  # non-JVM-backed plan: be scale-conservative
+            est = 1 << 62
+        strategy = "sketch" if est >= sketch_min_bytes else "exact"
+    if strategy == "exact":
+        counts = (
+            docs.select(F.explode(tokens(text_col)).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .cache()
+        )
+        total = int(counts.agg(F.sum("cnt")).first()[0])
+        thr = max(total * per_mille // 1000, 1)
+        out = counts.where(F.col("cnt") >= thr)
+        out._flockdb_caches = [counts]
+        return out
+    if strategy != "sketch":
+        raise ValueError(f"unknown strategy {strategy!r}")
+
     toks = docs.select(F.explode(tokens(text_col)).alias("word")).cache()
 
     fp = portable_hash("word")

@@ -2297,16 +2297,36 @@ def x83(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# x84 — heavy hitters: exact frequent terms (≥1% of total tokens) via the
-# two-pass CMS-pruned plan — the sketch prunes (one-sided error), the exact
-# recount confirms, so the result EQUALS the plain HAVING-count oracle while
-# the vocabulary-sized aggregation only ever sees candidate tokens
+# x84 — heavy hitters: exact frequent terms (≥1% of total tokens), COST-BASED
+# strategy (the default a user gets): below the 8 GiB input estimate the
+# planner picks the single-pass exact groupBy (what DuckDB always plans —
+# the sketch passes are pure overhead when the vocabulary aggregate fits
+# memory); above it, the two-pass CMS-pruned plan.  x103 pins the sketch
+# strategy explicitly so the 100 TB shape keeps its own oracle gate.
 # ---------------------------------------------------------------------------
 
 
 @query("x84_heavy_hitters", text.heavy_hitters_sql(per_mille=10))
 def x84(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.heavy_hitters(_read(spark, sf_dir, "documents"), per_mille=10)
+
+
+# ---------------------------------------------------------------------------
+# x103 — heavy hitters, sketch strategy FORCED: the two-pass CMS-pruned plan
+# (sketch prunes with one-sided error, exact recount confirms — result EQUALS
+# the plain HAVING-count oracle while the vocabulary-sized aggregation only
+# ever sees candidate tokens).  Gated separately from x84 so the scale shape
+# stays value-checked at every round even though auto never picks it at
+# sf0.01; its DuckDB twin is the exact plan, so the bench line measures the
+# strategy's small-scale overhead ON PURPOSE.
+# ---------------------------------------------------------------------------
+
+
+@query("x103_heavy_hitters_sketch", text.heavy_hitters_sql(per_mille=10))
+def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.heavy_hitters(
+        _read(spark, sf_dir, "documents"), per_mille=10, strategy="sketch"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1308,9 +1308,23 @@ def test_heavy_hitters_exact_equivalence(spark):
         (i, f"tail{i} filler{i}") for i in range(1, 6)
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
-    # total=100 tokens, per_mille=200 -> thr=20: hot + warm only
-    out = {r["word"]: r["cnt"] for r in text.heavy_hitters(df, per_mille=200).collect()}
-    assert out == {"hot": 60, "warm": 30}
+    # total=100 tokens, per_mille=200 -> thr=20: hot + warm only — and the
+    # two physical strategies (plus auto's cost-based pick) must agree
+    for strategy in ("exact", "sketch", "auto"):
+        out = {
+            r["word"]: r["cnt"]
+            for r in text.heavy_hitters(df, per_mille=200, strategy=strategy).collect()
+        }
+        assert out == {"hot": 60, "warm": 30}, strategy
+    # the auto rule itself, observed via the cache handle each branch leaves
+    # behind: exact caches the (word, cnt) table, sketch caches the bare
+    # token stream.  A tiny PARQUET scan (known stats) -> exact; an
+    # RDD-backed frame (stats unknown = Long.Max) and sketch_min_bytes=0
+    # both -> sketch, the scale-conservative branch.
+    pq = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert text.heavy_hitters(pq)._flockdb_caches[0].columns == ["word", "cnt"]
+    assert text.heavy_hitters(df, per_mille=200)._flockdb_caches[0].columns == ["word"]
+    assert text.heavy_hitters(pq, sketch_min_bytes=0)._flockdb_caches[0].columns == ["word"]
 
 
 def test_cms_estimate_never_underestimates(spark):
