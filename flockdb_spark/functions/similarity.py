@@ -94,6 +94,9 @@ def _list_array(mat) -> "pa.ListArray":  # noqa: F821
     import pyarrow as pa
 
     n, d = mat.shape
+    if d == 0:
+        offsets = pa.array(np.zeros(n + 1, dtype=np.int32))
+        return pa.ListArray.from_arrays(offsets, pa.array(np.array([], dtype=np.int64)))
     offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
     return pa.ListArray.from_arrays(offsets, pa.array(mat.reshape(-1)))
 
@@ -374,6 +377,7 @@ def _np_sign(
     n_tables: int,
     out_id: str,
     out_vec: str,
+    carry_packed_buckets: bool = False,
 ) -> DataFrame:
     """(out_id, out_vec quantized, tbl, bucket) for every (row, table) — the
     Arrow/numpy twin of signing via ``hyperplane_signature`` column
@@ -387,9 +391,22 @@ def _np_sign(
     GEMM operand, and the quantized output ListArray is built ONCE from
     the flat int64 buffer and re-emitted verbatim for all ``n_tables``
     batches — the pandas path paid a per-row PyObject round-trip on both
-    sides, which dominated wall time at corpus scale."""
+    sides, which dominated wall time at corpus scale.
+
+    ``carry_packed_buckets`` (requires ``planes · n_tables ≤ 64``) adds an
+    ``allb`` int64 column: every row's buckets in ALL tables, packed as
+    ``n_tables`` chunks of ``planes`` bits.  The column is built ONCE per
+    batch and re-emitted verbatim for every table (like the quantized
+    vector), so it costs one int64 per row-copy.  A bucket-local consumer
+    can then tell whether a candidate pair ALREADY collided in an earlier
+    table (any zero chunk in the masked XOR — a SWAR test) and emit each
+    pair exactly once: first-collision emission, the standard multi-table
+    LSH dedup, replacing a global ``dropDuplicates`` shuffle with a local
+    vectorized compare."""
     import numpy as np
 
+    if carry_packed_buckets and planes * n_tables > 64:
+        raise ValueError("packed buckets need planes * n_tables <= 64")
     spark = emb.sparkSession
     hs = np.stack(
         [hyperplane_matrix(spark, dims, planes, hash_mode, t) for t in range(n_tables)]
@@ -401,6 +418,7 @@ def _np_sign(
         import pyarrow as pa
 
         h = bc.value
+        n_t = h.shape[0]
         for batch in batches:
             n = batch.num_rows
             if n == 0:
@@ -408,22 +426,33 @@ def _np_sign(
             ids = pa.array(_i64_arrow(batch.column(0)))
             v = _quantize_arrow(batch.column(1))
             vec = _list_array(v)
-            for t in range(h.shape[0]):
+            bmat = np.empty((n, n_t), dtype=np.int64)
+            for t in range(n_t):
                 sums = _gemm53(v, h[t].T)  # (n, planes) int64 — exact
-                buckets = ((sums > 0).astype(np.int64) * pow2).sum(axis=1)
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        ids,
-                        vec,
-                        pa.array(np.full(n, t, dtype=np.int32)),
-                        pa.array(buckets),
-                    ],
-                    names=[out_id, out_vec, "tbl", "bucket"],
-                )
+                bmat[:, t] = ((sums > 0).astype(np.int64) * pow2).sum(axis=1)
+            allb = None
+            if carry_packed_buckets:
+                packed = np.zeros(n, dtype=np.uint64)
+                for t in range(n_t):
+                    packed |= bmat[:, t].astype(np.uint64) << np.uint64(planes * t)
+                allb = pa.array(packed.astype(np.int64))
+            for t in range(n_t):
+                arrays = [
+                    ids,
+                    vec,
+                    pa.array(np.full(n, t, dtype=np.int32)),
+                    pa.array(bmat[:, t]),
+                ]
+                names = [out_id, out_vec, "tbl", "bucket"]
+                if allb is not None:
+                    arrays.append(allb)
+                    names.append("allb")
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    return emb.select(id_col, vec_col).mapInArrow(
-        run, f"{out_id} long, {out_vec} array<long>, tbl int, bucket long"
-    )
+    schema = f"{out_id} long, {out_vec} array<long>, tbl int, bucket long"
+    if carry_packed_buckets:
+        schema += ", allb long"
+    return emb.select(id_col, vec_col).mapInArrow(run, schema)
 
 
 def lsh_plane_sign_sql(list_expr: str, p: int, dims: int) -> str:
@@ -521,7 +550,8 @@ def lsh_neardup_pairs(
         )
     else:
         sig = _np_sign(
-            emb, id_col, vec_col, dims, planes, hash_mode, n_tables, "_id", "_v"
+            emb, id_col, vec_col, dims, planes, hash_mode, n_tables, "_id", "_v",
+            carry_packed_buckets=n_tables > 1 and planes * n_tables <= 64,
         )
     if persist_index:
         sig = sig.cache()  # the signed corpus is the index (see lsh_ann_topk)
@@ -542,6 +572,26 @@ def lsh_neardup_pairs(
 
         ids = _i64_arrow(tbl.column("_id"))
         mat = _quantize_arrow_prequantized(tbl.column("_v"), len(ids))
+        # first-collision emission (multi-table): each row carries ALL its
+        # table buckets packed into one int64 (planes bits per table); a
+        # pair that shared any EARLIER table's bucket was already emitted
+        # there, so this bucket skips it — a SWAR zero-chunk test on the
+        # masked XOR, instead of a global dropDuplicates shuffle over the
+        # ~L×-redundant candidate stream
+        allb = None
+        if "allb" in tbl.column_names and len(ids):
+            t_idx = tbl.column("tbl")[0].as_py()
+            if t_idx > 0:
+                allb = _i64_arrow(tbl.column("allb")).astype(np.uint64)
+                n_chunks = 64 // planes
+                low = sum(
+                    ((1 << (planes - 1)) - 1) << (planes * i) for i in range(n_chunks)
+                )
+                high = sum((1 << (planes - 1)) << (planes * i) for i in range(n_chunks))
+                LOW, HIGH = np.uint64(low), np.uint64(high)
+                # mask = the first t_idx chunks (t_idx < n_tables, so < 64 bits);
+                # unmasked chunks are forced to all-ones (never read as zero)
+                INV = np.uint64(((1 << 64) - 1) ^ ((1 << (planes * t_idx)) - 1))
         chunks_a, chunks_b, chunks_d = [], [], []
         for lo in range(0, len(ids), 2048):
             hi = min(lo + 2048, len(ids))
@@ -549,6 +599,11 @@ def lsh_neardup_pairs(
             li, ri = np.nonzero(s >= thresh)
             a, b, d = ids[lo + li], ids[ri], s[li, ri]
             keep = a < b
+            if allb is not None:
+                z = (allb[lo + li] ^ allb[ri]) | INV
+                # chunk == 0  ⇔  high bit of (z | ((z & LOW) + LOW)) clear
+                earlier = ((z | ((z & LOW) + LOW)) & HIGH) != HIGH
+                keep &= ~earlier
             chunks_a.append(a[keep])
             chunks_b.append(b[keep])
             chunks_d.append(d[keep])
@@ -561,10 +616,10 @@ def lsh_neardup_pairs(
         score_bucket, "a long, b long, dot_micro2 long"
     )
     # single-table: each id carries exactly ONE bucket per table, so a pair
-    # meets in one (tbl, bucket) — no dedup needed.  Multi-table: a pair can
-    # meet in several tables — dedup AFTER thresholding, when only the
-    # (small) true near-dup set is left.
-    if n_tables > 1:
+    # meets in one (tbl, bucket).  Multi-table with packed buckets:
+    # first-collision emission makes each pair globally unique.  Only the
+    # unpackable shapes (planes·n_tables > 64) still need the dedup pass.
+    if n_tables > 1 and planes * n_tables > 64:
         out = out.dropDuplicates(["a", "b"])
     return out
 

@@ -718,10 +718,14 @@ def test_multitable_lsh_or_amplification(spark):
         (r["a"], r["b"])
         for r in lsh_neardup_pairs(emb, threshold=0.9, planes=4, n_tables=1).collect()
     }
-    multi = {
+    multi_rows = [
         (r["a"], r["b"])
         for r in lsh_neardup_pairs(emb, threshold=0.9, planes=4, n_tables=8).collect()
-    }
+    ]
+    multi = set(multi_rows)
+    # first-collision emission (packed-bucket SWAR check): each pair must be
+    # emitted EXACTLY once across the 8 tables — no dropDuplicates pass runs
+    assert len(multi_rows) == len(multi)
     assert multi <= exact_pairs
     assert single <= multi or len(multi) >= len(single)
     assert len(multi) >= 0.95 * len(exact_pairs)
