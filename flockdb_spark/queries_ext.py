@@ -2413,6 +2413,9 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     if fmt == "jsonl":
         corpus_src.write_documents_jsonl(docs, path, n_files=4)
         back = corpus_src.read_documents_jsonl(spark, path, keep_corrupt=False)
+    elif fmt == "orc":
+        corpus_src.write_documents_orc(docs, path, n_files=4)
+        back = corpus_src.read_documents_orc(spark, path)
     else:
         corpus_src.write_documents_csv(docs, path, n_files=4)
         back = corpus_src.read_documents_csv(spark, path)
@@ -2427,6 +2430,15 @@ def x87(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("x88_csv_roundtrip", _ROUNDTRIP_ORACLE)
 def x88(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "csv")
+
+
+@query("x104_orc_roundtrip", _ROUNDTRIP_ORACLE)
+def x104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip (sources/corpus.py:155-175): the Hive/
+    Trino-side columnar interchange format, written with zlib + stripe
+    stats and read back through the pinned schema — value-hashed against
+    the parquet oracle like x87/x88."""
+    return _roundtrip(spark, sf_dir, "orc")
 
 
 # ---------------------------------------------------------------------------
