@@ -359,3 +359,108 @@ SELECT ps.source, n_docs, total_tokens, distinct_texts,
        n_langs, top_lang
 FROM ps JOIN dt ON ps.source = dt.source
 """
+
+
+def vocab_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary drift between two corpus snapshots: the ``k`` terms whose
+    unigram probability moved the most, by per-term total-variation
+    contribution — the distribution-shift monitor a continuously-refreshed
+    training corpus publishes with every snapshot (catches a crawl source
+    going spammy or a language mix shifting long before model metrics do).
+
+    Integer-exact: p_micro(t) = c(t)·1e6 div N per side (floor), drift =
+    |p_a − p_b|.  (The full TV distance is Σ drift_micro / 2 — derivable
+    from the same table; the top-k view is the actionable artifact.)
+
+    Scale shape (100 TB per snapshot): each side is one tokenize+explode →
+    term-keyed count with map-side combine [the only corpus-sized
+    shuffles]; the totals are 1-row aggregates OVER THE COUNT TABLES
+    (vocabulary-sized, not corpus-sized — the same stats-from-cache rule as
+    BM25's); the join is vocabulary-sized full-outer on term; top-k is a
+    TakeOrdered, never a global sort.
+
+    Output: (term, c_a, c_b, p_a_micro, p_b_micro, drift_micro, rnk),
+    ranked by (drift DESC, term ASC), rnk ≤ k.
+    """
+    from .text import tokens
+
+    def counts(d):
+        return (
+            d.select(F.explode(tokens(text_col)).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+
+    ca = counts(docs_a).withColumnRenamed("c", "c_a").cache()
+    cb = counts(docs_b).withColumnRenamed("c", "c_b").cache()
+    n_a = int(ca.agg(F.sum("c_a")).first()[0])
+    n_b = int(cb.agg(F.sum("c_b")).first()[0])
+
+    j = (
+        ca.join(cb, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("c_a", F.lit(0)).cast("long").alias("c_a"),
+            F.coalesce("c_b", F.lit(0)).cast("long").alias("c_b"),
+        )
+        .select(
+            "term",
+            "c_a",
+            "c_b",
+            F.expr(f"c_a * 1000000 div {n_a}").cast("long").alias("p_a_micro"),
+            F.expr(f"c_b * 1000000 div {n_b}").cast("long").alias("p_b_micro"),
+        )
+        .withColumn(
+            "drift_micro", F.abs(F.col("p_a_micro") - F.col("p_b_micro")).cast("long")
+        )
+        .orderBy(F.desc("drift_micro"), F.asc("term"))
+        .limit(k)
+    )
+    out = j.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.desc("drift_micro"), F.asc("term"))
+        ).cast("long"),
+    )
+    out._flockdb_caches = [ca, cb]
+    return out
+
+
+def vocab_drift_sql(k: int = 20) -> str:
+    """DuckDB twin of the x105 gate: snapshot A = even doc_ids, snapshot B =
+    odd doc_ids of ``documents``."""
+    return f"""
+WITH ta AS (SELECT unnest(string_split(text, ' ')) AS term
+            FROM documents WHERE doc_id % 2 = 0),
+tb AS (SELECT unnest(string_split(text, ' ')) AS term
+       FROM documents WHERE doc_id % 2 = 1),
+ca AS (SELECT term, CAST(count(*) AS BIGINT) AS c_a FROM ta GROUP BY term),
+cb AS (SELECT term, CAST(count(*) AS BIGINT) AS c_b FROM tb GROUP BY term),
+na AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ta),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM tb),
+j AS (
+  SELECT coalesce(ca.term, cb.term) AS term,
+         coalesce(c_a, 0) AS c_a, coalesce(c_b, 0) AS c_b
+  FROM ca FULL OUTER JOIN cb ON ca.term = cb.term
+),
+p AS (
+  SELECT term, c_a, c_b,
+         CAST(c_a * 1000000 // na.n AS BIGINT) AS p_a_micro,
+         CAST(c_b * 1000000 // nb.n AS BIGINT) AS p_b_micro
+  FROM j CROSS JOIN na CROSS JOIN nb
+),
+d AS (
+  SELECT *, CAST(abs(p_a_micro - p_b_micro) AS BIGINT) AS drift_micro FROM p
+),
+r AS (
+  SELECT term, c_a, c_b, p_a_micro, p_b_micro, drift_micro,
+         CAST(row_number() OVER (ORDER BY drift_micro DESC, term ASC) AS BIGINT) AS rnk
+  FROM d
+)
+SELECT * FROM r WHERE rnk <= {k}
+"""

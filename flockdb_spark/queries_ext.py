@@ -2664,3 +2664,23 @@ def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
     w1, w2 = relevance.top_bigram(docs)
     return relevance.phrase_match(docs, [w1, w2])
+
+
+# ---------------------------------------------------------------------------
+# x105 — vocabulary drift between corpus snapshots: per-term total-variation
+# contribution |c_a·1e6 div N_a − c_b·1e6 div N_b|, top-k by (drift, term) —
+# the distribution-shift monitor a continuously-refreshed corpus publishes
+# per snapshot.  Fixture snapshots: even vs odd doc_ids.  Two corpus-sized
+# term counts, vocabulary-sized full-outer join, TakeOrdered top-k; totals
+# derive from the cached count tables (stats-from-cache, x25's rule).
+# ---------------------------------------------------------------------------
+
+
+@query("x105_vocab_drift", stats.vocab_drift_sql(k=20))
+def x105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return stats.vocab_drift(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        k=20,
+    )

@@ -1728,3 +1728,28 @@ def test_hybrid_rrf_fuses_both_legs(spark):
     assert [doc for doc, _ in sorted(rows.items(), key=lambda kv: kv[1][1])] == [1, 3, 2]
     # the query doc itself is excluded
     assert 0 not in rows
+
+
+def test_vocab_drift_planted_shift(spark):
+    from flockdb_spark.functions import stats
+
+    # snapshot A: 'spam' absent; snapshot B: 'spam' floods to half the mass
+    a = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(1, "spam spam spam spam alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    out = stats.vocab_drift(a, b, k=3)
+    rows = out.collect()
+    for c in getattr(out, "_flockdb_caches", []):
+        c.unpersist()
+    assert rows[0]["term"] == "spam" and rows[0]["rnk"] == 1
+    # p_a = 0, p_b = 4/8 -> drift 500000 exactly
+    assert rows[0]["drift_micro"] == 500_000 and rows[0]["c_a"] == 0
+    # the diluted stable terms tie at |2/8e6 - 1/8e6| = 125000, term-ascending
+    assert [(r["term"], r["drift_micro"]) for r in rows[1:]] == [
+        ("alpha", 125_000), ("beta", 125_000)
+    ]
