@@ -41,9 +41,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # x56/x64/x69/x77/x96, the x47 occurrence-cache rewrite, the x84
 # token-cache, the CSV/roundtrip pair, the bigram-cache family
 # x91/x93/x94/x95); the r4-green set fills the remaining first-50 slots;
-# the r5-green entries (freshest driver rows) gate last.  All 125 are
-# green in this round's local sf0.01 gate (x99 bm25-topk retrieval and
-# x100 linear quality classifier joined ungated → they sort first).
+# the r5-green entries (freshest driver rows) gate last.  All 130 are
+# green in this round's local sf0.01 gate.  Seven entries joined ungated
+# this round and sort first automatically: x99 bm25-topk, x100 linear
+# quality classifier, x101 hybrid RRF retrieval, x102 phrase search,
+# x103 forced-sketch heavy hitters, x104 ORC round-trip, x105 vocabulary
+# drift — ten ungated in all with q24/q25/x98 from the first session.
+# (x84 flipped to cost-based auto strategy and the multi-table LSH family
+# moved to first-collision emission in the fourth session — both already
+# sit inside the gate window via the changed-in-r6 block.)
 _GATED_GREEN = [
     # last driver-green r3 (stalest — re-gate first)
     "q06_keyset_pages", "q07_by_destination", "q08_backward", "q09_where_in",
@@ -57,16 +63,24 @@ _GATED_GREEN = [
     # added the Arrow-native ANN scorers (x56/x64/x69/x77/x96 join the LSH
     # family below) and the x47 occurrence-cache/decimal rewrite.
     "x06_lsh_ann", "x18_lsh_neardup", "x35_multiprobe_ann",
-    "x38_embedding_dedup", "x52_lsh_ann_multitable",
+    "x38_embedding_dedup",
     "x53_lsh_neardup_multitable", "x56_int8_ann", "x64_label_centroids",
     "x69_kmeans_fit", "x77_embedding_outliers", "x96_salted_join",
-    "x47_bigram_surprisal", "x84_heavy_hitters", "x87_jsonl_roundtrip",
-    "x88_csv_roundtrip", "x91_kneser_ney", "x93_personalized_pagerank",
+    "x47_bigram_surprisal", "x84_heavy_hitters",
+    "x91_kneser_ney", "x93_personalized_pagerank",
     "x94_kn_perplexity", "x95_collocations",
     # changed in the third r6 session: BM25 stats-from-cache (x25 shares
     # the arithmetic x99 pins), pack_sequences cache, x84's 2x512 shape
     # (already above)
-    "x25_bm25", "x33_seq_packing",
+    "x25_bm25",
+    # changed in r6 but deferred past the 50-entry window (the 10 new
+    # ungated r6 entries displaced four slots): the roundtrip pair's change
+    # is environmental (per-process temp dir + CSV emptyValue), x33's is
+    # cache-sharing only, and x52's ANN path is gated by x06 at the bigger
+    # L=8 shape — outputs identical, pinned by pytest and this round's
+    # local full gate.  Re-gate these four first in r7.
+    "x33_seq_packing", "x87_jsonl_roundtrip", "x88_csv_roundtrip",
+    "x52_lsh_ann_multitable",
     # last driver-green r4
     "q22_select_all", "q23_select2_batch", "x15_ivf_ann",
     "x07_embedding_neardup", "x19_pipeline", "x08_quality", "x09_token_count",
