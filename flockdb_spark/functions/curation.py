@@ -334,3 +334,141 @@ SELECT doc_id,
        CAST(CASE WHEN ({score}) >= {threshold} THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM feats
 """
+
+
+#: the probe's feature vector, shared by the classifier above and the fitter
+#: below: (name, integer SQL expression over the staged counts).  f0 is the
+#: intercept.  Spark `div` / DuckDB `//` spellings differ only in the
+#: operator, handled at render time.
+PROBE_FEATURES = [
+    ("f0", "1"),
+    ("f1", "(stop_cnt * 1000) {d} nt"),        # per-mille stopword ratio
+    ("f2", "((nc - nt + 1) * 1000) {d} nt"),   # milli mean token length
+    ("f3", "(digit_cnt * 1000) {d} nc"),       # per-mille digit chars
+    ("f4", "(upper_cnt * 1000) {d} nc"),       # per-mille uppercase chars
+    ("f5", "least(nt, {L400})"),               # capped token count
+]
+
+
+def _staged_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """The shared engineered-count projection (doc_id, nt, nc, stop_cnt,
+    digit_cnt, upper_cnt, lang) — one codegen stage over the scan."""
+    w = text.tokens(text_col)
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.greatest(F.size(w).cast("long"), F.lit(1)).alias("nt"),
+        F.greatest(F.length(text_col).cast("long"), F.lit(1)).alias("nc"),
+        F.size(F.filter(w, lambda x: x.isin(*text.STOPWORDS))).cast("long").alias("stop_cnt"),
+        (
+            F.length(text_col) - F.length(F.regexp_replace(F.col(text_col), "[0-9]", ""))
+        ).cast("long").alias("digit_cnt"),
+        (
+            F.length(text_col) - F.length(F.regexp_replace(F.col(text_col), "[A-Z]", ""))
+        ).cast("long").alias("upper_cnt"),
+    )
+
+
+def probe_fit_stats(
+    docs: DataFrame, label_lang: str = "en", text_col: str = "text"
+) -> DataFrame:
+    """Sufficient statistics for TRAINING the linear quality probe — the
+    "fit" dual of :func:`quality_classifier`'s "apply": one corpus pass
+    accumulates the normal-equation sums XᵀX and Xᵀy over the same
+    engineered features (plus intercept), with the weak label
+    ``y = 1[lang = label_lang]``.  The driver then solves the k×k system
+    (:func:`solve_probe`) — this is how a quality/language probe is
+    actually trained at 100 TB: the distributed work is a single
+    map-side-combined aggregation emitting k·(k+3)/2 numbers; no per-row
+    model math, no iterations, no shuffle of anything data-sized.
+
+    Accumulation is widened to decimal(38,0) (HUGEINT in the oracle) so
+    the sums cannot wrap; the emitted BIGINT cast is exact while
+    n_docs · max(fᵢ·fⱼ) < 2⁶³ (max product ≈ 10⁸ → safe to ~9·10¹⁰
+    documents; past that read the decimal column via ``cast_output=False``
+    — same convention as the collocations lift).
+
+    Output: (cell, s) — cell ∈ {'fi.fj' (i ≤ j), 'fi.y'}, 27 rows for the
+    6-feature probe.
+    """
+    staged = _staged_counts(docs, text_col)
+    fexprs = [(n, e.format(d="div", L400="400L")) for n, e in PROBE_FEATURES]
+    proj = staged.select(
+        *[F.expr(e).cast("long").alias(n) for n, e in fexprs],
+        (F.col("lang") == F.lit(label_lang)).cast("long").alias("y"),
+    )
+    names = [n for n, _ in fexprs]
+    cells = [(f"{a}.{b}", f"{a} * {b}") for i, a in enumerate(names) for b in names[i:]]
+    cells += [(f"{n}.y", f"{n} * y") for n in names]
+    agg = proj.agg(
+        *[
+            F.sum(F.expr(prod).cast("decimal(38,0)")).alias(cell)
+            for cell, prod in cells
+        ]
+    )
+    stack = ", ".join(f"'{cell}', `{cell}`" for cell, _ in cells)
+    return agg.select(
+        F.expr(f"stack({len(cells)}, {stack}) as (cell, s_wide)")
+    ).select("cell", F.col("s_wide").cast("long").alias("s"))
+
+
+def probe_fit_stats_sql(label_lang: str = "en") -> str:
+    """DuckDB twin of :func:`probe_fit_stats` over ``documents``."""
+    feats = (
+        "SELECT doc_id, lang,\n"
+        "       greatest(CAST(length(string_split(text, ' ')) AS BIGINT), 1) AS nt,\n"
+        "       greatest(CAST(length(text) AS BIGINT), 1) AS nc,\n"
+        "       CAST(length(list_filter(string_split(text, ' '),"
+        f" x -> x IN ({', '.join(repr(s) for s in text.STOPWORDS)}))) AS BIGINT) AS stop_cnt,\n"
+        "       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS digit_cnt,\n"
+        "       CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS upper_cnt\n"
+        "FROM documents"
+    )
+    fexprs = [(n, e.format(d="//", L400="400")) for n, e in PROBE_FEATURES]
+    names = [n for n, _ in fexprs]
+    proj = ",\n       ".join(
+        [f"CAST({e} AS BIGINT) AS {n}" for n, e in fexprs]
+        + [f"CAST(lang = '{label_lang}' AS BIGINT) AS y"]
+    )
+    cells = [(f"{a}.{b}", f"{a} * {b}") for i, a in enumerate(names) for b in names[i:]]
+    cells += [(f"{n}.y", f"{n} * y") for n in names]
+    sums = ",\n       ".join(
+        f'CAST(sum(CAST({prod} AS HUGEINT)) AS BIGINT) AS "{cell}"' for cell, prod in cells
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT '{cell}' AS cell, \"{cell}\" AS s FROM sums" for cell, _ in cells
+    )
+    return f"""
+WITH feats AS (
+{feats}
+),
+proj AS (
+  SELECT {proj}
+  FROM feats
+),
+sums AS (
+  SELECT {sums}
+  FROM proj
+)
+{unions}
+"""
+
+
+def solve_probe(stats_rows) -> dict:
+    """Driver-side solve of the normal equations from
+    :func:`probe_fit_stats`'s collected rows: returns {feature: weight}
+    (float64 least squares via numpy; the distributed sums are exact, the
+    k×k solve is the only floating step)."""
+    import numpy as np
+
+    s = {r["cell"]: float(r["s"]) for r in stats_rows}
+    names = [n for n, _ in PROBE_FEATURES]
+    k = len(names)
+    xtx = np.empty((k, k))
+    xty = np.empty(k)
+    for i, a in enumerate(names):
+        xty[i] = s[f"{a}.y"]
+        for j, b in enumerate(names):
+            xtx[i, j] = s[f"{a}.{b}" if i <= j else f"{b}.{a}"]
+    w, *_ = np.linalg.lstsq(xtx, xty, rcond=None)
+    return dict(zip(names, w))

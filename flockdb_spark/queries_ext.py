@@ -2684,3 +2684,18 @@ def x105(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("doc_id") % 2 == 1),
         k=20,
     )
+
+
+# ---------------------------------------------------------------------------
+# x106 — quality-probe FIT: the normal-equation sufficient statistics
+# (XᵀX, Xᵀy) for training the x100 linear classifier, accumulated in ONE
+# map-side-combined corpus pass over the same engineered features with a
+# weak lang='en' label; the driver solves the 6×6 system (curation.
+# solve_probe, pytest-pinned).  decimal/HUGEINT accumulation, BIGINT
+# emission (exact to ~9e10 docs — the collocations convention).
+# ---------------------------------------------------------------------------
+
+
+@query("x106_probe_fit", curation.probe_fit_stats_sql(label_lang="en"))
+def x106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.probe_fit_stats(_read(spark, sf_dir, "documents"), label_lang="en")

@@ -1753,3 +1753,58 @@ def test_vocab_drift_planted_shift(spark):
     assert [(r["term"], r["drift_micro"]) for r in rows[1:]] == [
         ("alpha", 125_000), ("beta", 125_000)
     ]
+
+
+def test_probe_fit_recovers_planted_weights(spark):
+    """solve_probe inverts the exact sufficient statistics: when y IS a
+    linear function of the features, the recovered weights match."""
+    import numpy as np
+
+    from flockdb_spark.functions import curation
+
+    names = [n for n, _ in curation.PROBE_FEATURES]
+    rng = np.random.default_rng(7)
+    X = np.hstack(
+        [np.ones((40, 1), dtype=np.int64), rng.integers(0, 50, size=(40, 5))]
+    )
+    w_true = np.array([3.0, -1.0, 0.5, 2.0, 0.0, -0.25])
+    y = X @ w_true
+    rows = []
+    for i, a in enumerate(names):
+        rows.append({"cell": f"{a}.y", "s": float(X[:, i] @ y)})
+        for j in range(i, len(names)):
+            rows.append({"cell": f"{a}.{names[j]}", "s": float(X[:, i] @ X[:, j])})
+    w = curation.solve_probe(rows)
+    assert np.allclose([w[n] for n in names], w_true, atol=1e-8)
+
+
+def test_probe_fit_stats_end_to_end(spark):
+    """Fit on a tiny corpus where 'en' docs are stopword-rich: the trained
+    probe must separate the planted classes."""
+    import numpy as np
+
+    from flockdb_spark.functions import curation
+
+    rows = [
+        (i, "the a of and to the a of and to word", "en", "s", 40) for i in range(6)
+    ] + [
+        (10 + i, "zz4Z qq9Q xx2X yy7Y ww1W vv3V uu8U", "de", "s", 35) for i in range(6)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    stats_rows = curation.probe_fit_stats(docs).collect()
+    assert len(stats_rows) == 27
+    w = curation.solve_probe(stats_rows)
+    # score both feature vectors with the fitted weights: en-like >> de-like
+    names = [n for n, _ in curation.PROBE_FEATURES]
+
+    def score(lang):
+        import pyspark.sql.functions as SF
+
+        staged = curation._staged_counts(docs.where(SF.col("lang") == lang), "text")
+        fexprs = [(n, e.format(d="div", L400="400L")) for n, e in curation.PROBE_FEATURES]
+        f = staged.select(*[SF.expr(e).cast("long").alias(n) for n, e in fexprs]).first()
+        return sum(w[n] * f[n] for n in names)
+
+    assert score("en") > 0.9 and score("de") < 0.1
