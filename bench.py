@@ -94,6 +94,10 @@ BENCH_QUERIES = [
     "x101_hybrid_rrf",
     "x102_phrase_match",
     "x103_heavy_hitters_sketch",
+    # monitoring + training passes: snapshot vocabulary drift (two term
+    # counts + vocab join) and the one-pass normal-equation probe fit
+    "x105_vocab_drift",
+    "x106_probe_fit",
 ]
 
 #: queries whose plan .cache()es a corpus-side index (persist_index=True):
@@ -117,11 +121,11 @@ CONSTRUCT_IN_PASS = {
     "x103_heavy_hitters_sketch",
     "x25_bm25",
     "x99_bm25_topk",
-    # x101 pulls corpus stats off its cached term table and x102 derives its
-    # phrase fixture (top-bigram agg + 1-row pull) — eager corpus-sized plan
-    # construction for the same reason
+    # x101's dense leg collects the query vectors for the broadcast GEMM —
+    # eager corpus-touching construction for the same reason (its lexical
+    # stats, x102's phrase derivation, and x105's totals are lazy broadcast
+    # 1-row joins, so those construct cold for free)
     "x101_hybrid_rrf",
-    "x102_phrase_match",
 }
 
 
@@ -185,6 +189,13 @@ def main() -> None:
             df = qs[name](spark, SF_DIR) if name in CONSTRUCT_IN_PASS else dfs[name]
             df.write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
+            if name in CONSTRUCT_IN_PASS:
+                # release this query's intra-query caches OUTSIDE the timed
+                # section: Spark's CacheManager matches by plan equality, so
+                # a leaked term-table cache from x25 would serve x99/x101's
+                # identical subplan warm and mis-attribute their cost
+                for c in getattr(df, "_flockdb_caches", []):
+                    c.unpersist()
             if name not in times or dt < times[name]:
                 times[name] = dt
     # warm passes for the index-persisted queries: clearCache() above also

@@ -419,24 +419,34 @@ def hybrid_rrf_topk(
     )
 
     # lexical leg: distinct (doc, term) from the shared tf table; score a
-    # candidate by the summed idf of its terms that the query doc also has
+    # candidate by the summed idf of its terms that the query doc also has.
+    # n_docs rides a broadcast 1-row cross join into the (tiny) query-term
+    # side, where idf is precomputed — the whole leg is ONE lazy plan, no
+    # blocking driver pull (n_docs as a plan literal would cost an extra
+    # corpus job per construction)
     terms = doc_terms(docs, text_col).cache()
-    n_docs, _ = _corpus_stats(terms)
+    nd = (
+        terms.groupBy("doc_id").agg(F.max("dl"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
     df_table = terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     qterms = (
         terms.where(F.col("doc_id").isin(qids))
         .select(F.col("doc_id").alias("query_id"), "term")
         .join(df_table, "term")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "query_id",
+            "term",
+            F.expr("(((n_docs - df) * 1000000) div (df + 1)) + 1")
+            .cast("long").alias("idf_micro"),
+        )
     )
     lex_scored = (
         terms.join(F.broadcast(qterms), "term")
         .where(F.col("doc_id") != F.col("query_id"))
         .groupBy("query_id", "doc_id")
-        .agg(
-            F.sum(
-                F.expr(f"((({n_docs} - df) * 1000000) div (df + 1)) + 1")
-            ).cast("long").alias("lex_score")
-        )
+        .agg(F.sum("idf_micro").cast("long").alias("lex_score"))
     )
     wl = Window.partitionBy("query_id").orderBy(F.desc("lex_score"), F.asc("doc_id"))
     lex = (
@@ -618,3 +628,52 @@ SELECT p.doc_id, CAST(count(*) AS BIGINT) AS n_matches
 FROM pairs p JOIN top USING (w1, w2)
 GROUP BY p.doc_id
 """
+
+
+def phrase_match_top_bigram(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The x102 gate composition as ONE lazy plan: derive the corpus's most
+    frequent adjacent word pair (ties: pair ascending) and count its
+    per-document occurrences with the same scan-fused higher-order filter
+    as :func:`phrase_match` — but the phrase arrives as a broadcast 1-row
+    join instead of collected literals, so nothing blocks the driver and
+    the whole query is a single Spark job (at corpus scale the derivation
+    aggregate and the counting scan still share one tokenize via Spark's
+    scan reuse; a production caller with a KNOWN phrase uses
+    :func:`phrase_match` and pays only the scan).
+
+    Output: (doc_id, n_matches) with n_matches ≥ 1 — identical to
+    ``phrase_match(docs, top_bigram(docs))``.
+    """
+    t = F.col("_t")
+    top = (
+        docs.select(F.split(F.col(text_col), " ").alias("_t"))
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(_t, 1, size(_t) - 1), slice(_t, 2, size(_t) - 1),"
+                    " (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.w1", "p.w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
+        .limit(1)
+        .select("w1", "w2")
+    )
+    sel = docs.select(
+        "doc_id", F.split(F.col(text_col), " ").alias("_t")
+    ).crossJoin(F.broadcast(top))
+    starts = F.expr(
+        "CASE WHEN size(_t) >= 2 THEN sequence(1, size(_t) - 1) "
+        "ELSE CAST(array() AS array<int>) END"
+    )
+    pred = lambda i: (  # noqa: E731
+        (F.element_at(t, i.cast("int")) == F.col("w1"))
+        & (F.element_at(t, (i + F.lit(1)).cast("int")) == F.col("w2"))
+    )
+    n_matches = F.size(F.filter(starts, pred)).cast("long")
+    return (
+        sel.select("doc_id", n_matches.alias("n_matches"))
+        .where(F.col("n_matches") >= 1)
+    )

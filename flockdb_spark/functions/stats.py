@@ -398,8 +398,14 @@ def vocab_drift(
 
     ca = counts(docs_a).withColumnRenamed("c", "c_a").cache()
     cb = counts(docs_b).withColumnRenamed("c", "c_b").cache()
-    n_a = int(ca.agg(F.sum("c_a")).first()[0])
-    n_b = int(cb.agg(F.sum("c_b")).first()[0])
+    # the totals ride a broadcast 1-row cross join (aggregated off the
+    # cached count tables, vocabulary-sized) — no blocking driver pull, the
+    # whole monitor is one lazy plan / one Spark job
+    totals = F.broadcast(
+        ca.agg(F.sum("c_a").cast("long").alias("n_a")).crossJoin(
+            cb.agg(F.sum("c_b").cast("long").alias("n_b"))
+        )
+    )
 
     j = (
         ca.join(cb, "term", "full_outer")
@@ -408,12 +414,13 @@ def vocab_drift(
             F.coalesce("c_a", F.lit(0)).cast("long").alias("c_a"),
             F.coalesce("c_b", F.lit(0)).cast("long").alias("c_b"),
         )
+        .crossJoin(totals)
         .select(
             "term",
             "c_a",
             "c_b",
-            F.expr(f"c_a * 1000000 div {n_a}").cast("long").alias("p_a_micro"),
-            F.expr(f"c_b * 1000000 div {n_b}").cast("long").alias("p_b_micro"),
+            F.expr("c_a * 1000000 div n_a").cast("long").alias("p_a_micro"),
+            F.expr("c_b * 1000000 div n_b").cast("long").alias("p_b_micro"),
         )
         .withColumn(
             "drift_micro", F.abs(F.col("p_a_micro") - F.col("p_b_micro")).cast("long")

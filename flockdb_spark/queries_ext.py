@@ -2650,20 +2650,19 @@ def x101(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# x102 — exact-phrase search: the gate derives the corpus's top bigram as the
-# phrase fixture (count DESC, pair ASC — one explode+agg, a 1-row parameter
-# pull), then runs the PRODUCTION path: a scan-fused higher-order-filter
-# count of consecutive-token matches per document — zero shuffles, zero
-# Python, overlapping occurrences included.  The oracle derives the same
-# phrase and counts via the pair stream (identical counts for m=2).
+# x102 — exact-phrase search: the gate derives the corpus's top bigram as
+# the phrase fixture (count DESC, pair ASC) and broadcasts it as a 1-row
+# join into the scan-fused higher-order-filter count of consecutive-token
+# matches — ONE lazy plan, zero Python, overlapping occurrences included.
+# The literal-phrase production API (relevance.phrase_match — zero-shuffle
+# single scan) is pinned by pytest.  The oracle derives the same phrase
+# and counts via the pair stream (identical counts for m=2).
 # ---------------------------------------------------------------------------
 
 
 @query("x102_phrase_match", relevance.phrase_match_sql())
 def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
-    w1, w2 = relevance.top_bigram(docs)
-    return relevance.phrase_match(docs, [w1, w2])
+    return relevance.phrase_match_top_bigram(_read(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
