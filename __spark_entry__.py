@@ -64,7 +64,7 @@ _GATED_GREEN = [
     # family below) and the x47 occurrence-cache/decimal rewrite.
     "x06_lsh_ann", "x18_lsh_neardup", "x35_multiprobe_ann",
     "x38_embedding_dedup",
-    "x53_lsh_neardup_multitable", "x56_int8_ann", "x64_label_centroids",
+    "x53_lsh_neardup_multitable", "x56_int8_ann",
     "x69_kmeans_fit", "x77_embedding_outliers",
     "x47_bigram_surprisal", "x84_heavy_hitters",
     "x91_kneser_ney", "x93_personalized_pagerank",
@@ -77,11 +77,11 @@ _GATED_GREEN = [
     # ungated r6 entries displaced four slots): the roundtrip pair's change
     # is environmental (per-process temp dir + CSV emptyValue), x33's is
     # cache-sharing only, and x52's ANN path is gated by x06 at the bigger
-    # L=8 shape, and x96's salted-join scorer is the same Arrow path
-    # x18/x53 gate — outputs identical, pinned by pytest and this round's
-    # local full gate.  Re-gate these five first in r7.
+    # L=8 shape, x96's salted-join scorer and x64's quantizer are the same
+    # Arrow paths x18/x53/x05 gate — outputs identical, pinned by pytest
+    # and this round's local full gate.  Re-gate these six first in r7.
     "x33_seq_packing", "x87_jsonl_roundtrip", "x88_csv_roundtrip",
-    "x52_lsh_ann_multitable", "x96_salted_join",
+    "x52_lsh_ann_multitable", "x96_salted_join", "x64_label_centroids",
     # last driver-green r4
     "q22_select_all", "q23_select2_batch", "x15_ivf_ann",
     "x07_embedding_neardup", "x19_pipeline", "x08_quality", "x09_token_count",

@@ -677,3 +677,83 @@ def phrase_match_top_bigram(docs: DataFrame, text_col: str = "text") -> DataFram
         sel.select("doc_id", n_matches.alias("n_matches"))
         .where(F.col("n_matches") >= 1)
     )
+
+
+def multi_phrase_match(
+    docs: DataFrame, phrases: DataFrame | None = None, n_phrases: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Batch exact-phrase search: N two-word phrases answered in ONE corpus
+    pass — the batcher dual of :func:`phrase_match`, shaped like x99's
+    multi-query BM25 (and the reference's batch selectEdges): the phrase
+    table is broadcast into a single map-side bigram stream instead of N
+    separate scans.
+
+    ``phrases`` is a (phrase_id, w1, w2) DataFrame; when omitted the
+    fixture derives the ``n_phrases`` most frequent corpus bigrams (count
+    DESC, pair ASC), phrase_id = rank − 1 — derived lazily from the same
+    pair stream, so the whole query stays one plan.
+
+    Scale shape (100 TB): the bigram stream is generated map-side
+    (zip-with-tail, no explode join); the tiny phrase table broadcasts
+    into it; per-(phrase, doc) counts combine map-side — one corpus-sized
+    shuffle at doc grain.  Overlapping occurrences count, as in
+    ``phrase_match``.
+
+    Output: (phrase_id, doc_id, n_matches), n_matches ≥ 1.
+    """
+    from pyspark.sql import Window
+
+    pairs = (
+        docs.select("doc_id", F.split(F.col(text_col), " ").alias("_t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(_t, 1, size(_t) - 1), slice(_t, 2, size(_t) - 1),"
+                    " (a, b) -> struct(a AS w1, b AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    if phrases is None:
+        w0 = Window.orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
+        phrases = (
+            pairs.groupBy("w1", "w2")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", F.row_number().over(w0))
+            .where(F.col("rn") <= n_phrases)
+            .select((F.col("rn") - 1).cast("long").alias("phrase_id"), "w1", "w2")
+        )
+    return (
+        pairs.join(F.broadcast(phrases), ["w1", "w2"])
+        .groupBy("phrase_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matches"))
+    )
+
+
+def multi_phrase_match_sql(n_phrases: int = 5) -> str:
+    """DuckDB twin of the x107 gate (derived top-bigram phrase set)."""
+    return f"""
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+flat AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> struct_pack(w1 := t[i], w2 := t[i + 1]))) AS p
+  FROM tok
+),
+pairs AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM flat),
+ranked AS (
+  SELECT w1, w2,
+         row_number() OVER (ORDER BY count(*) DESC, w1 ASC, w2 ASC) AS rn
+  FROM pairs GROUP BY w1, w2
+),
+phrases AS (
+  SELECT CAST(rn - 1 AS BIGINT) AS phrase_id, w1, w2
+  FROM ranked WHERE rn <= {n_phrases}
+)
+SELECT ph.phrase_id, p.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM pairs p JOIN phrases ph USING (w1, w2)
+GROUP BY ph.phrase_id, p.doc_id
+"""

@@ -2698,3 +2698,19 @@ def x105(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("x106_probe_fit", curation.probe_fit_stats_sql(label_lang="en"))
 def x106(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.probe_fit_stats(_read(spark, sf_dir, "documents"), label_lang="en")
+
+
+# ---------------------------------------------------------------------------
+# x107 — batch exact-phrase search: N phrases answered in ONE corpus pass
+# (broadcast phrase table into a single map-side bigram stream, map-side
+# combined per-(phrase, doc) counts) — the batcher dual of x102, shaped
+# like x99's multi-query retrieval and the reference's batch selectEdges.
+# Fixture phrases: the top-5 corpus bigrams, derived lazily in-plan.
+# ---------------------------------------------------------------------------
+
+
+@query("x107_multi_phrase", relevance.multi_phrase_match_sql(n_phrases=5))
+def x107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return relevance.multi_phrase_match(
+        _read(spark, sf_dir, "documents"), n_phrases=5
+    )

@@ -1808,3 +1808,28 @@ def test_probe_fit_stats_end_to_end(spark):
         return sum(w[n] * f[n] for n in names)
 
     assert score("en") > 0.9 and score("de") < 0.1
+
+
+def test_multi_phrase_match_batches_and_counts(spark):
+    from flockdb_spark.functions import relevance
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b c d"), (1, "c d c d c d"), (2, "x y")],
+        "doc_id long, text string",
+    )
+    phrases = spark.createDataFrame(
+        [(0, "a", "b"), (1, "c", "d"), (2, "b", "a")],
+        "phrase_id long, w1 string, w2 string",
+    )
+    out = {
+        (r["phrase_id"], r["doc_id"]): r["n_matches"]
+        for r in relevance.multi_phrase_match(docs, phrases).collect()
+    }
+    assert out == {(0, 0): 2, (1, 0): 1, (1, 1): 3, (2, 0): 1}
+
+    # derived fixture: top-2 bigrams with count tie broken pair-ascending
+    derived = relevance.multi_phrase_match(docs, n_phrases=2)
+    got = {(r["phrase_id"], r["doc_id"]): r["n_matches"] for r in derived.collect()}
+    # bigram counts: (c,d)=4, (a,b)=2, (d,c)=2, (b,a)=1, ... -> top-2:
+    # phrase 0 = (c,d), phrase 1 = (a,b)
+    assert got == {(0, 0): 1, (0, 1): 3, (1, 0): 2}
