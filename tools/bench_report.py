@@ -70,12 +70,20 @@ caches OTHER queries legitimately reuse within one execution (x14
 PageRank's loop-invariant join input, x37's shingle table, x91/x94/x95's
 shared bigram-type table); their plans re-materialize those caches inside
 each timed pass, which is the honest cold cost and slightly above what
-earlier rounds reported.  One query goes further: x84's DataFrame
-CONSTRUCTION eagerly collects the count-min sketch to inline it as probe
-literals, so the prepared-statement reuse the harness applies everywhere
-else would leave a full corpus pass outside the timed section — x84 is
-rebuilt INSIDE every timed pass (`bench.py` CONSTRUCT_IN_PASS), paying
-sketch build + probe + exact recount end-to-end like its DuckDB twin.
+earlier rounds reported.  Five queries go further: their DataFrame
+CONSTRUCTION performs eager corpus work (x84/x103 collect the exact total
+or the count-min sketch as plan literals, the BM25 pair x25/x99 collects
+corpus stats, x101's dense leg collects the query vectors for its
+broadcast GEMM), so the prepared-statement reuse the harness applies
+everywhere else would leave a corpus pass outside the timed section —
+these are rebuilt INSIDE every timed pass (`bench.py` CONSTRUCT_IN_PASS),
+paying construction end-to-end like their DuckDB twins, and their
+intra-query caches are released outside the timed section so a leaked
+term-table cache cannot serve a later query's identical subplan warm.
+Since r6, x84 is COST-BASED (auto → single-pass exact at every bench SF,
+the plan DuckDB itself uses) and the forced-sketch twin is benched
+separately as x103 — its DuckDB twin runs the exact plan, so that line
+deliberately measures the 100 TB sketch strategy's small-scale overhead.
 
 | query | warm @sf0.1 | warm @sf1.0 | warm @sf3.0 | cold @sf3.0 |
 |---|---|---|---|---|"""
