@@ -398,9 +398,14 @@ def hybrid_rrf_topk(
                     with the same (query_id, neighbor_id, rank) contract
                     (lsh_ann_topk / ivf_ann_topk) slots in for sub-linear
                     candidate generation at corpus scale.
-      lexical leg — ONE tokenize+explode shuffle builds (doc, term) [shared
-                    via cache with the df table]; query terms are BROADCAST
-                    into it; per-(query, doc) IDF sums combine map-side.
+      lexical leg — the corpus token stream is FILTERED against the
+                    broadcast query-term union BEFORE any shuffle (only a
+                    term occurring in some query document can score), so
+                    the only exchanges are over the matched subset:
+                    distinct (doc, term), the per-term df, and the
+                    per-(query, doc) IDF sums — never a vocabulary-sized
+                    aggregation.  Worst case (all query terms are
+                    stopwords) degrades gracefully to the full stream.
       fusion      — a full-outer join of two ≤(k_dense+k_lex)·|Q|-row frames:
                     driver-trivial at any corpus size.
 
@@ -418,33 +423,40 @@ def hybrid_rrf_topk(
         F.col("rank").cast("long").alias("dense_rank"),
     )
 
-    # lexical leg: distinct (doc, term) from the shared tf table; score a
-    # candidate by the summed idf of its terms that the query doc also has.
-    # n_docs rides a broadcast 1-row cross join into the (tiny) query-term
-    # side, where idf is precomputed — the whole leg is ONE lazy plan, no
-    # blocking driver pull (n_docs as a plan literal would cost an extra
-    # corpus job per construction)
-    terms = doc_terms(docs, text_col).cache()
-    nd = (
-        terms.groupBy("doc_id").agg(F.max("dl"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    )
-    df_table = terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    # query-side terms: explode ONLY the |Q| query documents (id pushdown)
+    toks = tokens(text_col)
     qterms = (
-        terms.where(F.col("doc_id").isin(qids))
-        .select(F.col("doc_id").alias("query_id"), "term")
-        .join(df_table, "term")
+        docs.where(F.col("doc_id").isin(qids))
+        .select(F.col("doc_id").alias("query_id"), F.explode(toks).alias("term"))
+        .distinct()
+    )
+    # corpus side: scan+explode, broadcast-filter to query terms BEFORE the
+    # distinct shuffle — df(t) and candidate scoring both derive from this
+    # matched subset (df must count the query docs too, so the self-
+    # exclusion happens only at scoring time)
+    matched = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .join(F.broadcast(qterms.select("term").distinct()), "term")
+        .select("doc_id", "term")
+        .distinct()
+    )
+    # idf rides the (tiny) per-term side: df from the matched subset,
+    # n_docs as a broadcast 1-row cross join — no blocking driver pull
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    idf_table = (
+        matched.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
         .crossJoin(F.broadcast(nd))
         .select(
-            "query_id",
             "term",
             F.expr("(((n_docs - df) * 1000000) div (df + 1)) + 1")
             .cast("long").alias("idf_micro"),
         )
     )
     lex_scored = (
-        terms.join(F.broadcast(qterms), "term")
+        matched.join(F.broadcast(qterms), "term")
         .where(F.col("doc_id") != F.col("query_id"))
+        .join(F.broadcast(idf_table), "term")
         .groupBy("query_id", "doc_id")
         .agg(F.sum("idf_micro").cast("long").alias("lex_score"))
     )
@@ -464,12 +476,10 @@ def hybrid_rrf_topk(
         ).cast("long").alias("rrf_micro"),
     )
     wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
-    out = (
+    return (
         fused.withColumn("rank", F.row_number().over(wf).cast("long"))
         .where(F.col("rank") <= k)
     )
-    out._flockdb_caches = [terms]  # released by the caller post-materialization
-    return out
 
 
 def hybrid_rrf_sql(
