@@ -68,7 +68,7 @@ _GATED_GREEN = [
     "x69_kmeans_fit", "x77_embedding_outliers",
     "x47_bigram_surprisal", "x84_heavy_hitters",
     "x91_kneser_ney", "x93_personalized_pagerank",
-    "x94_kn_perplexity", "x95_collocations",
+    "x95_collocations",
     # changed in the third r6 session: BM25 stats-from-cache (x25 shares
     # the arithmetic x99 pins), pack_sequences cache, x84's 2x512 shape
     # (already above)
@@ -78,10 +78,13 @@ _GATED_GREEN = [
     # is environmental (per-process temp dir + CSV emptyValue), x33's is
     # cache-sharing only, and x52's ANN path is gated by x06 at the bigger
     # L=8 shape, x96's salted-join scorer and x64's quantizer are the same
-    # Arrow paths x18/x53/x05 gate — outputs identical, pinned by pytest
-    # and this round's local full gate.  Re-gate these six first in r7.
+    # Arrow paths x18/x53/x05 gate, and x94's shared bigram-cache change
+    # is gated by x91/x95 — outputs identical, pinned by pytest and this
+    # round's local full sf0.01+sf0.1 gates.  Re-gate these seven first
+    # in r7.
     "x33_seq_packing", "x87_jsonl_roundtrip", "x88_csv_roundtrip",
     "x52_lsh_ann_multitable", "x96_salted_join", "x64_label_centroids",
+    "x94_kn_perplexity",
     # last driver-green r4
     "q22_select_all", "q23_select2_batch", "x15_ivf_ann",
     "x07_embedding_neardup", "x19_pipeline", "x08_quality", "x09_token_count",

@@ -573,3 +573,66 @@ ppr0 AS (SELECT node, CAST({seed} * {PR_UNIT} AS BIGINT) AS pr FROM nodes)"""
         )
     final = f"SELECT node AS node_id, pr FROM ppr{iterations}"
     return ",\n".join(parts), final
+
+
+def neighborhood_jaccard(
+    edges: DataFrame,
+    graph_id: int,
+    threshold: float = 0.01,
+    max_dest_degree: int | None = None,
+) -> DataFrame:
+    """Vertex similarity by out-neighborhood overlap: pairs of sources whose
+    destination SETS have Jaccard ≥ ``threshold`` — "similar accounts by
+    who they follow", the graph-domain twin of x02's document Jaccard (the
+    reference's compound queries motivate exactly this shared-destination
+    intersection, doc/blog.md:33-41), and the candidate generator for
+    follow-recommendation / account-clustering jobs.
+
+    Same sub-quadratic shape as the shingle-bucket dedup: candidates are
+    generated ONLY within a shared destination (bucket join), intersections
+    count per pair with map-side combine, and set sizes join back for the
+    exact integer Jaccard (``n_inter·1e6 div (na + nb − n_inter)``).
+    ``max_dest_degree`` is the hot-key cap (x02's ``max_shingle_df``
+    analogue): a celebrity destination with d followers mints d² candidate
+    pairs, so production drops destinations above the cap — they carry
+    almost no similarity signal (everyone shares them) at quadratic cost.
+    The cap must stay OFF for oracle-gated runs (it changes results; the
+    gate pins the uncapped semantics).
+
+    Output: (a, b, n_inter, n_union, jaccard_micro), a < b, Normal edges.
+    """
+    thresh_micro = int(threshold * 1_000_000)
+    adj = (
+        edges.where((F.col("graph_id") == graph_id) & (F.col("state") == 0))
+        .select("source_id", "destination_id")
+        .distinct()
+    )
+    if max_dest_degree is not None:
+        light = (
+            adj.groupBy("destination_id")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .where(F.col("d") <= max_dest_degree)
+            .select("destination_id")
+        )
+        adj = adj.join(light, "destination_id", "left_semi")
+    sizes = adj.groupBy("source_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = adj.select(F.col("source_id").alias("a"), "destination_id")
+    b = adj.select(F.col("source_id").alias("b"), "destination_id")
+    inter = (
+        a.join(b, "destination_id")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("source_id", "a").withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("source_id", "b").withColumnRenamed("n", "nb"), "b")
+        .select(
+            "a",
+            "b",
+            "n_inter",
+            (F.col("na") + F.col("nb") - F.col("n_inter")).cast("long").alias("n_union"),
+            F.expr("n_inter * 1000000 div (na + nb - n_inter)").cast("long").alias("jaccard_micro"),
+        )
+        .where(F.col("jaccard_micro") >= thresh_micro)
+    )

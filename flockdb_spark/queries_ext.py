@@ -2714,3 +2714,42 @@ def x107(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relevance.multi_phrase_match(
         _read(spark, sf_dir, "documents"), n_phrases=5
     )
+
+
+# ---------------------------------------------------------------------------
+# x108 — vertex similarity by neighborhood Jaccard over graph 3 (supplier →
+# part): the dedup machinery applied to the reference's own domain —
+# shared-destination bucket join (sub-quadratic, hot-key cap available),
+# exact integer Jaccard.  "Similar accounts by who they follow."
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x108_neighborhood_jaccard",
+    with_fixture_ctes("""
+SELECT a, b, n_inter,
+       sa.n + sb.n - n_inter AS n_union,
+       (n_inter * 1000000) // (sa.n + sb.n - n_inter) AS jaccard_micro
+FROM (
+  SELECT x.source_id AS a, y.source_id AS b, CAST(count(*) AS BIGINT) AS n_inter
+  FROM adj x JOIN adj y ON x.destination_id = y.destination_id
+                       AND x.source_id < y.source_id
+  GROUP BY 1, 2
+) i
+JOIN sizes sa ON sa.source_id = a
+JOIN sizes sb ON sb.source_id = b
+WHERE (n_inter * 1000000) // (sa.n + sb.n - n_inter) >= 10000
+""", """
+adj AS (
+  SELECT DISTINCT source_id, destination_id FROM edges
+  WHERE graph_id = 3 AND state = 0
+)
+""".strip(), """
+sizes AS (
+  SELECT source_id, CAST(count(*) AS BIGINT) AS n FROM adj GROUP BY source_id
+)
+""".strip()),
+)
+def x108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = store_for(spark, sf_dir)
+    return analytics.neighborhood_jaccard(st.edges, graph_id=3, threshold=0.01)

@@ -1833,3 +1833,30 @@ def test_multi_phrase_match_batches_and_counts(spark):
     # bigram counts: (c,d)=4, (a,b)=2, (d,c)=2, (b,a)=1, ... -> top-2:
     # phrase 0 = (c,d), phrase 1 = (a,b)
     assert got == {(0, 0): 1, (0, 1): 3, (1, 0): 2}
+
+
+def test_neighborhood_jaccard_planted_overlap(spark):
+    # sources 1,2 share 2 of 3 destinations (J=2/4); source 3 disjoint;
+    # hub destination 99 followed by everyone
+    rows = []
+    for s, dests in [(1, [10, 11, 12]), (2, [10, 11, 13]), (3, [20, 21])]:
+        for d in dests + [99]:
+            rows.append((3, s, d, d, 0, 0))
+    edges = edge_rows_df(spark, rows)
+
+    out = {
+        (r["a"], r["b"]): (r["n_inter"], r["n_union"], r["jaccard_micro"])
+        for r in analytics.neighborhood_jaccard(edges, 3, threshold=0.1).collect()
+    }
+    # with the hub, sets are {10,11,12,99} / {10,11,13,99} / {20,21,99}
+    assert out[(1, 2)] == (3, 5, 600_000)
+    assert out[(1, 3)] == (1, 6, 166_666) and out[(2, 3)] == (1, 6, 166_666)
+
+    # hot-key cap drops the hub: pair (1,3)/(2,3) lose their only overlap
+    capped = {
+        (r["a"], r["b"]): r["jaccard_micro"]
+        for r in analytics.neighborhood_jaccard(
+            edges, 3, threshold=0.1, max_dest_degree=2
+        ).collect()
+    }
+    assert capped == {(1, 2): 500_000}  # {10,11,12} vs {10,11,13}: 2/4
