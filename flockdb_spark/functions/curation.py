@@ -382,11 +382,14 @@ def probe_fit_stats(
     map-side-combined aggregation emitting k·(k+3)/2 numbers; no per-row
     model math, no iterations, no shuffle of anything data-sized.
 
-    Accumulation is widened to decimal(38,0) (HUGEINT in the oracle) so
-    the sums cannot wrap; the emitted BIGINT cast is exact while
-    n_docs · max(fᵢ·fⱼ) < 2⁶³ (max product ≈ 10⁸ → safe to ~9·10¹⁰
-    documents; past that read the decimal column via ``cast_output=False``
-    — same convention as the collocations lift).
+    Each per-row product is widened to decimal(38,0) (HUGEINT in the
+    oracle) BEFORE the multiply — f2 is unbounded, so even a single row's
+    64-bit product could wrap — and accumulation stays widened, so the
+    sums cannot wrap; the emitted BIGINT cast is exact while
+    n_docs · max(fᵢ·fⱼ) < 2⁶³ (typical product ≈ 10⁸ → safe to ~9·10¹⁰
+    documents; past that BOTH engines raise a loud CAST_OVERFLOW on the
+    output cast — never a silent wrap — and the caller should clamp f2 or
+    consume the decimal sums directly).
 
     Output: (cell, s) — cell ∈ {'fi.fj' (i ≤ j), 'fi.y'}, 27 rows for the
     6-feature probe.
@@ -398,8 +401,16 @@ def probe_fit_stats(
         (F.col("lang") == F.lit(label_lang)).cast("long").alias("y"),
     )
     names = [n for n, _ in fexprs]
-    cells = [(f"{a}.{b}", f"{a} * {b}") for i, a in enumerate(names) for b in names[i:]]
-    cells += [(f"{n}.y", f"{n} * y") for n in names]
+    # widen BEFORE the product: f2 (milli mean token length) is unbounded,
+    # so a pathological single-token document could overflow an int64
+    # per-row product (Spark wraps silently, DuckDB raises — the twins
+    # would diverge).  decimal·long promotes the whole product to decimal.
+    cells = [
+        (f"{a}.{b}", f"cast({a} as decimal(38,0)) * {b}")
+        for i, a in enumerate(names)
+        for b in names[i:]
+    ]
+    cells += [(f"{n}.y", f"cast({n} as decimal(38,0)) * y") for n in names]
     agg = proj.agg(
         *[
             F.sum(F.expr(prod).cast("decimal(38,0)")).alias(cell)
@@ -430,10 +441,16 @@ def probe_fit_stats_sql(label_lang: str = "en") -> str:
         [f"CAST({e} AS BIGINT) AS {n}" for n, e in fexprs]
         + [f"CAST(lang = '{label_lang}' AS BIGINT) AS y"]
     )
-    cells = [(f"{a}.{b}", f"{a} * {b}") for i, a in enumerate(names) for b in names[i:]]
-    cells += [(f"{n}.y", f"{n} * y") for n in names]
+    # HUGEINT widening BEFORE the product (mirrors the Spark decimal cast):
+    # f2 is unbounded, so the 64-bit product could overflow on one row
+    cells = [
+        (f"{a}.{b}", f"CAST({a} AS HUGEINT) * {b}")
+        for i, a in enumerate(names)
+        for b in names[i:]
+    ]
+    cells += [(f"{n}.y", f"CAST({n} AS HUGEINT) * y") for n in names]
     sums = ",\n       ".join(
-        f'CAST(sum(CAST({prod} AS HUGEINT)) AS BIGINT) AS "{cell}"' for cell, prod in cells
+        f'CAST(sum({prod}) AS BIGINT) AS "{cell}"' for cell, prod in cells
     )
     unions = "\nUNION ALL\n".join(
         f"SELECT '{cell}' AS cell, \"{cell}\" AS s FROM sums" for cell, _ in cells

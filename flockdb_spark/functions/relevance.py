@@ -728,12 +728,19 @@ def multi_phrase_match(
         .select("doc_id", "p.w1", "p.w2")
     )
     if phrases is None:
+        # top-N first via a distributed TakeOrdered (orderBy + limit — a
+        # tree-reduced top-k, never a global sort), THEN rank: the window
+        # only ever sees the n_phrases surviving rows, so the single
+        # partition it runs in is constant-sized — the bigram count table
+        # itself (vocabulary²-sized at 100 TB) never funnels through one
+        # partition
         w0 = Window.orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
         phrases = (
             pairs.groupBy("w1", "w2")
             .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("w1"), F.asc("w2"))
+            .limit(n_phrases)
             .withColumn("rn", F.row_number().over(w0))
-            .where(F.col("rn") <= n_phrases)
             .select((F.col("rn") - 1).cast("long").alias("phrase_id"), "w1", "w2")
         )
     return (

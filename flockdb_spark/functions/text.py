@@ -1196,7 +1196,9 @@ def heavy_hitters(
             .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
             .cache()
         )
-        total = int(counts.agg(F.sum("cnt")).first()[0])
+        # coalesce: sum over zero rows is NULL (empty corpus reaches this
+        # branch via the 'auto' small-input route)
+        total = int(counts.agg(F.coalesce(F.sum("cnt"), F.lit(0))).first()[0])
         thr = max(total * per_mille // 1000, 1)
         out = counts.where(F.col("cnt") >= thr)
         out._flockdb_caches = [counts]

@@ -1331,6 +1331,14 @@ def test_heavy_hitters_exact_equivalence(spark):
     assert text.heavy_hitters(pq, sketch_min_bytes=0)._flockdb_caches[0].columns == ["word"]
 
 
+def test_heavy_hitters_empty_corpus(spark):
+    # sum over zero rows is NULL: both strategies (and auto, which routes
+    # empty/small inputs to 'exact') must return an empty frame, not raise
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    for strategy in ("exact", "sketch", "auto"):
+        assert text.heavy_hitters(empty, strategy=strategy).count() == 0, strategy
+
+
 def test_cms_estimate_never_underestimates(spark):
     # the property that makes CMS pruning lossless for heavy hitters
     rows = [(i, f"w{i % 7} w{i % 13} common") for i in range(200)]
@@ -1808,6 +1816,41 @@ def test_probe_fit_stats_end_to_end(spark):
         return sum(w[n] * f[n] for n in names)
 
     assert score("en") > 0.9 and score("de") < 0.1
+
+
+def test_probe_fit_stats_survives_pathological_doc(spark):
+    """f2 (milli mean token length) is unbounded: a single-token document of
+    ~3.1e6 chars gives f2 ≈ 3.1e9, whose square exceeds int64 — the per-row
+    product must widen to decimal BEFORE the multiply or Spark wraps
+    silently (and the DuckDB twin raises, diverging the engines)."""
+    from flockdb_spark.functions import curation
+
+    big = "x" * 3_100_000  # one token -> nt=1, nc=3.1e6, f2 = 3.1e9
+    docs = spark.createDataFrame(
+        [(0, big, "en", "s", len(big)), (1, "the a of word", "de", "s", 13)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    f2_doc0 = (3_100_000 - 1 + 1) * 1000 // 1
+    f2_doc1 = (13 - 4 + 1) * 1000 // 4
+    expect = f2_doc0 * f2_doc0 + f2_doc1 * f2_doc1
+    assert expect > 2**63  # the case whose 64-bit product used to wrap
+    # the widened SUM exceeds int64 here, so the output BIGINT cast raises
+    # CAST_OVERFLOW — the same loud failure the DuckDB twin gives (its
+    # HUGEINT→BIGINT cast errors too).  What it must NEVER do is silently
+    # wrap into a wrong value, which is what the pre-widening 64-bit
+    # per-row product did.
+    with pytest.raises(Exception, match="CAST_OVERFLOW|overflow"):
+        curation.probe_fit_stats(docs).collect()
+    # the decimal accumulation itself is exact: recompute the widened
+    # aggregate directly
+    import pyspark.sql.functions as SF
+
+    staged = curation._staged_counts(docs, "text")
+    f2 = SF.expr("((nc - nt + 1) * 1000) div nt").cast("long")
+    wide = staged.select(
+        (f2.cast("decimal(38,0)") * f2).alias("p")
+    ).agg(SF.sum("p").cast("decimal(38,0)").alias("s")).first()["s"]
+    assert int(wide) == expect
 
 
 def test_multi_phrase_match_batches_and_counts(spark):
