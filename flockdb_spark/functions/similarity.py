@@ -480,47 +480,125 @@ def lsh_bucket_sql(list_expr: str, planes: int, dims: int, table: int = 0) -> st
     return "(" + " + ".join(terms) + ")"
 
 
+def lsh_tables_for(
+    planes: int,
+    threshold: float = 0.45,
+    target_recall: float = 0.95,
+    max_tables: int = 32,
+) -> int:
+    """Tables needed for ``target_recall`` at ``planes``: a pair at the
+    threshold angle θ = arccos(threshold) collides in one table with
+    p = (1 − θ/π)^planes, and L tables OR-amplify to 1 − (1 − p)^L, so
+    L = ⌈ln(1 − target) / ln(1 − p)⌉ — capped at ``max_tables`` (past the
+    cap, AT-THRESHOLD recall degrades gracefully while the high-cosine
+    pairs that are the actual near-dups keep colliding: p grows steeply
+    with cosine, see RECALL.md).
+
+    The ratio is rounded to 6 decimals before the ceil so the DuckDB twin
+    (``lsh_auto_shape_sql`` pieces in queries_ext) computes the identical
+    integer despite last-ulp libm differences in acos/ln/pow."""
+    import math
+
+    p = (1 - math.acos(threshold) / math.pi) ** planes
+    if p >= 1:  # planes=0: one global bucket collides every pair
+        return 1
+    raw = math.log(1 - target_recall) / math.log(1 - p)
+    return max(1, min(max_tables, math.ceil(round(raw, 6))))
+
+
+def lsh_auto_shape_sql(
+    corpus_sql: str = "embeddings",
+    threshold: float = 0.45,
+    target_recall: float = 0.95,
+    bucket_budget: int = 512,
+    min_planes: int = 4,
+    max_tables: int = 32,
+) -> str:
+    """DuckDB twin of :func:`lsh_auto_shape`, as a one-row SELECT body
+    (columns: planes, n_tables) for a WITH clause — the x109 oracle
+    computes the shape from the corpus count INSIDE the query, so the same
+    SQL string stays valid at every scale factor.  The planes rule is pure
+    integer (smallest k with budget<<k ≥ n); the tables rule mirrors
+    :func:`lsh_tables_for` including the round-to-6-decimals guard."""
+    return f"""
+  SELECT planes,
+         greatest(1, least({max_tables}, CAST(ceil(round(
+           ln(1 - {target_recall}) /
+           ln(1 - power(1 - acos({threshold}) / pi(), planes)), 6)) AS BIGINT))) AS n_tables
+  FROM (
+    SELECT greatest({min_planes}, (
+      SELECT min(k) FROM range(0, 31) r(k)
+      WHERE ({bucket_budget} << k) >= (SELECT count(*) FROM {corpus_sql})
+    )) AS planes
+  )
+"""
+
+
+def lsh_bucket_dyn_sql(
+    list_expr: str, dims: int, t: str = "t", planes: str = "planes"
+) -> str:
+    """DuckDB twin of ``hyperplane_signature`` with RUNTIME (table, planes)
+    — ``t`` and ``planes`` name columns in scope (vs :func:`lsh_bucket_sql`
+    which expands a compile-time shape).  Same sign rule: global plane
+    index ``t·planes + p`` seeds the multiplicative scramble
+    (:func:`plane_mult`), bit position stays local ``p``."""
+    return (
+        f"list_sum(list_transform(range(0, {planes}), p -> "
+        f"CASE WHEN list_sum(list_transform(range(1, {dims + 1}), i -> "
+        f"CASE WHEN ((i * ((2654435761 * ({t} * {planes} + p + 11)) % {PLANE_MOD}))"
+        f" % {PLANE_MOD}) % 2 = 0 "
+        f"THEN {list_expr}[i] ELSE -{list_expr}[i] END)) > 0 "
+        f"THEN (CAST(1 AS BIGINT) << p) ELSE 0 END))"
+    )
+
+
 def lsh_auto_shape(
     n_vectors: int,
     threshold: float = 0.45,
     target_recall: float = 0.95,
     bucket_budget: int = 512,
+    min_planes: int = 2,
+    max_tables: int = 32,
 ) -> dict:
     """RECALL.md's tuning rule as code — size (planes, n_tables) for a
-    corpus of ``n_vectors``:
+    corpus of ``n_vectors``.  As of r7 this IS the default for
+    ``lsh_neardup_pairs`` / ``lsh_ann_topk`` whenever the caller does not
+    pin a shape (the operators count the corpus — a parquet
+    metadata-cheap job — and size themselves):
 
     1. ``planes`` bounds the bucket population: the per-bucket exact-rescore
        work is quadratic in |bucket| ≈ n/2^planes, so pick the smallest
-       planes keeping it under ``bucket_budget``;
-    2. ``n_tables`` buys the recall back: a pair at the threshold angle
-       θ = arccos(threshold) collides in one table with p = (1 − θ/π)^planes,
-       and L tables OR-amplify to 1 − (1 − p)^L, so
-       L = ⌈ln(1 − target) / ln(1 − p)⌉.
+       planes keeping it under ``bucket_budget`` (exact integer rule:
+       smallest k with ``bucket_budget << k ≥ n`` — reproducible bit-for-bit
+       in the SQL oracle, no float log2);
+    2. ``n_tables`` buys the recall back (:func:`lsh_tables_for`), capped at
+       ``max_tables`` — signing and shuffle cost is linear in L, so the cap
+       is the explicit budget past which at-threshold recall is traded for
+       wall-clock (above-threshold pairs keep near-full recall; RECALL.md).
 
-    The static defaults (planes=4, L=16/8) are this rule evaluated at the
-    test corpus size; at 1e9+ vectors call
-    ``lsh_neardup_pairs(emb, **lsh_auto_shape(n))`` instead — total
-    candidate work then grows ~n·budget·L (sub-quadratic) rather than the
-    n²/2^planes a fixed shape degrades to.  Returns
+    Under the auto rule total candidate work grows ~n·budget·L
+    (sub-quadratic, L capped) rather than the n²/2^planes a fixed shape
+    degrades to — measured in SCALE.md's sf3→sf10 step.  Returns
     ``{"planes": ..., "n_tables": ...}`` (usable as kwargs for both
     ``lsh_neardup_pairs`` and ``lsh_ann_topk``)."""
-    import math
-
-    planes = max(2, math.ceil(math.log2(max(n_vectors, 1) / bucket_budget)))
-    p = (1 - math.acos(threshold) / math.pi) ** planes
-    n_tables = max(1, math.ceil(math.log(1 - target_recall) / math.log(1 - p)))
-    return {"planes": planes, "n_tables": n_tables}
+    n = max(int(n_vectors), 1)
+    k = next((k for k in range(0, 31) if (bucket_budget << k) >= n), 30)
+    planes = max(min_planes, k)
+    return {
+        "planes": planes,
+        "n_tables": lsh_tables_for(planes, threshold, target_recall, max_tables),
+    }
 
 
 def lsh_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.45,
-    planes: int = 4,
+    planes: int | None = None,
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     hash_mode: str = "xxhash64",
-    n_tables: int = 16,
+    n_tables: int | None = None,
     persist_index: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs beyond broadcastable corpus sizes: candidates
@@ -534,12 +612,27 @@ def lsh_neardup_pairs(
     independent hyperplane sets (production tuning lives in RECALL.md —
     planes bounds the bucket size, tables buy recall).
 
-    The defaults (planes=4, n_tables=16) are the RECALL.md-measured
-    production shape: pair recall 0.97 at threshold 0.45.  Cheaper shapes
-    (fewer tables — e.g. the single-table planes=4 L=1 shape the x18 oracle
-    gate replays in SQL, recall 0.17) remain available explicitly when the
-    candidate-volume budget matters more than recall.
+    By default (``planes=None``/``n_tables=None``) the shape AUTO-SIZES to
+    the corpus: one metadata-cheap ``count()`` feeds
+    :func:`lsh_auto_shape` (planes from a 512-row bucket budget with a
+    floor of 4, tables from the 0.95 at-threshold recall target capped at
+    32).  Below ~8k vectors this reproduces the RECALL.md-measured
+    production shape (planes=4, n_tables=16, pair recall 0.97) exactly —
+    the x18 gate pins that shape explicitly, x109 gates the auto rule
+    itself — and above it planes grows with log₂(n), keeping candidate
+    work ~n·budget·L instead of the n²/2^planes a fixed shape degrades to
+    (the r6 SCALE.md sf10 finding).  Pass explicit values to pin a shape
+    (cheaper low-L variants stay gated by x53).
     Output: (a, b, dot_micro2) with a < b, dot ≥ threshold."""
+    if planes is None:
+        planes = lsh_auto_shape(
+            emb.count(), threshold=threshold, target_recall=0.95,
+            bucket_budget=512, min_planes=4, max_tables=32,
+        )["planes"]
+    if n_tables is None:
+        # derive L from the planes actually in effect (the caller may have
+        # pinned planes while leaving tables to the recall rule)
+        n_tables = lsh_tables_for(planes, threshold, 0.95, 32)
     # corpus signing is the vectorized numpy path (read once, no cache);
     # planes=0 keeps the degenerate one-bucket column expression
     if planes == 0:
@@ -735,13 +828,13 @@ def lsh_ann_topk(
     emb: DataFrame,
     query_ids: list[int],
     k: int = 10,
-    planes: int = 4,
+    planes: int | None = None,
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     hash_mode: str = "xxhash64",
     n_probe: int = 4,
-    n_tables: int = 8,
+    n_tables: int | None = None,
     persist_index: bool = False,
 ) -> DataFrame:
     """Bucketed ANN: exact ranking restricted to the query's LSH bucket(s).
@@ -756,11 +849,31 @@ def lsh_ann_topk(
     signing + candidate cost.  The corpus side stays signed ONCE per table
     either way; only the tiny broadcast query side fans out.
 
-    The defaults (planes=4, n_probe=4, n_tables=8) are the RECALL.md-measured
-    production shape: recall@10 = 1.00 on the test corpus.  Cheaper shapes
-    (e.g. the single-table planes=6 n_probe=1 L=1 minimum, recall 0.08)
-    remain available explicitly when candidate volume must be minimal."""
+    By default (``planes=None``/``n_tables=None``) the shape AUTO-SIZES to
+    the corpus like :func:`lsh_neardup_pairs`: planes from
+    :func:`lsh_auto_shape`'s 512-row bucket budget (floor 4), and
+    ``n_tables = ⌈2·L_pairs / n_probe⌉`` capped at 16 — multi-probe buys
+    tables at the measured ~n_probe/2 exchange rate (RECALL.md: planes=4
+    n_probe=4 L=8 and n_probe=2 L=16 both hit recall@10 = 1.00, so at
+    small n the auto rule reproduces the measured production shape
+    (4, probe 4, L 8) exactly — the x06 gate pins that shape explicitly).
+    Above ~8k vectors planes grows with log₂(n), so per-query candidate
+    volume stays ~n_probe·L·budget instead of n_probe·L·n/16.  Cheaper
+    shapes (e.g. the single-table planes=6 n_probe=1 L=1 minimum, recall
+    0.08) remain available explicitly when candidate volume must be
+    minimal."""
     from pyspark.sql import Window
+
+    if planes is None:
+        planes = lsh_auto_shape(
+            emb.count(), target_recall=0.95, bucket_budget=512,
+            min_planes=4, max_tables=16,
+        )["planes"]
+    if n_tables is None:
+        import math
+
+        l_pairs = lsh_tables_for(planes, 0.45, 0.95, max_tables=1 << 30)
+        n_tables = max(1, min(16, math.ceil(2 * l_pairs / max(n_probe, 1))))
 
     # corpus signing: vectorized numpy GEMM path (the query side below stays
     # in column expressions — it is broadcast-tiny and needs the per-plane

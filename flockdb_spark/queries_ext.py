@@ -408,9 +408,13 @@ QUALIFY rank <= 10
 @query("x06_lsh_ann", _multiprobe_oracle_sql(4, 4, 8))
 def x06(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
-    # no shape args: this gate pins the DEFAULT (planes=4, n_probe=4, L=8)
+    # explicit shape: the RECALL.md production point (planes=4, n_probe=4,
+    # L=8, recall@10 = 1.00) — the same values the r7 auto-default rule
+    # picks below ~8k vectors, pinned here so this oracle stays valid at
+    # every sweep SF while the AUTO rule itself is gated by x109
     return similarity.lsh_ann_topk(
-        emb, ANN_QUERY_IDS, k=10, hash_mode="portable", persist_index=True,
+        emb, ANN_QUERY_IDS, k=10, planes=4, n_tables=8,
+        hash_mode="portable", persist_index=True,
     )
 
 
@@ -504,9 +508,13 @@ WHERE CAST(list_dot_product(a.ev, b.ev) AS BIGINT) >= 450000000000
 )
 def x18(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
-    # no shape args: this gate pins the DEFAULT (planes=4, n_tables=16)
+    # explicit shape: the RECALL.md production point (planes=4, L=16, pair
+    # recall 0.97) — identical to what the r7 auto-default rule picks below
+    # ~8k vectors, pinned here so this oracle stays valid at every sweep SF
+    # while the AUTO rule itself is gated by x109
     return similarity.lsh_neardup_pairs(
-        emb, threshold=0.45, hash_mode="portable", persist_index=True,
+        emb, threshold=0.45, planes=4, n_tables=16,
+        hash_mode="portable", persist_index=True,
     )
 
 
@@ -2753,3 +2761,47 @@ sizes AS (
 def x108(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = store_for(spark, sf_dir)
     return analytics.neighborhood_jaccard(st.edges, graph_id=3, threshold=0.01)
+
+
+# ---------------------------------------------------------------------------
+# x109 — LSH near-dup at the AUTO-SIZED shape (the r7 default): the
+# operator counts the corpus and sizes (planes, n_tables) itself via
+# lsh_auto_shape — planes from the 512-row bucket budget (floor 4), tables
+# from the 0.95 at-threshold recall target (cap 32).  The oracle computes
+# the SAME shape from count(*) inside the query (lsh_auto_shape_sql +
+# lsh_bucket_dyn_sql), so this single SQL string stays valid at every
+# sweep SF — at sf0.01 it resolves to the x18 production shape (4, 16), at
+# sf1.0 to (6, 32), and the gate proves the Python and SQL shape rules
+# agree wherever it runs.  This is what keeps candidate work ~n·budget·L
+# instead of n²/2^planes at 100 TB (SCALE.md sf3→sf10 measurement).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x109_lsh_auto_neardup",
+    f"""
+WITH v AS (SELECT vec_id, {_QUANT} AS ev FROM embeddings),
+shape AS (
+{similarity.lsh_auto_shape_sql("v", threshold=0.45, target_recall=0.95,
+                               bucket_budget=512, min_planes=4, max_tables=32)}
+),
+sig AS (
+  SELECT vec_id, ev, t AS tbl,
+         {similarity.lsh_bucket_dyn_sql("ev", 64)} AS bucket
+  FROM v
+  CROSS JOIN shape
+  CROSS JOIN (SELECT unnest(range(0, (SELECT n_tables FROM shape))) AS t)
+)
+SELECT DISTINCT a.vec_id AS a, b.vec_id AS b,
+       CAST(list_dot_product(a.ev, b.ev) AS BIGINT) AS dot_micro2
+FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                     AND a.vec_id < b.vec_id
+WHERE CAST(list_dot_product(a.ev, b.ev) AS BIGINT) >= 450000000000
+""",
+)
+def x109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    # NO shape args — this gate exists to pin the auto-sizing default
+    return similarity.lsh_neardup_pairs(
+        emb, threshold=0.45, hash_mode="portable", persist_index=True,
+    )

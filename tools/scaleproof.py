@@ -64,7 +64,7 @@ def main() -> None:
 
         # wall time per gated query (cold: catalog cache cleared before each)
         for name in ("x01_dedup_exact", "x03_minhash_lsh", "x18_lsh_neardup",
-                     "x71_source_overlap"):
+                     "x109_lsh_auto_neardup", "x71_source_overlap"):
             spark.catalog.clearCache()
             t0 = time.monotonic()
             out = q.QUERIES[name](spark, sf_dir)
@@ -89,6 +89,17 @@ def main() -> None:
         )
         d = dist(sig, ["tbl", "bucket"])
         print(f"RESULT {json.dumps({'sf_dir': sf_dir, 'buckets': 'x18 hyperplane buckets (planes=4 L=16)', **d})}")
+
+        # the r7 auto-sized default: planes grows with log2(n), so the
+        # bucket population must stay ~bucket_budget as the corpus scales
+        auto = similarity.lsh_auto_shape(n_vecs, min_planes=4, max_tables=32)
+        sig = similarity._np_sign(
+            emb, "vec_id", "embedding", 64, auto["planes"], "xxhash64",
+            auto["n_tables"], "_id", "_v",
+        )
+        d = dist(sig, ["tbl", "bucket"])
+        label = f"x109 auto buckets (planes={auto['planes']} L={auto['n_tables']})"
+        print(f"RESULT {json.dumps({'sf_dir': sf_dir, 'buckets': label, **d})}")
 
         sh = dedup.word_shingles(docs, 3)
         src_sh = (
