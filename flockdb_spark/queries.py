@@ -373,6 +373,12 @@ WHERE graph_id = 1 AND state = 0 AND source_id IN (SELECT source_id FROM src10)
 """),
 )
 def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dest-ordered rank.  The rank window repartitions only the
+    POST-semi-join rows (10 vertices' adjacency) — job floor, not data: q07
+    walls equal q05's at every SF (0.258 vs 0.247 s at sf3.0).  On the
+    bucketed layout the exchange disappears entirely
+    (test_plans.py::test_bucketed_layout_joins_without_exchange_on_edge_side,
+    PLANS.md "known job-floor residuals")."""
     st = store_for(spark, sf_dir)
     w = Window.partitionBy("source_id").orderBy(F.desc("destination_id"))
     return (

@@ -279,4 +279,17 @@ def test_bucketed_layout_joins_without_exchange_on_edge_side(spark, store, tmp_p
     # exactly one hashpartitioning exchange total: the ranks side; the
     # bucketed edge side is exchange-free
     assert plan.count("Exchange hashpartitioning") <= 1
+
+    # q07's residual exchange (PLANS.md "known job-floor residuals"): the
+    # per-source rank window needs hash(source_id) — on THIS layout the
+    # scan already provides it, so the window plans ZERO exchanges.  The
+    # range layout keeps the exchange and buys point-read pruning instead.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source_id").orderBy(F.desc("destination_id"))
+    ranked = (
+        bucketed.where((F.col("graph_id") == 1) & (F.col("state") == 0))
+        .select("source_id", "destination_id", F.row_number().over(w).alias("rn"))
+    )
+    assert plan_str(ranked, "simple").count("Exchange hashpartitioning") == 0
     spark.sql("DROP TABLE IF EXISTS edges_bucketed_t")
