@@ -438,6 +438,73 @@ def vocab_drift(
     return out
 
 
+def vocab_drift_single_scan(
+    docs: DataFrame,
+    side,
+    k: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`vocab_drift` when BOTH snapshots come from one source table —
+    the common monitoring case (this week's corpus vs last week's, split by
+    a snapshot column).  ``side`` is a boolean/int column expression: 0 →
+    snapshot A, 1 → snapshot B.
+
+    One corpus pass instead of two: tag each row with its side, tokenize
+    ONCE, and fold both snapshots' counts in a single term-keyed
+    aggregation (conditional count columns — a groupBy(term, side) pivot
+    fused into one combine).  The vocabulary-sized full-outer join
+    disappears entirely: a term missing from one side simply counts 0
+    there.  Everything downstream (totals off the cached count table,
+    broadcast 1-row totals join, TakeOrdered top-k) matches
+    :func:`vocab_drift`, and so does the output schema — the x105 gate
+    pins row equality against the same oracle.
+
+    Scale shape (100 TB): ONE tokenize+explode → ONE term-keyed shuffle
+    with map-side combine; halves the corpus cost of the two-scan form
+    (VERDICT r6 item 4)."""
+    from .text import tokens
+
+    s = side if not isinstance(side, str) else F.col(side)
+    counts = (
+        docs.select(s.cast("int").alias("_side"), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count(F.when(F.col("_side") == 0, 1)).cast("long").alias("c_a"),
+            F.count(F.when(F.col("_side") == 1, 1)).cast("long").alias("c_b"),
+        )
+        .cache()
+    )
+    totals = F.broadcast(
+        counts.agg(
+            F.sum("c_a").cast("long").alias("n_a"),
+            F.sum("c_b").cast("long").alias("n_b"),
+        )
+    )
+    j = (
+        counts.crossJoin(totals)
+        .select(
+            "term",
+            "c_a",
+            "c_b",
+            F.expr("c_a * 1000000 div n_a").cast("long").alias("p_a_micro"),
+            F.expr("c_b * 1000000 div n_b").cast("long").alias("p_b_micro"),
+        )
+        .withColumn(
+            "drift_micro", F.abs(F.col("p_a_micro") - F.col("p_b_micro")).cast("long")
+        )
+        .orderBy(F.desc("drift_micro"), F.asc("term"))
+        .limit(k)
+    )
+    out = j.withColumn(
+        "rnk",
+        F.row_number().over(
+            Window.orderBy(F.desc("drift_micro"), F.asc("term"))
+        ).cast("long"),
+    )
+    out._flockdb_caches = [counts]
+    return out
+
+
 def vocab_drift_sql(k: int = 20) -> str:
     """DuckDB twin of the x105 gate: snapshot A = even doc_ids, snapshot B =
     odd doc_ids of ``documents``."""

@@ -2677,20 +2677,18 @@ def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x105 — vocabulary drift between corpus snapshots: per-term total-variation
 # contribution |c_a·1e6 div N_a − c_b·1e6 div N_b|, top-k by (drift, term) —
 # the distribution-shift monitor a continuously-refreshed corpus publishes
-# per snapshot.  Fixture snapshots: even vs odd doc_ids.  Two corpus-sized
-# term counts, vocabulary-sized full-outer join, TakeOrdered top-k; totals
-# derive from the cached count tables (stats-from-cache, x25's rule).
+# per snapshot.  Fixture snapshots: even vs odd doc_ids — both sides of one
+# source table, so the gate runs the SINGLE-SCAN form (r7): tag, tokenize
+# once, fold both counts in one term-keyed aggregation; no full-outer join.
+# The two-table form (stats.vocab_drift) stays for genuinely separate
+# snapshots and is pinned row-equal by pytest.
 # ---------------------------------------------------------------------------
 
 
 @query("x105_vocab_drift", stats.vocab_drift_sql(k=20))
 def x105(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents")
-    return stats.vocab_drift(
-        docs.where(F.col("doc_id") % 2 == 0),
-        docs.where(F.col("doc_id") % 2 == 1),
-        k=20,
-    )
+    return stats.vocab_drift_single_scan(docs, F.col("doc_id") % 2, k=20)
 
 
 # ---------------------------------------------------------------------------

@@ -1831,6 +1831,30 @@ def test_vocab_drift_planted_shift(spark):
         ("alpha", 125_000), ("beta", 125_000)
     ]
 
+    # the single-scan form (one tokenize, one term-keyed agg, no
+    # full-outer join) must be row-identical to the two-table form
+    union = a.unionByName(b)
+    single = stats.vocab_drift_single_scan(union, F.col("doc_id") % 2, k=3)
+    srows = single.collect()
+    for c in getattr(single, "_flockdb_caches", []):
+        c.unpersist()
+    key = lambda r: (r["term"], r["c_a"], r["c_b"], r["p_a_micro"],  # noqa: E731
+                     r["p_b_micro"], r["drift_micro"], r["rnk"])
+    assert [key(r) for r in srows] == [key(r) for r in rows]
+    # and its plan carries exactly ONE corpus-sized shuffle (the term agg —
+    # the cached count table is referenced twice, so the SAME exchange
+    # prints twice; count distinct plan ids on a FRESH plan, since AQE
+    # re-instantiates fragments with new ids once executed); the totals
+    # ride a broadcast, the top-k is a TakeOrdered
+    import re
+
+    fresh = stats.vocab_drift_single_scan(union, F.col("doc_id") % 2, k=3)
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    for c in getattr(fresh, "_flockdb_caches", []):
+        c.unpersist()
+    ids = set(re.findall(r"Exchange hashpartitioning\(.*?plan_id=(\d+)", plan))
+    assert len(ids) == 1, plan
+
 
 def test_probe_fit_recovers_planted_weights(spark):
     """solve_probe inverts the exact sufficient statistics: when y IS a
