@@ -378,6 +378,8 @@ def hybrid_rrf_topk(
     k_lex: int = 20,
     rrf_k: int = 60,
     text_col: str = "text",
+    dense_fn=None,
+    dense_brute_max_dots: int = 10**9,
 ) -> DataFrame:
     """Hybrid retrieval: fuse a DENSE ranking (embedding cosine top-k) with a
     LEXICAL ranking (IDF-weighted term-overlap top-k) by reciprocal-rank
@@ -392,12 +394,20 @@ def hybrid_rrf_topk(
     itself is excluded from both legs.
 
     Scale shape (100 TB corpus):
-      dense leg   — :func:`~flockdb_spark.functions.similarity.brute_force_topk`
-                    (broadcast query matrix, per-partition Arrow GEMM, local
-                    top-k, one ≤k·|Q|-per-partition shuffle).  Any ANN twin
-                    with the same (query_id, neighbor_id, rank) contract
-                    (lsh_ann_topk / ivf_ann_topk) slots in for sub-linear
-                    candidate generation at corpus scale.
+      dense leg   — pluggable via ``dense_fn(emb, query_ids, k) ->
+                    (query_id, neighbor_id, rank)``.  When omitted, the
+                    leg AUTO-SELECTS (r7, the x84 stats-driven pattern):
+                    brute-force GEMM while the dot budget
+                    ``n_vectors · |Q| ≤ dense_brute_max_dots`` (the full
+                    GEMM beats signing L hash tables whenever |Q| < L, so
+                    small workloads never pay the index), else
+                    ``lsh_ann_topk`` at its auto-sized shape — sub-linear
+                    candidate generation so scale users don't inherit the
+                    O(corpus·|Q|) brute default.  x101 gates the brute
+                    branch, x110 gates an explicit ANN ``dense_fn`` against
+                    an oracle that replays the multi-probe dense leg in
+                    SQL; a plan test pins that the ANN path engages at the
+                    threshold.
       lexical leg — the corpus token stream is FILTERED against the
                     broadcast query-term union BEFORE any shuffle (only a
                     term occurring in some query document can score), so
@@ -414,10 +424,17 @@ def hybrid_rrf_topk(
     """
     from pyspark.sql import Window
 
-    from .similarity import brute_force_topk
+    from .similarity import brute_force_topk, lsh_ann_topk
 
     qids = [int(i) for i in query_ids]
-    dense = brute_force_topk(emb, qids, k=k_dense).select(
+    if dense_fn is None:
+        # one metadata-cheap count decides the leg (same rule family as
+        # lsh_auto_shape / heavy_hitters 'auto')
+        if emb.count() * max(len(qids), 1) <= dense_brute_max_dots:
+            dense_fn = lambda e, q, kk: brute_force_topk(e, q, k=kk)  # noqa: E731
+        else:
+            dense_fn = lambda e, q, kk: lsh_ann_topk(e, q, k=kk)  # noqa: E731
+    dense = dense_fn(emb, qids, k_dense).select(
         "query_id",
         F.col("neighbor_id").alias("doc_id"),
         F.col("rank").cast("long").alias("dense_rank"),
@@ -488,12 +505,18 @@ def hybrid_rrf_sql(
     k_dense: int = 20,
     k_lex: int = 20,
     rrf_k: int = 60,
+    dense_ctes: str | None = None,
 ) -> str:
-    """DuckDB twin of :func:`hybrid_rrf_topk` over ``documents``/``embeddings``."""
+    """DuckDB twin of :func:`hybrid_rrf_topk` over ``documents``/``embeddings``.
+
+    ``dense_ctes`` mirrors the Spark side's pluggable ``dense_fn``: a
+    WITH-clause body whose LAST cte must be ``dense(query_id, doc_id,
+    dense_rank)`` with dense_rank ≤ k_dense.  Default is the exact
+    brute-force leg; the x110 gate passes the multi-probe LSH leg."""
     ids = ", ".join(str(int(i)) for i in query_ids)
     quant = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000))"
-    return f"""
-WITH q AS (
+    if dense_ctes is None:
+        dense_ctes = f"""q AS (
   SELECT vec_id AS query_id, {quant} AS qv FROM embeddings
   WHERE vec_id IN ({ids})
 ),
@@ -506,7 +529,9 @@ dense AS (
          ) AS BIGINT) AS dense_rank
   FROM q, c WHERE doc_id <> query_id
   QUALIFY dense_rank <= {k_dense}
-),
+)"""
+    return f"""
+WITH {dense_ctes},
 tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
 tf AS (SELECT doc_id, term FROM tok GROUP BY doc_id, term),
 dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),

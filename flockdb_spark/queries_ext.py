@@ -349,12 +349,10 @@ def _multi_sig_cte(planes: int, n_tables: int) -> str:
     return "sig AS (\n" + "\nUNION ALL\n".join(selects) + "\n)"
 
 
-def _multiprobe_oracle_sql(planes: int, n_probe: int, n_tables: int) -> str:
-    """DuckDB twin of ``lsh_ann_topk`` at (planes, n_probe, n_tables): the
-    per-table portable bucket assignment (UNION ALL sig), each query's
-    per-table margins → base bucket + the ``n_probe - 1`` smallest-|margin|
-    bit flips, the cross-table candidate union (DISTINCT before ranking),
-    and the exact rerank."""
+def _multiprobe_ctes(planes: int, n_probe: int, n_tables: int) -> str:
+    """WITH-clause body (v, sig, qs, qb, probes, scored) of the multi-probe
+    LSH ANN twin — shared by the standalone oracles (x06/x35/x52) and the
+    x110 hybrid gate, whose dense leg reuses ``scored``."""
     qid_list = ", ".join(map(str, ANN_QUERY_IDS))
     qs_selects = []
     for t in range(n_tables):
@@ -371,8 +369,7 @@ def _multiprobe_oracle_sql(planes: int, n_probe: int, n_tables: int) -> str:
         f"(CASE WHEN ss[{p + 1}] > 0 THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
         for p in range(planes)
     )
-    return f"""
-WITH v AS (SELECT vec_id, {_QUANT} AS ev FROM embeddings),
+    return f"""v AS (SELECT vec_id, {_QUANT} AS ev FROM embeddings),
 {_multi_sig_cte(planes, n_tables)},
 qs AS (
 {qs}
@@ -395,7 +392,17 @@ scored AS (
          CAST(list_dot_product(qv, s.ev) AS BIGINT) AS dot_micro2
   FROM sig s JOIN probes p ON s.bucket = p.qbucket AND s.tbl = p.qtbl
   WHERE s.vec_id <> p.query_id
-)
+)"""
+
+
+def _multiprobe_oracle_sql(planes: int, n_probe: int, n_tables: int) -> str:
+    """DuckDB twin of ``lsh_ann_topk`` at (planes, n_probe, n_tables): the
+    per-table portable bucket assignment (UNION ALL sig), each query's
+    per-table margins → base bucket + the ``n_probe - 1`` smallest-|margin|
+    bit flips, the cross-table candidate union (DISTINCT before ranking),
+    and the exact rerank."""
+    return f"""
+WITH {_multiprobe_ctes(planes, n_probe, n_tables)}
 SELECT query_id, neighbor_id, dot_micro2,
        CAST(row_number() OVER (
          PARTITION BY query_id ORDER BY dot_micro2 DESC, neighbor_id ASC
@@ -2802,4 +2809,42 @@ def x109(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NO shape args — this gate exists to pin the auto-sizing default
     return similarity.lsh_neardup_pairs(
         emb, threshold=0.45, hash_mode="portable", persist_index=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# x110 — hybrid RRF retrieval with an ANN dense leg (VERDICT r6 item 5):
+# x101's exact contract, but dense_fn = multi-probe LSH at the pinned
+# production shape (planes=4, n_probe=4, L=8 — recall@10 = 1.00 at gate
+# scale, so at THIS corpus the fused output equals x101's where the legs
+# agree, and the oracle replays the LSH dense leg exactly either way).
+# This is the leg hybrid_rrf_topk auto-selects past dense_brute_max_dots —
+# the 100 TB shape, gated: scale users no longer inherit an O(corpus·|Q|)
+# brute default.  A plan test pins that the auto rule actually switches.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x110_hybrid_rrf_ann",
+    relevance.hybrid_rrf_sql(
+        ANN_QUERY_IDS, k=10, k_dense=20, k_lex=20,
+        dense_ctes=f"""{_multiprobe_ctes(4, 4, 8)},
+dense AS (
+  SELECT query_id, neighbor_id AS doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY dot_micro2 DESC, neighbor_id ASC
+         ) AS BIGINT) AS dense_rank
+  FROM scored
+  QUALIFY dense_rank <= 20
+)""",
+    ),
+)
+def x110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    emb = _read(spark, sf_dir, "embeddings")
+    dense_fn = lambda e, q, kk: similarity.lsh_ann_topk(  # noqa: E731
+        e, q, k=kk, planes=4, n_probe=4, n_tables=8, hash_mode="portable",
+    )
+    return relevance.hybrid_rrf_topk(
+        docs, emb, ANN_QUERY_IDS, k=10, k_dense=20, k_lex=20, dense_fn=dense_fn,
     )
