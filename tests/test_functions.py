@@ -1856,6 +1856,41 @@ def test_vocab_drift_planted_shift(spark):
     assert len(ids) == 1, plan
 
 
+def test_media_codecs_roundtrip_and_guard(spark):
+    """The dependency-free PPM/WAV codecs: bytes out of encode_* are valid
+    files (stdlib `wave` opens the WAV independently), decode_blob parses
+    them back exactly, and unknown formats still raise the honest
+    NotImplementedError guard."""
+    import io
+    import wave
+
+    payload = b"hello media world" * 7
+
+    ppm = multimodal.encode_ppm(payload)
+    w, h, ns, rate, psum = multimodal.decode_blob(ppm)
+    assert (w, ns, rate) == (multimodal.PPM_WIDTH, 0, 0)
+    assert h == (len(payload) + 47) // 48 and psum == sum(payload)
+    assert ppm.startswith(b"P6\n16 ") and len(ppm) == ppm.index(b"255\n") + 4 + 48 * h
+
+    wav = multimodal.encode_wav(payload)
+    w, h, ns, rate, psum = multimodal.decode_blob(wav)
+    assert (w, h) == (0, 0)
+    assert ns == len(payload) and rate == multimodal.WAV_RATE
+    assert psum == sum(payload)
+    # independent parser: the stdlib wave module must agree
+    with wave.open(io.BytesIO(wav)) as f:
+        assert f.getnchannels() == 1 and f.getsampwidth() == 2
+        assert f.getframerate() == multimodal.WAV_RATE
+        assert f.getnframes() == len(payload)
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_blob(b"\x89PNG\r\n\x1a\n not supported here")
+
+    # empty payload: 1-row black image / 0-sample wav, no crashes
+    assert multimodal.decode_blob(multimodal.encode_ppm(b"")) == (16, 1, 0, 0, 0)
+    assert multimodal.decode_blob(multimodal.encode_wav(b"")) == (0, 0, 0, 8000, 0)
+
+
 def test_hybrid_rrf_dense_leg_auto_switch(spark):
     """hybrid_rrf_topk's dense leg auto-selects: brute GEMM under the dot
     budget, LSH-bucketed ANN above it — the plan must actually change at
