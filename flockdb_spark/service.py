@@ -14,8 +14,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .graph import EdgeStore
-from .operators.algebra import QueryNode, Simple, Term, WhereIn
+from .operators.algebra import INLINE_IN_LIST_MAX, QueryNode, Simple, Term, WhereIn
 from .operators.batch import batch_edge_pages, batch_flat_pages
+from .operators.classes import (
+    FlockTimeoutException,  # noqa: F401 — public surface (O5 timeout twin)
+    QueryClass,
+    class_for_trees,
+    query_class,
+)
 from .operators.counts import fetch_leaf_counts, size_estimate
 from .operators.merge import apply_oplog
 from .operators.paging import CURSOR_END, CURSOR_START, Cursor, Page, paginate
@@ -62,8 +68,20 @@ class FlockService:
     writes into a queue and applies them asynchronously, ``doc/blog.md:67-75``;
     batch Spark applies them synchronously per call)."""
 
-    def __init__(self, store: EdgeStore):
+    #: per-class timeout budget in seconds (O5, config/production.scala:26-35
+    #: — Select 1s, Execute 1s, SelectCopy 15s, SelectModify 3s...).  Empty
+    #: by default: the reference's budgets are per-MySQL-shard numbers; a
+    #: deployment sets its own.  Keys are QueryClass values.
+    DEFAULT_TIMEOUTS: dict = {}
+
+    def __init__(self, store: EdgeStore, timeouts: dict | None = None):
         self.store = store
+        self.timeouts = dict(self.DEFAULT_TIMEOUTS if timeouts is None else timeouts)
+
+    def _classed(self, cls: str):
+        """Scheduler-pool + job-group + timeout scope for one service action
+        (O5 — operators/classes.py; the reference's per-class evaluator)."""
+        return query_class(self.store.spark, cls, self.timeouts.get(cls))
 
     # -- point reads (EdgesService.scala:42-84) -----------------------------
 
@@ -74,15 +92,16 @@ class FlockService:
         Thrift ``get`` THROWS ``FlockException`` on absence
         (``Flockdb.thrift:141-144``); the Pythonic default here returns
         ``None``.  Pass ``strict=True`` for reference-exact raising."""
-        rows = (
-            self.store.graph(graph_id)
-            .where(
-                (F.col("source_id") == source_id)
-                & (F.col("destination_id") == destination_id)
+        with self._classed(QueryClass.SELECT_SINGLE):
+            rows = (
+                self.store.graph(graph_id)
+                .where(
+                    (F.col("source_id") == source_id)
+                    & (F.col("destination_id") == destination_id)
+                )
+                .limit(1)
+                .collect()
             )
-            .limit(1)
-            .collect()
-        )
         if not rows:
             if strict:
                 raise FlockException(
@@ -102,13 +121,14 @@ class FlockService:
         Same documented divergence as :meth:`get`: the reference throws on
         absence (``Flockdb.thrift:146-149``); default here is ``None``,
         ``strict=True`` raises ``FlockException``."""
-        rows = (
-            self.store.metadata.where(
-                (F.col("graph_id") == graph_id) & (F.col("source_id") == source_id)
+        with self._classed(QueryClass.SELECT_METADATA):
+            rows = (
+                self.store.metadata.where(
+                    (F.col("graph_id") == graph_id) & (F.col("source_id") == source_id)
+                )
+                .limit(1)
+                .collect()
             )
-            .limit(1)
-            .collect()
-        )
         if not rows:
             if strict:
                 raise FlockException(f"no metadata ({source_id}, graph {graph_id})")
@@ -129,32 +149,34 @@ class FlockService:
         IN-lists — falls back to one Catalyst plan per program.  Pages are in
         the reference's order, destination id DESC (``SqlShard.select``)."""
         trees = [compile_select(q.operations) for q in queries]
-        batched = None
-        if all(q.cursor == CURSOR_START for q in queries):
-            batched = batch_flat_pages(
-                self.store, [(t, q.page_count) for t, q in zip(trees, queries)]
-            )
-        if batched is not None:
-            by_qix: dict[int, list[int]] = {i: [] for i in range(len(queries))}
-            for r in batched.collect():
-                by_qix[r["qix"]].append(r["id"])
-            out = []
-            for i, q in enumerate(queries):
-                ids = sorted(by_qix[i], reverse=True)
-                has_more = len(ids) > q.page_count
-                ids = ids[: q.page_count]
-                next_cursor: Cursor | str = (
-                    Cursor(ids[-1], ids[-1]) if ids and has_more else CURSOR_END
+        cls = class_for_trees(trees, INLINE_IN_LIST_MAX)
+        with self._classed(cls):
+            batched = None
+            if all(q.cursor == CURSOR_START for q in queries):
+                batched = batch_flat_pages(
+                    self.store, [(t, q.page_count) for t, q in zip(trees, queries)]
                 )
-                out.append(Page([(v, v) for v in ids], next_cursor, CURSOR_START))
+            if batched is not None:
+                by_qix: dict[int, list[int]] = {i: [] for i in range(len(queries))}
+                for r in batched.collect():
+                    by_qix[r["qix"]].append(r["id"])
+                out = []
+                for i, q in enumerate(queries):
+                    ids = sorted(by_qix[i], reverse=True)
+                    has_more = len(ids) > q.page_count
+                    ids = ids[: q.page_count]
+                    next_cursor: Cursor | str = (
+                        Cursor(ids[-1], ids[-1]) if ids and has_more else CURSOR_END
+                    )
+                    out.append(Page([(v, v) for v in ids], next_cursor, CURSOR_START))
+                return out
+            out = []
+            for q, tree in zip(queries, trees):
+                ids = tree.ids(self.store)
+                # set-op results are id-ordered; reuse id as the sort key
+                df = ids.select(F.col("id").alias("_sort"), F.col("id").alias("_id"))
+                out.append(paginate(df, "_sort", "_id", q.page_count, q.cursor))
             return out
-        out = []
-        for q, tree in zip(queries, trees):
-            ids = tree.ids(self.store)
-            # set-op results are id-ordered; reuse id as the sort key
-            df = ids.select(F.col("id").alias("_sort"), F.col("id").alias("_id"))
-            out.append(paginate(df, "_sort", "_id", q.page_count, q.cursor))
-        return out
 
     def select_edges(
         self,
@@ -178,14 +200,15 @@ class FlockService:
         cursor: Cursor | str,
     ) -> Page:
         node = WhereIn(term, destination_ids) if destination_ids else Simple(term)
-        return paginate(
-            node.edges(self.store),
-            "position",
-            term.id_col,
-            count,
-            cursor,
-            include_rows=True,
-        )
+        with self._classed(class_for_trees([node], INLINE_IN_LIST_MAX)):
+            return paginate(
+                node.edges(self.store),
+                "position",
+                term.id_col,
+                count,
+                cursor,
+                include_rows=True,
+            )
 
     def select_edges_batch(self, queries: list[EdgeQuery]) -> list[Page]:
         """The reference's REAL selectEdges signature — ``list<EdgeQuery>`` in
@@ -204,7 +227,9 @@ class FlockService:
             self.store, [(q.term, q.destination_ids, q.count) for q in queries]
         )
         by_qix: dict[int, list] = {i: [] for i in range(len(queries))}
-        for r in batched.collect():
+        with self._classed(QueryClass.SELECT):
+            rows_all = batched.collect()
+        for r in rows_all:
             by_qix[r["qix"]].append(r)
         out = []
         for i, q in enumerate(queries):
@@ -234,8 +259,9 @@ class FlockService:
         lookups for all programs are batched into a single metadata collect
         (``Flockdb.thrift:154-156`` takes the whole program list at once)."""
         trees = [compile_select(p) for p in programs]
-        counts = fetch_leaf_counts(self.store, trees)
-        return [size_estimate(self.store, t, _counts=counts) for t in trees]
+        with self._classed(QueryClass.SELECT):
+            counts = fetch_leaf_counts(self.store, trees)
+            return [size_estimate(self.store, t, _counts=counts) for t in trees]
 
     count = count2  # deprecated alias (Flockdb.thrift:165)
 
@@ -255,7 +281,13 @@ class FlockService:
         """R16 — full-table ordered scan, the copy/repair source
         (``SqlShard.scala:216-238``).  The reference chunks this with a
         compound (source, destination) cursor; Spark's native batch scan
-        replaces the chunking, the order is the same."""
+        replaces the chunking, the order is the same.
+
+        Lazy (returns the DataFrame): the copy job runs at the CALLER's
+        action, so class it there —
+        ``with query_class(spark, QueryClass.SELECT_COPY): df.write...``
+        (O5; the reference's 15 s SelectCopy budget lives in
+        ``FlockService.timeouts``)."""
         df = self.store.edges if graph_id is None else self.store.graph(graph_id)
         return df.orderBy("source_id", "destination_id")
 
@@ -281,18 +313,19 @@ class FlockService:
     def execute(self, operations: list[ExecuteOperation], at: int | None = None) -> None:
         now = at if at is not None else int(time.time())
         ops_df = compile_execute(self.store.spark, operations, now)
-        edges, metadata = apply_oplog(
-            self.store.edges,
-            self.store.metadata,
-            ops_df,
-            resolve_with_metadata=True,
-            # the compiled program's shape is known here — prune dead branches
-            has_single=any(op.term.destination_ids is not None for op in operations),
-            has_mass=any(op.term.destination_ids is None for op in operations),
-        )
-        # Materialize the merged batch and truncate lineage — the batch
-        # equivalent of the reference committing each write to storage.  In a
-        # cluster deployment this is a write to the edge table (Delta/parquet);
-        # locally a checkpoint keeps repeated executes from stacking plans.
-        self.store.edges = edges.localCheckpoint(eager=True)
-        self.store.metadata = metadata.localCheckpoint(eager=True)
+        with self._classed(QueryClass.EXECUTE):
+            edges, metadata = apply_oplog(
+                self.store.edges,
+                self.store.metadata,
+                ops_df,
+                resolve_with_metadata=True,
+                # the compiled program's shape is known here — prune dead branches
+                has_single=any(op.term.destination_ids is not None for op in operations),
+                has_mass=any(op.term.destination_ids is None for op in operations),
+            )
+            # Materialize the merged batch and truncate lineage — the batch
+            # equivalent of the reference committing each write to storage.  In a
+            # cluster deployment this is a write to the edge table (Delta/parquet);
+            # locally a checkpoint keeps repeated executes from stacking plans.
+            self.store.edges = edges.localCheckpoint(eager=True)
+            self.store.metadata = metadata.localCheckpoint(eager=True)

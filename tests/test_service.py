@@ -222,3 +222,110 @@ def test_select2_batch_one_scan(svc):
     # cursor continuation falls back to the per-program path, page-coherently
     [page2] = svc.select2([SelectQuery(p_uni, page_count=2, cursor=pages[1].next_cursor)])
     assert [r[1] for r in page2.rows] == [11, 10]
+
+
+def test_query_classes_tag_scheduler_pools(svc, spark):
+    """O5 (config/production.scala:26-35): every service action runs under
+    its class's FAIR scheduler pool and restores the caller's properties."""
+    from flockdb_spark.operators.classes import POOLS, QueryClass, query_class
+
+    sc = spark.sparkContext
+    seen = {}
+    orig = query_class
+
+    # observe the pool while an action runs by sampling the local property
+    # inside the context manager
+    import flockdb_spark.service as svcmod
+
+    class Probe:
+        def __init__(self, inner):
+            self.inner = inner
+
+        def __enter__(self):
+            out = self.inner.__enter__()
+            # the property is LIVE inside the action scope
+            seen[self.cls] = sc.getLocalProperty("spark.scheduler.pool")
+            return out
+
+        def __exit__(self, *a):
+            return self.inner.__exit__(*a)
+
+    def probing(spark_, cls, timeout=None):
+        p = Probe(orig(spark_, cls, timeout))
+        p.cls = cls
+        return p
+
+    svcmod.query_class, svcmod_orig = probing, svcmod.query_class
+    try:
+        svc.get(1, 1, 10)
+        svc.get_metadata(1, 1)
+        svc.count2([[SelectOperation(SelectOperationType.SIMPLE_QUERY, QueryTerm(1, 1, True))]])
+        svc.select_edges(1, 1)
+        svc.select_edges(1, 1, destination_ids=(10, 11))
+    finally:
+        svcmod.query_class = svcmod_orig
+    assert seen[QueryClass.SELECT_SINGLE] == "flock_select_single"
+    assert seen[QueryClass.SELECT_METADATA] == "flock_select_metadata"
+    assert seen[QueryClass.SELECT] == "flock_select"
+    # the small IN-list page routes to the SMALL intersection class
+    assert seen[QueryClass.SELECT_INTERSECTION_SMALL] == "flock_select_intersection_small"
+    # caller's property restored after every action
+    assert sc.getLocalProperty("spark.scheduler.pool") in (None, "")
+
+
+def test_query_class_classification_and_timeout(svc, spark):
+    """class_for_trees mirrors the reference's intersection split; the
+    watchdog cancels a over-budget action with FlockTimeoutException."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from flockdb_spark.operators.algebra import INLINE_IN_LIST_MAX
+    from flockdb_spark.operators.classes import (
+        FlockTimeoutException,
+        QueryClass,
+        class_for_trees,
+        query_class,
+    )
+    from flockdb_spark.plans.compiler import compile_select
+
+    def prog(*ops):
+        return compile_select(list(ops))
+
+    simple = prog(SelectOperation(SelectOperationType.SIMPLE_QUERY, QueryTerm(1, 1, True)))
+    small_in = prog(
+        SelectOperation(SelectOperationType.SIMPLE_QUERY, QueryTerm(1, 1, True, (10, 11)))
+    )
+    big_in = prog(
+        SelectOperation(
+            SelectOperationType.SIMPLE_QUERY,
+            QueryTerm(1, 1, True, tuple(range(INLINE_IN_LIST_MAX + 1))),
+        )
+    )
+    inter = prog(
+        SelectOperation(SelectOperationType.SIMPLE_QUERY, QueryTerm(1, 1, True)),
+        SelectOperation(SelectOperationType.SIMPLE_QUERY, QueryTerm(2, 1, True)),
+        SelectOperation(SelectOperationType.INTERSECTION),
+    )
+    M = INLINE_IN_LIST_MAX
+    assert class_for_trees([simple], M) == QueryClass.SELECT
+    assert class_for_trees([small_in], M) == QueryClass.SELECT_INTERSECTION_SMALL
+    assert class_for_trees([big_in], M) == QueryClass.SELECT_INTERSECTION
+    assert class_for_trees([inter], M) == QueryClass.SELECT_INTERSECTION_SMALL
+    assert class_for_trees([simple, big_in], M) == QueryClass.SELECT_INTERSECTION
+
+    # watchdog: a deliberately slow job under a 0.4s budget is cancelled and
+    # surfaces the timeout twin (SqlQueryTimeoutException parity)
+    slow = (
+        spark.range(0, 200)
+        .select(F.col("id"))
+        .mapInPandas(
+            lambda it: (_t.sleep(0.15) or pdf for pdf in it),  # ~sleep per batch
+            "id long",
+        )
+    )
+    t0 = _t.monotonic()
+    with pytest.raises(FlockTimeoutException):
+        with query_class(spark, QueryClass.SELECT, timeout=0.4):
+            slow.crossJoin(slow.withColumnRenamed("id", "id2")).count()
+    assert _t.monotonic() - t0 < 30  # cancelled, not run to completion
