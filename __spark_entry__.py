@@ -31,67 +31,38 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver gates only the FIRST 50 registry entries each round, so we order
-# the registry by gate priority.  Rotated for r6 (registry now 125): the
-# three NEW entries (q24 batch selectEdges, q25 ordered-uuid W5, x98
-# semantic dedup) are ungated and sort first automatically; next come the
-# 23 entries whose last driver-green row is r3 (VERDICT r5 item 1 — the
-# FlockDB core q06–q21 plus the x01–x05/x16/x17 dedup family); then the 19
-# entries whose CODE or ORACLE changed this round (ANN default-shape gates
-# x06/x18 + pinned-shape x35/x38/x52/x53, the Arrow-native scorer family
-# x56/x64/x69/x77/x96, the x47 occurrence-cache rewrite, the x84
-# token-cache, the CSV/roundtrip pair, the bigram-cache family
-# x91/x93/x94/x95); the r4-green set fills the remaining first-50 slots;
-# the r5-green entries (freshest driver rows) gate last.  All 130 are
-# green in this round's local sf0.01 gate.  Seven entries joined ungated
-# this round and sort first automatically: x99 bm25-topk, x100 linear
-# quality classifier, x101 hybrid RRF retrieval, x102 phrase search,
-# x103 forced-sketch heavy hitters, x104 ORC round-trip, x105 vocabulary
-# drift — ten ungated in all with q24/q25/x98 from the first session.
-# (x84 flipped to cost-based auto strategy and the multi-table LSH family
-# moved to first-collision emission in the fourth session — both already
-# sit inside the gate window via the changed-in-r6 block.)
+# the registry by gate priority.  Rotated for r7 (registry now 136): the 16
+# UNGATED entries sort first automatically — q24/q25, x98–x108 (no driver
+# row yet), and the three NEW r7 entries x109 (auto-shaped LSH near-dup),
+# x110 (ANN-leg hybrid RRF), x111 (real PPM/WAV media decode).  Next gate
+# the 7 entries r6 deliberately deferred past its window (x33/x87/x88/x52/
+# x96/x64/x94 — the r6 registry comment promised they lead r7, and the r6
+# judge independently re-verified all 7); then the entries whose CODE
+# changed in r7 (x84's exact-branch empty-corpus fix; x18/x06 now pin
+# their shapes explicitly; the service-backed q01–q04/q14/q22/q23 run
+# under the new O5 scheduler-pool scopes); the r4-stale block fills the
+# remaining slots (last driver rows now 3 rounds old).  The r4 remainder
+# (x28–x30/x32/x34/x50/x51/x55/x57–x63/x65–x68) plus the r5/r6-green sets
+# gate after the window — all 136 are green in this round's local sf0.01
+# gate (and the committed sf1.0/sf3.0 sweeps).
 _GATED_GREEN = [
-    # last driver-green r3 (stalest — re-gate first)
-    "q06_keyset_pages", "q07_by_destination", "q08_backward", "q09_where_in",
-    "q10_intersection", "q11_union", "q12_difference", "q13_nested",
-    "q14_select_edges", "q15_incl_archived", "q16_state_filters",
-    "q17_oplog_replay", "q18_mass_action", "q19_metadata_merge",
-    "q20_reconcile", "q21_count_estimates", "x01_dedup_exact",
-    "x02_ngram_jaccard", "x17_dedup_resolve", "x03_minhash_lsh", "x04_simhash",
-    "x16_simhash_neardup", "x05_ann_topk",
-    # changed in r6 (code or oracle) — must re-gate.  Second r6 session
-    # added the Arrow-native ANN scorers (x56/x64/x69/x77/x96 join the LSH
-    # family below) and the x47 occurrence-cache/decimal rewrite.
-    "x06_lsh_ann", "x18_lsh_neardup", "x35_multiprobe_ann",
-    "x38_embedding_dedup",
-    "x53_lsh_neardup_multitable", "x56_int8_ann",
-    "x69_kmeans_fit", "x77_embedding_outliers",
-    "x47_bigram_surprisal", "x84_heavy_hitters",
-    "x91_kneser_ney", "x93_personalized_pagerank",
-    "x95_collocations",
-    # changed in the third r6 session: BM25 stats-from-cache (x25 shares
-    # the arithmetic x99 pins), pack_sequences cache, x84's 2x512 shape
-    # (already above)
-    "x25_bm25",
-    # changed in r6 but deferred past the 50-entry window (the 10 new
-    # ungated r6 entries displaced four slots): the roundtrip pair's change
-    # is environmental (per-process temp dir + CSV emptyValue), x33's is
-    # cache-sharing only, and x52's ANN path is gated by x06 at the bigger
-    # L=8 shape, x96's salted-join scorer and x64's quantizer are the same
-    # Arrow paths x18/x53/x05 gate, and x94's shared bigram-cache change
-    # is gated by x91/x95 — outputs identical, pinned by pytest and this
-    # round's local full sf0.01+sf0.1 gates.  Re-gate these seven first
-    # in r7.
+    # r6-deferred seven — promised first (VERDICT r6 item 2)
     "x33_seq_packing", "x87_jsonl_roundtrip", "x88_csv_roundtrip",
     "x52_lsh_ann_multitable", "x96_salted_join", "x64_label_centroids",
     "x94_kn_perplexity",
-    # last driver-green r4
-    "q22_select_all", "q23_select2_batch", "x15_ivf_ann",
+    # changed in r7 (code touched this round — see _CHANGED_IN_ROUND)
+    "x84_heavy_hitters", "x18_lsh_neardup", "x06_lsh_ann",
+    "q01_point_lookup", "q02_contains", "q03_metadata", "q04_degree_counts",
+    "q14_select_edges", "q22_select_all", "q23_select2_batch",
+    # last driver-green r4 (stalest block — fills the window)
+    "x15_ivf_ann",
     "x07_embedding_neardup", "x19_pipeline", "x08_quality", "x09_token_count",
     "x10_lang_id", "x11_fingerprint", "x12_multimodal", "x20_sessionization",
     "x21_asof_join", "x22_range_join", "x23_rollup", "x24_event_rollup",
     "x13_degree_dist", "x14_pagerank", "x26_topk_per_group",
-    "x27_triangles", "x28_train_split", "x29_stratified_sample",
+    "x27_triangles",
+    # r4-stale remainder (first candidates for the r8 window)
+    "x28_train_split", "x29_stratified_sample",
     "x30_length_quantiles", "x32_repetition", "x34_decontaminate",
     "x50_pii_redaction", "x51_training_order", "x55_select_top_quality",
     "x57_fuzzy_decontaminate", "x58_tfidf_top_terms",
@@ -99,8 +70,20 @@ _GATED_GREEN = [
     "x62_oov_rate", "x63_corpus_diff",
     "x65_leakage_free_splits", "x66_stream_sessionization",
     "x67_duplicated_spans", "x68_stream_event_rates",
-    # last driver-green r5 (freshest — gate last)
-    "q01_point_lookup", "q02_contains", "q03_metadata", "q04_degree_counts",
+    # driver-green r6 (FlockDB core + r6-gated extensions — freshest rows)
+    "q06_keyset_pages", "q07_by_destination", "q08_backward", "q09_where_in",
+    "q10_intersection", "q11_union", "q12_difference", "q13_nested",
+    "q15_incl_archived", "q16_state_filters",
+    "q17_oplog_replay", "q18_mass_action", "q19_metadata_merge",
+    "q20_reconcile", "q21_count_estimates", "x01_dedup_exact",
+    "x02_ngram_jaccard", "x17_dedup_resolve", "x03_minhash_lsh", "x04_simhash",
+    "x16_simhash_neardup", "x05_ann_topk",
+    "x35_multiprobe_ann", "x38_embedding_dedup",
+    "x53_lsh_neardup_multitable", "x56_int8_ann",
+    "x69_kmeans_fit", "x77_embedding_outliers",
+    "x47_bigram_surprisal", "x91_kneser_ney", "x93_personalized_pagerank",
+    "x95_collocations", "x25_bm25",
+    # driver-green r5
     "q05_wildcard", "x31_event_features",
     "x36_json_rollup", "x37_boilerplate", "x39_funnel", "x40_mixture_upsample",
     "x41_bigram_vocab", "x42_khop", "x43_mutual_edges", "x44_components",
@@ -114,6 +97,28 @@ _GATED_GREEN = [
     "x86_stream_interval_join", "x89_zorder_key", "x90_token_budget",
     "x92_last_touch", "x97_negative_samples",
 ]
+
+#: every query whose CODE or ORACLE was touched this round (kept current per
+#: round; tests/test_entry.py asserts each sits inside the driver's 50-entry
+#: gate window so a change never ships ungated — the r6 deferral can't
+#: silently recur).  Ungated entries sort first automatically and need no
+#: listing here unless also changed.
+_CHANGED_IN_ROUND = [
+    # r7: heavy-hitters empty-corpus fix; x18/x06 explicit shape pins;
+    # x105 single-scan + x101 dense-leg param (both still ungated);
+    # x106/x107 ADVICE fixes (ungated); service O5 scopes touch the
+    # service-backed gates; new x109/x110/x111 (ungated)
+    "x84_heavy_hitters", "x18_lsh_neardup", "x06_lsh_ann",
+    "x105_vocab_drift", "x101_hybrid_rrf", "x106_probe_fit",
+    "x107_multi_phrase",
+    "q01_point_lookup", "q02_contains", "q03_metadata", "q04_degree_counts",
+    "q14_select_edges", "q22_select_all", "q23_select2_batch",
+    "q24_select_edges_batch",
+    "x109_lsh_auto_neardup", "x110_hybrid_rrf_ann", "x111_media_decode",
+]
+
+#: the driver's per-round gate depth (first N of the ordered registry)
+GATE_WINDOW = 50
 
 
 def _gate_ordered(full: dict) -> dict:

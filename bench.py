@@ -98,6 +98,12 @@ BENCH_QUERIES = [
     # counts + vocab join) and the one-pass normal-equation probe fit
     "x105_vocab_drift",
     "x106_probe_fit",
+    # r7 additions: the AUTO-SIZED LSH near-dup (the new default shape —
+    # measured next to the pinned-shape x18), the ANN-leg hybrid retrieval
+    # twin, and the real PPM/WAV decode pass
+    "x109_lsh_auto_neardup",
+    "x110_hybrid_rrf_ann",
+    "x111_media_decode",
 ]
 
 #: queries whose plan .cache()es a corpus-side index (persist_index=True):
@@ -107,7 +113,10 @@ BENCH_QUERIES = [
 #: every timed pass) and the warm/index-resident time is reported
 #: separately under "warm_index" (the number a real serving deployment
 #: sees after the one-off index build).
-INDEX_PERSISTED = {"x15_ivf_ann", "x18_lsh_neardup", "x35_multiprobe_ann"}
+INDEX_PERSISTED = {
+    "x15_ivf_ann", "x18_lsh_neardup", "x35_multiprobe_ann",
+    "x109_lsh_auto_neardup",
+}
 
 #: queries whose DataFrame CONSTRUCTION performs eager corpus work (x84
 #: collects the count-min sketch to inline it as probe literals; the BM25
@@ -126,6 +135,10 @@ CONSTRUCT_IN_PASS = {
     # stats, x102's phrase derivation, and x105's totals are lazy broadcast
     # 1-row joins, so those construct cold for free)
     "x101_hybrid_rrf",
+    "x110_hybrid_rrf_ann",
+    # x109's construction runs the corpus count that decides the auto shape
+    # — that decision is part of what the query costs, so it's timed
+    "x109_lsh_auto_neardup",
 }
 
 
