@@ -74,7 +74,11 @@ def main() -> None:
     exact_pairs = {
         (r["a"], r["b"]) for r in similarity.neardup_pairs(emb, threshold=0.45).collect()
     }
-    for planes, n_tables in [(2, 1), (4, 1), (6, 1), (4, 8), (4, 16), (6, 16), (2, 8)]:
+    auto = similarity.lsh_auto_shape(n, min_planes=4, max_tables=32)
+    pair_shapes = [(2, 1), (4, 1), (6, 1), (4, 8), (4, 16), (6, 16), (2, 8)]
+    if (auto["planes"], auto["n_tables"]) not in pair_shapes:
+        pair_shapes.append((auto["planes"], auto["n_tables"]))  # the r7 auto row
+    for planes, n_tables in pair_shapes:
         got_df = similarity.lsh_neardup_pairs(
             emb, threshold=0.45, planes=planes, n_tables=n_tables, hash_mode="xxhash64"
         )
