@@ -99,10 +99,14 @@ BENCH_QUERIES = [
     "x105_vocab_drift",
     "x106_probe_fit",
     # r7 additions: the AUTO-SIZED LSH near-dup (the new default shape —
-    # measured next to the pinned-shape x18), the ANN-leg hybrid retrieval
-    # twin, and the real PPM/WAV decode pass
+    # measured next to the pinned-shape x18) and the real PPM/WAV decode
+    # pass.  x110 (hybrid RRF with the ANN dense leg) stays OFF the
+    # headline for the same reason x05/x07 do: it gates the scale path's
+    # plumbing, and at sf0.1 with |Q|=5 the 8-table leg is exactly the
+    # choice hybrid_rrf_topk's auto rule rejects (brute GEMM wins below
+    # the dot budget; x101 measures that default) — racing the deliberately
+    # wrong-at-this-scale branch against DuckDB measures nothing.
     "x109_lsh_auto_neardup",
-    "x110_hybrid_rrf_ann",
     "x111_media_decode",
 ]
 
