@@ -78,6 +78,7 @@ def query_class(spark, cls: str, timeout: float | None = None):
     prev_pool = sc.getLocalProperty("spark.scheduler.pool")
     prev_group = sc.getLocalProperty("spark.jobGroup.id")
     prev_desc = sc.getLocalProperty("spark.job.description")
+    prev_interrupt = sc.getLocalProperty("spark.job.interruptOnCancel")
     group = f"flockdb-{cls}-{next(_group_counter)}"
     sc.setLocalProperty("spark.scheduler.pool", POOLS[cls])
     sc.setJobGroup(group, f"flockdb {cls}", interruptOnCancel=True)
@@ -107,6 +108,7 @@ def query_class(spark, cls: str, timeout: float | None = None):
         sc.setLocalProperty("spark.scheduler.pool", prev_pool)
         sc.setLocalProperty("spark.jobGroup.id", prev_group)
         sc.setLocalProperty("spark.job.description", prev_desc)
+        sc.setLocalProperty("spark.job.interruptOnCancel", prev_interrupt)
 
 
 def class_for_trees(trees, small_max: int) -> str:
