@@ -108,3 +108,18 @@ def test_resolve_duplicates_chain_components(spark):
     )
     got = {r["doc_id"]: r["canonical_id"] for r in resolve_duplicates(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+
+
+def test_resolve_duplicates_deep_chain_pointer_jumping(spark):
+    """The sf3.0 regression: a component DEEPER than the iteration cap.
+    Plain hop-propagation silently returned unconverged labels on a
+    60-hop chain with max_iterations=20; pointer jumping converges in
+    O(log diameter) — ~7 rounds here — and must label every node with the
+    component min."""
+    from flockdb_spark.functions.dedup import resolve_duplicates
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "a long, b long"
+    )
+    got = {r["doc_id"]: r["canonical_id"] for r in resolve_duplicates(pairs).collect()}
+    assert got == {i: 0 for i in range(61)}
