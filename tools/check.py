@@ -15,6 +15,10 @@ import pandas as pd
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # a pathological oracle (recursive closure / per-anchor sorts at sf3+)
+    # must fail loudly, not fill the disk: x97's twin spilled >75 GB before
+    # this cap existed
+    con.execute("SET max_temp_directory_size='30GB'")
     for name in [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
