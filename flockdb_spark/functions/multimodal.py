@@ -164,12 +164,21 @@ def decode_blob(blob: bytes) -> tuple[int, int, int, int, int]:
             cid, size = blob[pos:pos + 4], struct.unpack("<I", blob[pos + 4:pos + 8])[0]
             body = blob[pos + 8:pos + 8 + size]
             if cid == b"fmt ":
+                # fmt chunk: format, channels, rate, byte_rate, block_align,
+                # bits_per_sample — read the declared depth, don't assume 16
                 _fmt, _ch, rate = struct.unpack("<HHI", body[:8])
+                (bits,) = struct.unpack("<H", body[14:16])
             elif cid == b"data":
                 samples = body
             pos += 8 + size + (size & 1)
-        n = len(samples) // (bits // 8)
-        vals = struct.unpack(f"<{n}h", samples[: n * 2])
+        if bits == 16:
+            n = len(samples) // 2
+            vals = struct.unpack(f"<{n}h", samples[: n * 2])
+        elif bits == 8:
+            n = len(samples)  # 8-bit PCM is unsigned per the WAV spec
+            vals = samples[:n]
+        else:
+            raise NotImplementedError(f"unsupported WAV bit depth: {bits}")
         return (0, 0, n, rate, sum(vals))
     return real_decode(blob)[0:2] + (0, 0, 0)  # pragma: no cover — raises
 
@@ -229,18 +238,29 @@ def decode_features(media: DataFrame) -> DataFrame:
 
 def media_decode_sql() -> str:
     """DuckDB twin of ``decode_features(synth_media(documents))`` — the
-    blobs are deterministic functions of the text bytes (ASCII corpus), so
-    every parsed feature has a closed form over ``documents.text``:
-    the payload byte-sum is the ord-sum of the characters, PPM height is
-    ⌈bytes/48⌉, WAV sample count is the byte count, and n_bytes adds the
-    exact header size (PPM's varies with the decimal width of height)."""
+    blobs are deterministic functions of the text bytes, so every parsed
+    feature has a closed form over ``documents.text``: the payload byte-sum
+    is the UTF-8 byte-sum of the characters (per-codepoint byte expansion —
+    exact for non-ASCII too, ADVICE r7), PPM height is ⌈bytes/48⌉, WAV
+    sample count is the byte count, and n_bytes adds the exact header size
+    (PPM's varies with the decimal width of height)."""
+    # Σ utf-8 bytes of one codepoint cp, expanded per the encoding layout:
+    # 1 byte < 0x80, 2 bytes < 0x800 (0xC0|cp>>6) + (0x80|cp&63), etc.
+    utf8_sum = (
+        "CASE WHEN ord(c) < 128 THEN ord(c) "
+        "WHEN ord(c) < 2048 THEN (192 + (ord(c) // 64)) + (128 + (ord(c) % 64)) "
+        "WHEN ord(c) < 65536 THEN (224 + (ord(c) // 4096)) "
+        "+ (128 + ((ord(c) // 64) % 64)) + (128 + (ord(c) % 64)) "
+        "ELSE (240 + (ord(c) // 262144)) + (128 + ((ord(c) // 4096) % 64)) "
+        "+ (128 + ((ord(c) // 64) % 64)) + (128 + (ord(c) % 64)) END"
+    )
     return f"""
 WITH b AS (
   SELECT doc_id,
          CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS media_type,
          octet_length(encode(text)) AS nb,
          CASE WHEN length(text) = 0 THEN 0
-              ELSE list_sum(list_transform(string_split(text, ''), c -> ord(c)))
+              ELSE list_sum(list_transform(string_split(text, ''), c -> {utf8_sum}))
          END AS bsum
   FROM documents
 ),

@@ -429,11 +429,16 @@ def hybrid_rrf_topk(
     qids = [int(i) for i in query_ids]
     if dense_fn is None:
         # one metadata-cheap count decides the leg (same rule family as
-        # lsh_auto_shape / heavy_hitters 'auto')
-        if emb.count() * max(len(qids), 1) <= dense_brute_max_dots:
+        # lsh_auto_shape / heavy_hitters 'auto'); the count is reused by
+        # the ANN branch's auto shape so the selector costs ONE scan job
+        # total, not two (ADVICE r7)
+        n_vectors = emb.count()
+        if n_vectors * max(len(qids), 1) <= dense_brute_max_dots:
             dense_fn = lambda e, q, kk: brute_force_topk(e, q, k=kk)  # noqa: E731
         else:
-            dense_fn = lambda e, q, kk: lsh_ann_topk(e, q, k=kk)  # noqa: E731
+            dense_fn = (  # noqa: E731
+                lambda e, q, kk: lsh_ann_topk(e, q, k=kk, n_vectors=n_vectors)
+            )
     dense = dense_fn(emb, qids, k_dense).select(
         "query_id",
         F.col("neighbor_id").alias("doc_id"),

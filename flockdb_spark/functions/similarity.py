@@ -480,6 +480,12 @@ def lsh_bucket_sql(list_expr: str, planes: int, dims: int, table: int = 0) -> st
     return "(" + " + ".join(terms) + ")"
 
 
+class LshRecallWarning(UserWarning):
+    """The auto shape's ``max_tables`` cap traded at-threshold recall below
+    the caller's target (1−(1−p)^L model; RECALL.md) — surfaced at call
+    time so a 100 TB run never discovers the trade after the fact."""
+
+
 def lsh_tables_for(
     planes: int,
     threshold: float = 0.45,
@@ -506,6 +512,17 @@ def lsh_tables_for(
     return max(1, min(max_tables, math.ceil(round(raw, 6))))
 
 
+def lsh_modeled_recall(planes: int, n_tables: int, threshold: float = 0.45) -> float:
+    """Closed-form AT-THRESHOLD pair recall of an (planes, L) shape:
+    1 − (1 − p)^L with p = (1 − θ/π)^planes — the model RECALL.md validated
+    against measured sweeps (r7: modeled 0.84/0.53 at sf3.0/sf10 matched
+    the measured worst-case synthetic corpus)."""
+    import math
+
+    p = (1 - math.acos(threshold) / math.pi) ** max(planes, 0)
+    return 1.0 if p >= 1 else 1 - (1 - p) ** max(n_tables, 1)
+
+
 def lsh_auto_shape_sql(
     corpus_sql: str = "embeddings",
     threshold: float = 0.45,
@@ -526,10 +543,12 @@ def lsh_auto_shape_sql(
            ln(1 - {target_recall}) /
            ln(1 - power(1 - acos({threshold}) / pi(), planes)), 6)) AS BIGINT))) AS n_tables
   FROM (
-    SELECT greatest({min_planes}, (
+    -- COALESCE mirrors the Python fallback k=30 when no k in [0,31) fits
+    -- (count > budget<<30 — ~5e11 vectors; parity guard, ADVICE r7)
+    SELECT greatest({min_planes}, COALESCE((
       SELECT min(k) FROM range(0, 31) r(k)
       WHERE ({bucket_budget} << k) >= (SELECT count(*) FROM {corpus_sql})
-    )) AS planes
+    ), 30)) AS planes
   )
 """
 
@@ -542,10 +561,14 @@ def lsh_bucket_dyn_sql(
     which expands a compile-time shape).  Same sign rule: global plane
     index ``t·planes + p`` seeds the multiplicative scramble
     (:func:`plane_mult`), bit position stays local ``p``."""
+    # COALESCE(NULLIF(.., 0), 1) mirrors plane_mult's `or 1` zero-multiplier
+    # guard (reachable only when the global plane index hits a multiple of
+    # PLANE_MOD/gcd — parity with the Python rule regardless, ADVICE r7)
     return (
         f"list_sum(list_transform(range(0, {planes}), p -> "
         f"CASE WHEN list_sum(list_transform(range(1, {dims + 1}), i -> "
-        f"CASE WHEN ((i * ((2654435761 * ({t} * {planes} + p + 11)) % {PLANE_MOD}))"
+        f"CASE WHEN ((i * COALESCE(NULLIF("
+        f"(2654435761 * ({t} * {planes} + p + 11)) % {PLANE_MOD}, 0), 1))"
         f" % {PLANE_MOD}) % 2 = 0 "
         f"THEN {list_expr}[i] ELSE -{list_expr}[i] END)) > 0 "
         f"THEN (CAST(1 AS BIGINT) << p) ELSE 0 END))"
@@ -580,14 +603,36 @@ def lsh_auto_shape(
     (sub-quadratic, L capped) rather than the n²/2^planes a fixed shape
     degrades to — measured in SCALE.md's sf3→sf10 step.  Returns
     ``{"planes": ..., "n_tables": ...}`` (usable as kwargs for both
-    ``lsh_neardup_pairs`` and ``lsh_ann_topk``)."""
+    ``lsh_neardup_pairs`` and ``lsh_ann_topk``).
+
+    When the ``max_tables`` cap binds hard enough that the MODELED
+    at-threshold recall (:func:`lsh_modeled_recall`) lands below
+    ``target_recall``, a ``LshRecallWarning`` fires naming both numbers
+    and the escape hatches — the trade must never be silent for a
+    100 TB caller (VERDICT r7; RECALL.md measured 0.53 at sf10)."""
+    import warnings
+
     n = max(int(n_vectors), 1)
     k = next((k for k in range(0, 31) if (bucket_budget << k) >= n), 30)
     planes = max(min_planes, k)
-    return {
-        "planes": planes,
-        "n_tables": lsh_tables_for(planes, threshold, target_recall, max_tables),
-    }
+    n_tables = lsh_tables_for(planes, threshold, target_recall, max_tables)
+    modeled = lsh_modeled_recall(planes, n_tables, threshold)
+    # strict tolerance band: the ceil in lsh_tables_for guarantees modeled
+    # ≥ target whenever the cap does NOT bind, so any shortfall is the cap
+    if modeled < target_recall - 1e-9:
+        warnings.warn(
+            f"LSH auto shape for n={n}: the max_tables={max_tables} cap binds "
+            f"(planes={planes} would need "
+            f"{lsh_tables_for(planes, threshold, target_recall, 1 << 30)} tables); "
+            f"modeled at-threshold recall {modeled:.3f} < target {target_recall}. "
+            f"Above-threshold pairs keep near-full recall (p grows steeply with "
+            f"cosine). To recover at-threshold recall: raise max_tables, raise "
+            f"bucket_budget (fewer planes), or run a second pass on survivors — "
+            f"see RECALL.md.",
+            LshRecallWarning,
+            stacklevel=3,
+        )
+    return {"planes": planes, "n_tables": n_tables}
 
 
 def lsh_neardup_pairs(
@@ -600,6 +645,7 @@ def lsh_neardup_pairs(
     hash_mode: str = "xxhash64",
     n_tables: int | None = None,
     persist_index: bool = False,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs beyond broadcastable corpus sizes: candidates
     = same random-hyperplane bucket (high-cosine pairs land together with
@@ -625,8 +671,10 @@ def lsh_neardup_pairs(
     (cheaper low-L variants stay gated by x53).
     Output: (a, b, dot_micro2) with a < b, dot ≥ threshold."""
     if planes is None:
+        # n_vectors lets a caller that already counted skip the count job
         planes = lsh_auto_shape(
-            emb.count(), threshold=threshold, target_recall=0.95,
+            emb.count() if n_vectors is None else n_vectors,
+            threshold=threshold, target_recall=0.95,
             bucket_budget=512, min_planes=4, max_tables=32,
         )["planes"]
     if n_tables is None:
@@ -836,6 +884,7 @@ def lsh_ann_topk(
     n_probe: int = 4,
     n_tables: int | None = None,
     persist_index: bool = False,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Bucketed ANN: exact ranking restricted to the query's LSH bucket(s).
 
@@ -865,8 +914,11 @@ def lsh_ann_topk(
     from pyspark.sql import Window
 
     if planes is None:
+        # callers that already counted the corpus (e.g. hybrid_rrf_topk's
+        # leg selector) pass n_vectors so the auto shape costs zero jobs here
         planes = lsh_auto_shape(
-            emb.count(), target_recall=0.95, bucket_budget=512,
+            emb.count() if n_vectors is None else n_vectors,
+            target_recall=0.95, bucket_budget=512,
             min_planes=4, max_tables=16,
         )["planes"]
     if n_tables is None:

@@ -227,7 +227,15 @@ class FlockService:
             self.store, [(q.term, q.destination_ids, q.count) for q in queries]
         )
         by_qix: dict[int, list] = {i: [] for i in range(len(queries))}
-        with self._classed(QueryClass.SELECT):
+        # Classify the whole batch by its heaviest member, exactly as the
+        # single-query path does per-tree (the reference classifies every
+        # SelectQuery individually, config/production.scala:26-35) — a batch
+        # of WhereIn pages must land in the intersection pool, not SELECT.
+        nodes = [
+            WhereIn(q.term, q.destination_ids) if q.destination_ids else Simple(q.term)
+            for q in queries
+        ]
+        with self._classed(class_for_trees(nodes, INLINE_IN_LIST_MAX)):
             rows_all = batched.collect()
         for r in rows_all:
             by_qix[r["qix"]].append(r)
@@ -327,5 +335,10 @@ class FlockService:
             # equivalent of the reference committing each write to storage.  In a
             # cluster deployment this is a write to the edge table (Delta/parquet);
             # locally a checkpoint keeps repeated executes from stacking plans.
-            self.store.edges = edges.localCheckpoint(eager=True)
-            self.store.metadata = metadata.localCheckpoint(eager=True)
+            # Both checkpoints land in LOCALS first so an O5 timeout cancelling
+            # the job group mid-write can never tear the store (edges updated,
+            # metadata stale); the store is swapped only after both succeed.
+            new_edges = edges.localCheckpoint(eager=True)
+            new_metadata = metadata.localCheckpoint(eager=True)
+        self.store.edges = new_edges
+        self.store.metadata = new_metadata

@@ -35,6 +35,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # FAIR scheduling makes the O5 per-class pools REAL: each
+        # flock_<class> pool (operators/classes.py) gets an equal share of
+        # task slots, so a long copy-class scan cannot head-of-line-block a
+        # point select — the reference's per-class evaluator isolation
+        # (config/production.scala:26-35).  Pools auto-create with weight 1 /
+        # minShare 0; a deployment tunes them via a fairscheduler.xml.
+        .config("spark.scheduler.mode", "FAIR")
         # epoch arithmetic must be timezone-stable to match the oracle
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))

@@ -1891,6 +1891,45 @@ def test_media_codecs_roundtrip_and_guard(spark):
     assert multimodal.decode_blob(multimodal.encode_wav(b"")) == (0, 0, 0, 8000, 0)
 
 
+def test_media_decode_non_ascii_and_bit_depth(spark):
+    """ADVICE r7 regressions: (a) the DuckDB oracle's payload_sum must equal
+    the Spark side's UTF-8 BYTE sum on non-ASCII text (the old ord-per-char
+    twin diverged on any multi-byte codepoint); (b) decode_blob reads
+    bits-per-sample from the fmt chunk instead of assuming 16."""
+    import struct
+
+    import duckdb
+
+    texts = ["héllo wörld", "日本語テキスト", "emoji 🚀🔥 mix", "plain ascii", ""]
+    # Spark-side ground truth: payload_sum over utf-8 bytes
+    for t in texts:
+        p = t.encode("utf-8")
+        assert multimodal.decode_blob(multimodal.encode_wav(p))[4] == sum(p)
+        assert multimodal.decode_blob(multimodal.encode_ppm(p))[4] == sum(p)
+    # oracle twin: run media_decode_sql's bsum expression verbatim in DuckDB
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT row_number() OVER () - 1 AS doc_id, t AS text FROM (SELECT unnest(?) AS t)", [texts])
+    sql = multimodal.media_decode_sql()
+    rows = {r[0]: r for r in con.execute(sql).fetchall()}
+    for i, t in enumerate(texts):
+        assert rows[i][7] == sum(t.encode("utf-8")), (t, rows[i])
+
+    # 8-bit PCM WAV: bits come from the fmt chunk (unsigned samples)
+    payload = bytes([0, 1, 127, 200, 255])
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(payload), b"WAVE", b"fmt ", 16,
+        1, 1, 8000, 8000, 1, 8, b"data", len(payload),
+    )
+    assert multimodal.decode_blob(hdr + payload) == (0, 0, 5, 8000, sum(payload))
+    # unsupported depth raises loudly rather than mis-parsing
+    hdr24 = struct.pack(
+        "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + 3, b"WAVE", b"fmt ", 16,
+        1, 1, 8000, 24000, 3, 24, b"data", 3,
+    )
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_blob(hdr24 + b"\x00\x01\x02")
+
+
 def test_hybrid_rrf_dense_leg_auto_switch(spark):
     """hybrid_rrf_topk's dense leg auto-selects: brute GEMM under the dot
     budget, LSH-bucketed ANN above it — the plan must actually change at
@@ -1922,6 +1961,25 @@ def test_hybrid_rrf_dense_leg_auto_switch(spark):
              docs, emb, qids, k=5, dense_brute_max_dots=0
          ).collect()}
     assert a == b and a
+
+    # ADVICE r7: the leg selector's corpus count is REUSED by the ANN
+    # branch's auto shape — constructing the plan runs exactly ONE count
+    # job, not one for the selector plus one inside lsh_ann_topk
+    _DF = type(emb)  # the concrete class (pyspark.sql.classic overrides count)
+
+    calls = {"n": 0}
+    orig_count = _DF.count
+
+    def counting(self):
+        calls["n"] += 1
+        return orig_count(self)
+
+    _DF.count = counting
+    try:
+        relevance.hybrid_rrf_topk(docs, emb, qids, k=5, dense_brute_max_dots=0)
+    finally:
+        _DF.count = orig_count
+    assert calls["n"] == 1, calls
 
 
 def test_probe_fit_recovers_planted_weights(spark):
@@ -2064,3 +2122,40 @@ def test_neighborhood_jaccard_planted_overlap(spark):
         ).collect()
     }
     assert capped == {(1, 2): 500_000}  # {10,11,12} vs {10,11,13}: 2/4
+
+
+def test_lsh_auto_shape_warns_when_table_cap_binds(spark):
+    """VERDICT r7 item 3: the capped-L recall trade must be LOUD at call
+    time.  At n where the 32-table cap binds (planes grown past ~13, the
+    sf10 regime where measured at-threshold recall fell to 0.53), the auto
+    shape emits LshRecallWarning naming the modeled recall; at small n
+    (cap not binding) it stays silent."""
+    import warnings
+
+    from flockdb_spark.functions.similarity import (
+        LshRecallWarning,
+        lsh_auto_shape,
+        lsh_modeled_recall,
+        lsh_tables_for,
+    )
+
+    # small corpus: rule reproduces the measured production shape, no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", LshRecallWarning)
+        shape = lsh_auto_shape(5_000, min_planes=4)
+    assert shape == {"planes": 4, "n_tables": 16}
+
+    # sf10-like corpus: the cap binds and the warning carries the model
+    with pytest.warns(LshRecallWarning, match="modeled at-threshold recall"):
+        shape = lsh_auto_shape(5_000_000, min_planes=4)
+    assert shape["n_tables"] == 32
+    modeled = lsh_modeled_recall(shape["planes"], shape["n_tables"])
+    assert modeled < 0.95  # the trade the warning names
+    # sanity: uncapped L would exceed the cap (that's WHY it binds)
+    assert lsh_tables_for(shape["planes"], max_tables=1 << 30) > 32
+
+    # and the modeled closed form matches 1-(1-p)^L exactly
+    import math
+
+    p = (1 - math.acos(0.45) / math.pi) ** shape["planes"]
+    assert abs(modeled - (1 - (1 - p) ** 32)) < 1e-12

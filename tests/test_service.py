@@ -329,3 +329,125 @@ def test_query_class_classification_and_timeout(svc, spark):
         with query_class(spark, QueryClass.SELECT, timeout=0.4):
             slow.crossJoin(slow.withColumnRenamed("id", "id2")).count()
     assert _t.monotonic() - t0 < 30  # cancelled, not run to completion
+
+
+def test_execute_timeout_never_tears_the_store(svc):
+    """ADVICE r7 (medium): an O5 timeout cancelling execute() mid-write must
+    leave the store EXACTLY as it was — never edges updated with metadata
+    stale.  The fix materializes both checkpoints into locals inside the
+    timeout scope and swaps the store only after both succeed."""
+    from flockdb_spark.operators.classes import FlockTimeoutException, QueryClass
+
+    before_edges = svc.store.edges
+    before_meta = svc.store.metadata
+    before_rows = sorted(tuple(r) for r in before_edges.collect())
+    before_meta_rows = sorted(tuple(r) for r in before_meta.collect())
+
+    svc.timeouts[QueryClass.EXECUTE] = 0.001  # fires long before the merge jobs end
+    try:
+        with pytest.raises(FlockTimeoutException):
+            svc.execute([op(ExecuteOperationType.ADD, 1, (99,))], at=5000)
+    finally:
+        svc.timeouts.pop(QueryClass.EXECUTE, None)
+
+    # both halves are the PRE-WRITE frames — object identity, not just value
+    assert svc.store.edges is before_edges
+    assert svc.store.metadata is before_meta
+    assert sorted(tuple(r) for r in svc.store.edges.collect()) == before_rows
+    assert sorted(tuple(r) for r in svc.store.metadata.collect()) == before_meta_rows
+    # and the service still works: a clean retry applies normally
+    svc.execute([op(ExecuteOperationType.ADD, 1, (99,))], at=5000)
+    assert svc.contains(1, 1, 99)
+
+
+def test_select_edges_batch_classified_like_single(svc, spark):
+    """ADVICE r7: a batch of WhereIn pages must land in the intersection
+    pool (class_for_trees), not unconditionally in SELECT — parity with the
+    single-query path and the reference's per-query classification."""
+    import flockdb_spark.service as svcmod
+    from flockdb_spark.service import CURSOR_START, EdgeQuery
+    from flockdb_spark.operators.algebra import Term
+
+    sc = spark.sparkContext
+    seen = []
+    orig = svcmod.query_class
+
+    class Probe:
+        def __init__(self, inner, cls):
+            self.inner, self.cls = inner, cls
+
+        def __enter__(self):
+            out = self.inner.__enter__()
+            seen.append((self.cls, sc.getLocalProperty("spark.scheduler.pool")))
+            return out
+
+        def __exit__(self, *a):
+            return self.inner.__exit__(*a)
+
+    svcmod.query_class = lambda s, cls, timeout=None: Probe(orig(s, cls, timeout), cls)
+    try:
+        pages = svc.select_edges_batch(
+            [
+                EdgeQuery(Term(1, 1, True)),
+                EdgeQuery(Term(1, 2, True), destination_ids=(11, 12)),
+            ]
+        )
+    finally:
+        svcmod.query_class = orig
+    assert len(pages) == 2 and pages[0].rows and pages[1].rows
+    # the WhereIn member drags the whole batch into the SMALL intersection class
+    assert seen == [("select_intersection_small", "flock_select_intersection_small")]
+
+    seen.clear()
+    svcmod.query_class = lambda s, cls, timeout=None: Probe(orig(s, cls, timeout), cls)
+    try:
+        svc.select_edges_batch([EdgeQuery(Term(1, 1, True))])
+    finally:
+        svcmod.query_class = orig
+    assert seen == [("select", "flock_select")]
+
+
+def test_pool_isolation_under_concurrency(svc, spark):
+    """VERDICT r7 item 6: with FAIR scheduling + per-class pools, a slow
+    copy-class action on one thread does NOT head-of-line-block a
+    select-class action on another — the per-class evaluator isolation the
+    reference's production config guarantees (config/production.scala:26-35).
+
+    The copy job runs many waves of short tasks (256 partitions × ~80 ms on
+    32 cores ≈ 8 waves); under FIFO the select would queue behind ALL
+    pending copy tasks, under FAIR it gets slots at the next wave."""
+    import threading
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from flockdb_spark.operators.classes import QueryClass, query_class
+
+    assert spark.sparkContext.getConf().get("spark.scheduler.mode") == "FAIR"
+
+    slow_done = {}
+    # thread A: a copy-class scan occupying every core for several waves
+    def copy_job():
+        slow = spark.range(0, 256, 1, 256).mapInPandas(
+            lambda it: (_t.sleep(0.08) or pdf for pdf in it), "id long"
+        )
+        t0 = _t.monotonic()
+        with query_class(spark, QueryClass.SELECT_COPY):
+            n = slow.count()
+        slow_done["wall"] = _t.monotonic() - t0
+        slow_done["n"] = n
+
+    a = threading.Thread(target=copy_job)
+    a.start()
+    _t.sleep(0.15)  # let the copy job saturate the cores first
+
+    # thread B (this thread): a select-class point read while A is running
+    t0 = _t.monotonic()
+    row = svc.get(1, 1, 10)
+    select_wall = _t.monotonic() - t0
+    assert row is not None and a.is_alive(), "copy job must still be running"
+    a.join()
+    assert slow_done["n"] == 256
+    # the select must NOT have waited for the copy job's full runtime —
+    # generous bound: under FIFO it lands ~= slow wall, under FAIR far below
+    assert select_wall < slow_done["wall"] * 0.7, (select_wall, slow_done)
