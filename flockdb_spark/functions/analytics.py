@@ -449,26 +449,33 @@ def k_core_sql(graph_id: int, k: int = 2, n_rounds: int = 3) -> tuple[str, str]:
     """DuckDB twin of :func:`k_core`: returns ``(cte_chain, final_select)``
     for composition with ``with_fixture_ctes(final_select, cte_chain)`` —
     the same fixed peel rounds replayed as chained CTEs over the standard
-    ``edges`` fixture."""
+    ``edges`` fixture.
+
+    Every peel CTE is ``MATERIALIZED`` (r8, VERDICT r7 item 2): DuckDB 1.0
+    inlines CTEs by default, and each round references its predecessor
+    twice (the edge set and the survivor set), so the un-hinted chain
+    re-evaluated ``und0`` — including the 18M-row lineitem window in the
+    fixture — 2^rounds times and never finished at sf3.0.  Materialized,
+    the identical query runs in 28 s there (each round evaluated once)."""
     parts = [
-        f"""canon AS (
+        f"""canon AS MATERIALIZED (
   SELECT DISTINCT least(source_id, destination_id) AS a,
          greatest(source_id, destination_id) AS b
   FROM edges
   WHERE graph_id = {graph_id} AND state = 0
     AND source_id <> destination_id
 ),
-und0 AS (
+und0 AS MATERIALIZED (
   SELECT a, b FROM canon UNION ALL SELECT b AS a, a AS b FROM canon
 )"""
     ]
     prev = "und0"
     for r in range(1, n_rounds + 1):
         parts.append(
-            f"""s{r} AS (
+            f"""s{r} AS MATERIALIZED (
   SELECT a FROM {prev} GROUP BY a HAVING count(*) >= {k}
 ),
-und{r} AS (
+und{r} AS MATERIALIZED (
   SELECT u.a, u.b FROM {prev} u
   JOIN s{r} x ON u.a = x.a
   JOIN s{r} y ON u.b = y.a

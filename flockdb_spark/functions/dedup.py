@@ -479,6 +479,56 @@ def resolve_duplicates(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("canonical_id"))
 
 
+def resolve_duplicates_sql(
+    rounds: int = 20, id_alias: str = "doc_id", lab_alias: str = "canonical_id"
+) -> tuple[str, str]:
+    """DuckDB twin of :func:`resolve_duplicates`, as ``(cte_chain,
+    final_select)`` expecting a ``pairs(a, b)`` CTE in scope.
+
+    Restated bounded-iteration (r8, VERDICT r7 item 2): the original twin
+    was a recursive-CTE transitive closure (every (node, reachable-root)
+    pair materializes — O(Σ component²) rows), which never finished on
+    x38's 1.9M-pair graph at sf3.0.  This form unrolls the EXACT Spark
+    algorithm instead — ``rounds`` iterations of hop (min label over
+    neighbours) + pointer jump (label-of-label), each MATERIALIZED, so the
+    cost is rounds·|E| streamed rows and convergence is O(log diameter),
+    identical to the Spark side's 20-round cap.  One extra round feeds a
+    NON-CONVERGENCE SENTINEL: if labels still move after ``rounds``, a
+    (-1, -1) row is emitted and the gate fails loudly — the twin of the
+    Spark side's RuntimeError, never silently-wrong labels."""
+    parts = [
+        """und AS MATERIALIZED (
+  SELECT DISTINCT a AS src, b AS dst FROM pairs
+  UNION
+  SELECT b, a FROM pairs
+),
+lab0 AS MATERIALIZED (
+  SELECT DISTINCT src AS id, src AS lab FROM und
+)"""
+    ]
+    for r in range(1, rounds + 2):  # +1 sentinel round
+        parts.append(
+            f"""hop{r} AS MATERIALIZED (
+  SELECT l.id, least(l.lab, coalesce(nm.nl, l.lab)) AS lab
+  FROM lab{r - 1} l LEFT JOIN (
+    SELECT e.dst AS id, min(l2.lab) AS nl
+    FROM und e JOIN lab{r - 1} l2 ON e.src = l2.id
+    GROUP BY e.dst
+  ) nm ON l.id = nm.id
+),
+lab{r} AS MATERIALIZED (
+  SELECT x.id, least(x.lab, coalesce(y.lab, x.lab)) AS lab
+  FROM hop{r} x LEFT JOIN hop{r} y ON x.lab = y.id
+)"""
+        )
+    final = f"""SELECT id AS {id_alias}, lab AS {lab_alias} FROM lab{rounds}
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+FROM (SELECT 1 FROM lab{rounds + 1} n JOIN lab{rounds} o
+      ON n.id = o.id AND n.lab <> o.lab LIMIT 1)"""
+    return ",\n".join(parts), final
+
+
 # -- SimHash -----------------------------------------------------------------
 
 #: combined portable feature hash: low 30 bits from the seed-0 rolling hash,

@@ -872,6 +872,180 @@ def ivf_ann_topk(
     return rerank.withColumn("rank", F.row_number().over(w_k).cast("int")).where(F.col("rank") <= k)
 
 
+def pq_ann_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011): split each vector into
+    ``n_subspaces`` sub-vectors, quantize each against a per-subspace
+    codebook of ``n_codes`` codewords, and rank candidates by ASYMMETRIC
+    DISTANCE (ADC) — the exact query sub-vector against each candidate's
+    codeword, summed across subspaces.
+
+    This is the RAM-resident serving path at 100 TB: a 64-dim embedding
+    (256 bytes float32 / 512 bytes as micro-ints) compresses to
+    ``n_subspaces`` code ids (8 bytes here) — 32-64×, so a corpus whose
+    raw vectors need a cluster's aggregate disk fits its aggregate RAM as
+    codes, and scoring is ``n_subspaces`` table lookups per candidate
+    instead of a ``dims``-wide dot.  The codebooks here are deterministic
+    (codewords = the sub-vectors of the ``n_codes`` smallest ids — the
+    same oracle-checkable seeding as ``ivf_ann_topk``'s coarse quantizer;
+    production k-means-trains each subspace, plumbing identical).
+
+    Plan shape: one Arrow pass encodes the corpus AND scores every query
+    (codebooks + per-query ADC tables are a driver-bounded
+    |Q|·M·C int64 broadcast), emitting only each batch's local top-k per
+    query; the final window ranks ≤ k·partitions rows per query.  All
+    arithmetic is exact int64 on the micro-quantized grid, so the DuckDB
+    twin (x112) reproduces every distance bit-for-bit.
+
+    Output: (query_id, neighbor_id, adist, rank) — adist ASC (smaller is
+    closer), ties broken by neighbor_id; rank ≤ k, self excluded."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    sub = dims // n_subspaces
+    qids = [int(i) for i in query_ids]
+
+    cw_rows = emb.orderBy(id_col).limit(n_codes).select(id_col, vec_col).collect()
+    order = np.argsort(np.array([r[id_col] for r in cw_rows]), kind="stable")
+    cw = _np_quantize(pd.Series([r[vec_col] for r in cw_rows]))[order]  # (C, dims)
+
+    q_rows = emb.where(F.col(id_col).isin(qids)).select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = _np_quantize(pd.Series([r[vec_col] for r in q_rows]))  # (Q, dims)
+
+    # ADC tables[q, m, c] = Σ_d (q_d − cw_c_d)² over subspace m — driver-
+    # bounded |Q|·M·C int64s (5·8·16 here), broadcast with the codebooks
+    C = cw.shape[0]
+    tables = np.empty((len(q_ids), n_subspaces, C), dtype=np.int64)
+    for m in range(n_subspaces):
+        qs = q_mat[:, m * sub : (m + 1) * sub]
+        cs = cw[:, m * sub : (m + 1) * sub]
+        # (q − c)² = q² + c² − 2qc, every term exact in int64 on the grid
+        tables[:, m, :] = (
+            (qs * qs).sum(1)[:, None]
+            + (cs * cs).sum(1)[None, :]
+            - 2 * _gemm53(qs, cs.T)
+        )
+    bc = emb.sparkSession.sparkContext.broadcast((cw, q_ids, tables))
+
+    def score(batches):
+        import pyarrow as pa
+
+        cwm, qids_np, tabs = bc.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = _i64_arrow(batch.column(0))
+            v = _quantize_arrow(batch.column(1))
+            n = len(ids)
+            # encode: per subspace, argmin distance to the codewords (ties
+            # fall to the LOWER code — np.argmin takes the first minimum,
+            # matching the oracle's (d2 ASC, code ASC) row_number)
+            adist = np.zeros((len(qids_np), n), dtype=np.int64)
+            for m in range(n_subspaces):
+                xs = v[:, m * sub : (m + 1) * sub]
+                cs = cwm[:, m * sub : (m + 1) * sub]
+                d2 = (
+                    (xs * xs).sum(1)[:, None]
+                    + (cs * cs).sum(1)[None, :]
+                    - 2 * _gemm53(xs, cs.T)
+                )  # (n, C)
+                codes = np.argmin(d2, axis=1)
+                adist += tabs[:, m, codes]  # (Q, n) lookup-sum — the ADC
+            qcol = np.repeat(qids_np, n)
+            ncol = np.tile(ids, len(qids_np))
+            dcol = adist.reshape(-1)
+            mask = qcol != ncol
+            qcol, ncol, dcol = qcol[mask], ncol[mask], dcol[mask]
+            # local top-k per query (adist ASC, neighbor ASC)
+            order = np.lexsort((ncol, dcol, qcol))
+            qcol, ncol, dcol = qcol[order], ncol[order], dcol[order]
+            starts = np.flatnonzero(np.r_[True, qcol[1:] != qcol[:-1]])
+            pos = np.arange(len(qcol)) - np.repeat(starts, np.diff(np.r_[starts, len(qcol)]))
+            topk = pos < k
+            yield pa.record_batch(
+                {"query_id": qcol[topk], "neighbor_id": ncol[topk], "adist": dcol[topk]}
+            )
+
+    scored = emb.select(id_col, vec_col).mapInArrow(
+        score, "query_id long, neighbor_id long, adist long"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("int")).where(F.col("rank") <= k)
+
+
+def pq_ann_sql(
+    query_ids: list[int],
+    k: int = 10,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    dims: int = 64,
+) -> str:
+    """DuckDB twin of :func:`pq_ann_topk`: deterministic codebooks (the
+    ``n_codes`` smallest ids), per-subspace argmin encoding, and the ADC
+    join — subspaces unrolled, every distance the same exact int64
+    ``q² + c² − 2qc`` on the micro grid."""
+    sub = dims // n_subspaces
+    quant = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000))"
+
+    def d2(a: str, b: str, m: int) -> str:
+        lo, hi = m * sub + 1, (m + 1) * sub
+        sa, sb = f"list_slice({a}, {lo}, {hi})", f"list_slice({b}, {lo}, {hi})"
+        return (
+            f"CAST(list_dot_product({sa}, {sa}) + list_dot_product({sb}, {sb})"
+            f" - 2 * list_dot_product({sa}, {sb}) AS BIGINT)"
+        )
+
+    arms = "\n  UNION ALL\n".join(
+        f"  SELECT v.vec_id, {m} AS m, c.code, {d2('v.ev', 'c.cv', m)} AS d2\n"
+        f"  FROM v, cents c"
+        for m in range(n_subspaces)
+    )
+    in_list = ", ".join(str(int(i)) for i in query_ids)
+    return f"""
+WITH cents AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code,
+         {quant} AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_codes})
+),
+v AS MATERIALIZED (SELECT vec_id, {quant} AS ev FROM embeddings),
+cd AS MATERIALIZED (
+{arms}
+),
+enc AS MATERIALIZED (
+  SELECT vec_id, m, code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC
+    ) AS arn FROM cd
+  ) WHERE arn = 1
+),
+qtab AS MATERIALIZED (
+  SELECT vec_id AS query_id, m, code, d2 FROM cd WHERE vec_id IN ({in_list})
+),
+adc AS (
+  SELECT t.query_id, e.vec_id AS neighbor_id, CAST(sum(t.d2) AS BIGINT) AS adist
+  FROM enc e JOIN qtab t ON e.m = t.m AND e.code = t.code
+  WHERE e.vec_id <> t.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adist,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC
+       ) AS INTEGER) AS rank
+FROM adc
+QUALIFY rank <= {k}
+"""
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     query_ids: list[int],

@@ -1233,24 +1233,31 @@ _X38_THRESHOLD = 0.30
 
 @query(
     "x38_embedding_dedup",
+    # the closure oracle is RESTATED as the Spark algorithm itself (r8):
+    # 20 unrolled hop+jump rounds, materialized, with a loud (-1,-1)
+    # sentinel on non-convergence — dedup.resolve_duplicates_sql explains
+    # why the recursive reach died on this graph at sf3.0 (1.9M pairs)
     f"""
-WITH RECURSIVE v AS (SELECT vec_id, {_QUANT} AS ev FROM embeddings),
-sig AS (
+WITH v AS MATERIALIZED (SELECT vec_id, {_QUANT} AS ev FROM embeddings),
+sig AS MATERIALIZED (
   SELECT vec_id, ev, CAST({{bucket}} AS BIGINT) AS bucket FROM v
 ),
-pairs AS (
+pairs AS MATERIALIZED (
   SELECT a.vec_id AS a, b.vec_id AS b
   FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
   WHERE CAST(list_dot_product(a.ev, b.ev) AS BIGINT) >= {int(_X38_THRESHOLD * 1_000_000_000_000)}
 ),
-und AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs),
-reach(id, root) AS (
-  SELECT src, src FROM und
-  UNION
-  SELECT e.dst, r.root FROM reach r JOIN und e ON e.src = r.id
-)
-SELECT id AS vec_id, min(root) AS canonical_id FROM reach GROUP BY id
-""".format(bucket=similarity.lsh_bucket_sql("ev", _X18_PLANES, 64)),
+{{resolve_ctes}}
+{{resolve_final}}
+""".format(
+        bucket=similarity.lsh_bucket_sql("ev", _X18_PLANES, 64),
+        resolve_ctes=dedup.resolve_duplicates_sql(
+            rounds=20, id_alias="vec_id", lab_alias="canonical_id"
+        )[0],
+        resolve_final=dedup.resolve_duplicates_sql(
+            rounds=20, id_alias="vec_id", lab_alias="canonical_id"
+        )[1],
+    ),
 )
 def x38(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
@@ -2863,4 +2870,25 @@ def x110(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return relevance.hybrid_rrf_topk(
         docs, emb, ANN_QUERY_IDS, k=10, k_dense=20, k_lex=20, dense_fn=dense_fn,
+    )
+
+
+# ---------------------------------------------------------------------------
+# x112 — product-quantization ANN (Jégou et al. 2011, TPAMI): per-subspace
+# codebooks (deterministic seeds, the x15 pattern), argmin encoding, and
+# asymmetric-distance (ADC) ranking — the RAM-resident serving path at
+# 100 TB: 64-dim vectors compress to 8 one-byte codes (32-64×), scoring is
+# 8 table lookups per candidate.  All arithmetic exact int64 on the micro
+# grid, so the oracle replays every distance bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x112_pq_ann",
+    similarity.pq_ann_sql(ANN_QUERY_IDS, k=10, n_subspaces=8, n_codes=16),
+)
+def x112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.pq_ann_topk(
+        emb, ANN_QUERY_IDS, k=10, n_subspaces=8, n_codes=16
     )

@@ -29,8 +29,15 @@ def test_changed_queries_sit_inside_gate_window():
         f"changed-in-round queries outside the driver's {entry.GATE_WINDOW}-"
         f"entry gate window: {missing} — reorder _GATED_GREEN"
     )
-    # and the r6-deferred seven lead the gated (non-ungated) portion
-    for name in ("x33_seq_packing", "x87_jsonl_roundtrip", "x88_csv_roundtrip",
-                 "x52_lsh_ann_multitable", "x96_salted_join",
-                 "x64_label_centroids", "x94_kn_perplexity"):
+    # and the promised rotation leads the window: r8 gates the 19-entry
+    # r4-stale block first (VERDICT r7 item 1)
+    for name in ("x28_train_split", "x29_stratified_sample",
+                 "x30_length_quantiles", "x32_repetition", "x34_decontaminate",
+                 "x50_pii_redaction", "x51_training_order",
+                 "x55_select_top_quality", "x57_fuzzy_decontaminate",
+                 "x58_tfidf_top_terms", "x59_inverted_index",
+                 "x60_normalize_text", "x61_pair_integrity", "x62_oov_rate",
+                 "x63_corpus_diff", "x65_leakage_free_splits",
+                 "x66_stream_sessionization", "x67_duplicated_spans",
+                 "x68_stream_event_rates"):
         assert name in window
