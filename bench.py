@@ -110,8 +110,10 @@ BENCH_QUERIES = [
     "x111_media_decode",
     # r8: product-quantization ANN — the compressed-domain serving shape
     # (8-byte codes, table-lookup ADC scoring) next to x15's IVF and x35's
-    # multi-probe LSH lines
+    # multi-probe LSH lines; x114 is the production two-stage recipe
+    # (trained codebooks + ADC prefilter + exact rerank)
     "x112_pq_ann",
+    "x114_pq_rerank",
 ]
 
 #: queries whose plan .cache()es a corpus-side index (persist_index=True):
@@ -147,9 +149,11 @@ CONSTRUCT_IN_PASS = {
     # x109's construction runs the corpus count that decides the auto shape
     # — that decision is part of what the query costs, so it's timed
     "x109_lsh_auto_neardup",
-    # x112's construction collects the codebook rows + query vectors and
-    # builds the ADC tables — the index-build half of PQ, timed in-pass
+    # x112/x114's construction collects the codebook rows + query vectors
+    # and builds (x114: trains) the ADC tables — the index-build half of
+    # PQ, timed in-pass
     "x112_pq_ann",
+    "x114_pq_rerank",
 }
 
 

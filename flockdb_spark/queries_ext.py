@@ -2892,3 +2892,53 @@ def x112(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_ann_topk(
         emb, ANN_QUERY_IDS, k=10, n_subspaces=8, n_codes=16
     )
+
+
+# ---------------------------------------------------------------------------
+# x113 — TRAINED product quantization: x112's encode/ADC plumbing with
+# per-subspace Lloyd-refined codebooks (2 deterministic rounds on the
+# 256-smallest-id sample — PQ trains on a sample by design; integer floor
+# means, argmin-ties-to-lower-code, empty cells keep their codeword).  The
+# oracle replays the training loop round by round, MATERIALIZED, so the
+# refined codebook — and every ADC distance derived from it — is exact in
+# both engines.  RECALL.md records the measured seed-vs-trained gap.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x113_pq_trained",
+    similarity.pq_ann_sql(
+        ANN_QUERY_IDS, k=10, n_subspaces=8, n_codes=16,
+        train_rounds=2, n_train=256,
+    ),
+)
+def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.pq_ann_topk(
+        emb, ANN_QUERY_IDS, k=10, n_subspaces=8, n_codes=16,
+        train_rounds=2, n_train=256,
+    )
+
+
+# ---------------------------------------------------------------------------
+# x114 — two-stage PQ serving: compressed-domain ADC prefilter (x113's
+# trained codebooks) to 100 candidates, exact integer-dot rerank of just
+# those — recall = the prefilter's capture rate (RECALL.md) at
+# |Q|·candidates exact-scoring cost instead of corpus-sized.  The oracle
+# nests the x113 twin and replays the rerank join.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x114_pq_rerank",
+    similarity.pq_rerank_sql(
+        ANN_QUERY_IDS, k=10, candidates=100,
+        n_subspaces=8, n_codes=16, train_rounds=2, n_train=256,
+    ),
+)
+def x114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.pq_rerank_topk(
+        emb, ANN_QUERY_IDS, k=10, candidates=100,
+        n_subspaces=8, n_codes=16, train_rounds=2, n_train=256,
+    )

@@ -2213,3 +2213,39 @@ def test_pq_ann_adc_matches_brute_on_clustered_corpus(spark):
     for r in pq:
         if r["query_id"] == 0:
             assert r["adist"] == adist(0, r["neighbor_id"]), r
+
+
+def test_pq_trained_and_rerank(spark):
+    """x113/x114: the Lloyd refinement is deterministic (two runs bit-equal),
+    empty clusters keep their codeword, and the two-stage rerank returns
+    exact dots that dominate raw ADC ranking quality."""
+    from flockdb_spark.sources.edges import _read
+
+    emb = _read(spark, "/root/testdata/sf0.001", "embeddings")
+    qids = [0, 1, 2]
+
+    a = sorted(map(tuple, similarity.pq_ann_topk(
+        emb, qids, k=10, train_rounds=2, n_train=64).collect()))
+    b = sorted(map(tuple, similarity.pq_ann_topk(
+        emb, qids, k=10, train_rounds=2, n_train=64).collect()))
+    assert a == b and len(a) == 30  # deterministic end to end
+
+    rer = similarity.pq_rerank_topk(
+        emb, qids, k=5, candidates=20, train_rounds=2, n_train=64
+    ).collect()
+    assert len(rer) == 15
+    # rerank dots are EXACT: each equals the brute dot for that pair
+    brute = {(r["query_id"], r["neighbor_id"]): r["dot_micro2"]
+             for r in similarity.brute_force_topk(emb, qids, k=100).collect()}
+    for r in rer:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute:
+            assert r["dot_micro2"] == brute[key], r
+    # and the rerank's top-5 recall dominates (>=) raw ADC top-5 recall
+    exact5 = {(r["query_id"], r["neighbor_id"])
+              for r in similarity.brute_force_topk(emb, qids, k=5).collect()}
+    adc5 = {(r["query_id"], r["neighbor_id"])
+            for r in similarity.pq_ann_topk(
+                emb, qids, k=5, train_rounds=2, n_train=64).collect()}
+    rer5 = {(r["query_id"], r["neighbor_id"]) for r in rer}
+    assert len(exact5 & rer5) >= len(exact5 & adc5)
