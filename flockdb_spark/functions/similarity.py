@@ -1848,3 +1848,415 @@ SELECT label, vec_id, dist_micro2,
        ) AS INTEGER) AS rank
 FROM d QUALIFY rank <= {top_k}
 """
+
+
+def ivfpq_ann_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ ANN (Jégou et al. 2011's IVFADC): the coarse inverted file of
+    ``ivf_ann_topk`` restricts each query to its ``n_probe`` nearest cells,
+    and inside those cells candidates are ranked in the COMPRESSED domain —
+    product-quantized RESIDUALS (vector − its cell centroid) scored by
+    asymmetric distance against per-(query, probed-cell) lookup tables.
+
+    This is the production 100 TB serving composition: the cell restriction
+    cuts the candidate set to ~``n_probe/n_centroids`` of the corpus and the
+    residual PQ codes (``n_subspaces`` bytes per vector) keep the candidate
+    scan RAM-resident — scoring touches no raw vector at all.  Residuals are
+    quantized against codebooks seeded from the residuals of the
+    ``n_codes`` ids FOLLOWING the centroid seeds (the centroid ids' own
+    residuals are ~0 — degenerate codewords), the same deterministic
+    oracle-checkable seeding as ``ivf_ann_topk``/``pq_ann_topk``;
+    production k-means-trains both levels, plumbing identical.
+
+    Plan shape: one Arrow pass assigns cells, encodes residuals, and scores
+    every query's probed cells from a driver-bounded broadcast
+    (|Q|·n_probe·M·C int64 ADC tables), emitting only each batch's local
+    top-k per query; the final window ranks ≤ k·partitions rows.  All
+    arithmetic exact int64 on the micro grid (residual entries ≤ 2e6, so
+    every sub-product stays ≪ 2^53) — the DuckDB twin (x115) replays every
+    distance bit-for-bit.
+
+    Output: (query_id, neighbor_id, adist, rank) — adist ASC, ties by
+    neighbor_id; rank ≤ k, self excluded."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    sub = dims // n_subspaces
+    qids = [int(i) for i in query_ids]
+
+    head = (
+        emb.orderBy(id_col)
+        .limit(n_centroids + n_codes)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    h_ids = np.array([r[id_col] for r in head], dtype=np.int64)
+    order = np.argsort(h_ids, kind="stable")
+    h_mat = _np_quantize(pd.Series([r[vec_col] for r in head]))[order]
+    c_mat = h_mat[:n_centroids]  # coarse centroids, row index == ascending cid
+    seed_mat = h_mat[n_centroids : n_centroids + n_codes]
+    # codebook = the seeds' residuals w.r.t. their own nearest cell
+    # (dot DESC, cid ASC — argsort stable picks the lower cid on ties)
+    s_cell = np.argsort(-_gemm53(seed_mat, c_mat.T), axis=1, kind="stable")[:, 0]
+    cw = seed_mat - c_mat[s_cell]  # (n_codes, dims), code id == row index
+
+    q_rows = emb.where(F.col(id_col).isin(qids)).select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = _np_quantize(pd.Series([r[vec_col] for r in q_rows]))
+    # each query's n_probe nearest cells, then its per-(cell, m) ADC table:
+    # tab[q, p, m, c] = ||(q − c_cell)_m − cw_c_m||² — driver-bounded
+    # |Q|·n_probe·M·C int64s
+    probe_idx = np.argsort(-_gemm53(q_mat, c_mat.T), axis=1, kind="stable")[:, :n_probe]
+    tables = np.empty((len(q_ids), n_probe, n_subspaces, n_codes), dtype=np.int64)
+    for qi in range(len(q_ids)):
+        for pi in range(n_probe):
+            rq = q_mat[qi] - c_mat[probe_idx[qi, pi]]
+            for m in range(n_subspaces):
+                rm = rq[m * sub : (m + 1) * sub]
+                cm = cw[:, m * sub : (m + 1) * sub]
+                tables[qi, pi, m, :] = (
+                    (rm * rm).sum() + (cm * cm).sum(1) - 2 * (cm @ rm)
+                )
+    bc = emb.sparkSession.sparkContext.broadcast(
+        (c_mat, cw, q_ids, probe_idx, tables)
+    )
+
+    def score(batches):
+        import pyarrow as pa
+
+        cmat, cwm, qids_np, pidx, tabs = bc.value
+        n_q, n_p = pidx.shape
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = _i64_arrow(batch.column(0))
+            v = _quantize_arrow(batch.column(1))
+            n = len(ids)
+            # coarse assignment (ties → lower cid) and residual encode
+            cell = np.argsort(-_gemm53(v, cmat.T), axis=1, kind="stable")[:, 0]
+            resid = v - cmat[cell]
+            codes = np.empty((n, n_subspaces), dtype=np.int64)
+            for m in range(n_subspaces):
+                rs = resid[:, m * sub : (m + 1) * sub]
+                cs = cwm[:, m * sub : (m + 1) * sub]
+                d2 = (
+                    (rs * rs).sum(1)[:, None]
+                    + (cs * cs).sum(1)[None, :]
+                    - 2 * _gemm53(rs, cs.T)
+                )
+                codes[:, m] = np.argmin(d2, axis=1)  # ties → lower code
+            qout, nout, dout = [], [], []
+            for qi in range(n_q):
+                for pi in range(n_p):
+                    sel = np.nonzero(
+                        (cell == pidx[qi, pi]) & (ids != qids_np[qi])
+                    )[0]
+                    if not sel.size:
+                        continue
+                    ad = np.zeros(sel.size, dtype=np.int64)
+                    for m in range(n_subspaces):
+                        ad += tabs[qi, pi, m, codes[sel, m]]
+                    qout.append(np.full(sel.size, qids_np[qi], dtype=np.int64))
+                    nout.append(ids[sel])
+                    dout.append(ad)
+            if not qout:
+                continue
+            qcol = np.concatenate(qout)
+            ncol = np.concatenate(nout)
+            dcol = np.concatenate(dout)
+            # local top-k per query (adist ASC, neighbor ASC)
+            order = np.lexsort((ncol, dcol, qcol))
+            qcol, ncol, dcol = qcol[order], ncol[order], dcol[order]
+            starts = np.flatnonzero(np.r_[True, qcol[1:] != qcol[:-1]])
+            pos = np.arange(len(qcol)) - np.repeat(
+                starts, np.diff(np.r_[starts, len(qcol)])
+            )
+            topk = pos < k
+            yield pa.record_batch(
+                {"query_id": qcol[topk], "neighbor_id": ncol[topk], "adist": dcol[topk]}
+            )
+
+    scored = emb.select(id_col, vec_col).mapInArrow(
+        score, "query_id long, neighbor_id long, adist long"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("int")).where(
+        F.col("rank") <= k
+    )
+
+
+def ivfpq_ann_sql(
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    dims: int = 64,
+) -> str:
+    """DuckDB twin of :func:`ivfpq_ann_topk`: coarse assignment (dot DESC,
+    cid ASC), residual codebooks from the ids following the centroid seeds,
+    per-subspace argmin encoding of residuals, and the cell-keyed ADC join —
+    every distance the same exact int64 on the micro grid.  Residual lists
+    are built element-wise (``ev[i] − cv[i]``), so the subspace distances
+    stay the plain 3-term ``r² + w² − 2rw`` form."""
+    sub = dims // n_subspaces
+    quant = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000))"
+    in_list = ", ".join(str(int(i)) for i in query_ids)
+
+    def d2(a: str, b: str, m: int) -> str:
+        lo, hi = m * sub + 1, (m + 1) * sub
+        sa, sb = f"list_slice({a}, {lo}, {hi})", f"list_slice({b}, {lo}, {hi})"
+        return (
+            f"CAST(list_dot_product({sa}, {sa}) + list_dot_product({sb}, {sb})"
+            f" - 2 * list_dot_product({sa}, {sb}) AS BIGINT)"
+        )
+
+    cd_arms = "\n  UNION ALL\n".join(
+        f"  SELECT c.neighbor_id, c.cell, {m} AS m, w.code,"
+        f" {d2('c.rv', 'w.wv', m)} AS d2\n  FROM corpus c, cw w"
+        for m in range(n_subspaces)
+    )
+    qt_arms = "\n  UNION ALL\n".join(
+        f"  SELECT p.query_id, p.cell, {m} AS m, w.code,"
+        f" {d2('p.qrv', 'w.wv', m)} AS d2\n  FROM probes p, cw w"
+        for m in range(n_subspaces)
+    )
+    return f"""
+WITH cents AS MATERIALIZED (
+  SELECT vec_id AS cid, {quant} AS cv FROM embeddings
+  ORDER BY vec_id LIMIT {n_centroids}
+),
+seeds AS MATERIALIZED (
+  SELECT vec_id AS sid, {quant} AS sv FROM embeddings
+  ORDER BY vec_id LIMIT {n_codes} OFFSET {n_centroids}
+),
+cw AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY sid) - 1 AS INTEGER) AS code,
+         list_transform(range(1, {dims + 1}), i -> sv[i] - cv[i]) AS wv
+  FROM (
+    SELECT s.sid, s.sv, c.cv,
+           row_number() OVER (
+             PARTITION BY s.sid
+             ORDER BY CAST(list_dot_product(s.sv, c.cv) AS BIGINT) DESC, c.cid ASC
+           ) AS rn
+    FROM seeds s, cents c
+  ) WHERE rn = 1
+),
+v AS MATERIALIZED (SELECT vec_id, {quant} AS ev FROM embeddings),
+vcell AS MATERIALIZED (
+  SELECT vec_id, cid, crn,
+         list_transform(range(1, {dims + 1}), i -> ev[i] - cv[i]) AS rv
+  FROM (
+    SELECT v.vec_id, v.ev, c.cid, c.cv,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY CAST(list_dot_product(v.ev, c.cv) AS BIGINT) DESC, c.cid ASC
+           ) AS crn
+    FROM v, cents c
+  ) WHERE crn <= {n_probe}
+),
+probes AS MATERIALIZED (
+  SELECT vec_id AS query_id, cid AS cell, rv AS qrv FROM vcell
+  WHERE vec_id IN ({in_list})
+),
+corpus AS MATERIALIZED (
+  SELECT vec_id AS neighbor_id, cid AS cell, rv FROM vcell
+  WHERE crn = 1 AND cid IN (SELECT cell FROM probes)
+),
+cd AS MATERIALIZED (
+{cd_arms}
+),
+enc AS MATERIALIZED (
+  SELECT neighbor_id, cell, m, code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY neighbor_id, m ORDER BY d2 ASC, code ASC
+    ) AS arn FROM cd
+  ) WHERE arn = 1
+),
+qtab AS MATERIALIZED (
+{qt_arms}
+),
+adc AS (
+  SELECT t.query_id, e.neighbor_id, CAST(sum(t.d2) AS BIGINT) AS adist
+  FROM enc e JOIN qtab t ON e.cell = t.cell AND e.m = t.m AND e.code = t.code
+  WHERE e.neighbor_id <> t.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adist,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC
+       ) AS INTEGER) AS rank
+FROM adc
+QUALIFY rank <= {k}
+"""
+
+
+def mmr_rerank_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    k_cand: int = 40,
+    lam_num: int = 1,
+    lam_den: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein, SIGIR 1998):
+    take each query's ``k_cand`` brute-force nearest candidates, then pick
+    ``k`` of them greedily by
+    ``λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`` — relevance traded
+    against redundancy, the standard diversity stage of a retrieval /
+    training-data-curation pipeline (e.g. sampling diverse exemplars
+    instead of k near-identical ones).
+
+    λ is the exact rational ``lam_num/lam_den`` and every score is int64 on
+    the micro grid (rel and sim are micro² dots), so selection is
+    bit-reproducible: the first pick maximizes ``lam_num·rel`` (empty
+    selected set ⇒ no penalty term), later picks maximize
+    ``lam_num·rel − (lam_den−lam_num)·max_sim``; all ties fall to the
+    lower neighbor_id.
+
+    Scale shape: the candidate stage is ``brute_force_topk`` (one GEMM pass,
+    local top-k — swap in ``lsh_ann_topk``/``ivfpq_ann_topk`` past its
+    crossover); candidate vectors come from ONE broadcast-semi-join of the
+    driver-tiny candidate list against the vector table; the greedy loop
+    runs per query group over ≤ k_cand rows (Arrow-batched, k_cand²
+    integer GEMM per query — bounded, never corpus-sized).
+
+    Output: (query_id, neighbor_id, rel_micro2, mmr_score, rank ≤ k)."""
+    import numpy as np
+
+    qids = [int(i) for i in query_ids]
+    if not 0 < lam_num <= lam_den:
+        raise ValueError(f"need 0 < lam_num <= lam_den, got {lam_num}/{lam_den}")
+    pen = lam_den - lam_num
+    cand = brute_force_topk(emb, qids, k=k_cand, id_col=id_col, vec_col=vec_col)
+    withv = emb.select(
+        F.col(id_col).alias("neighbor_id"), quantized(vec_col).alias("nv")
+    ).join(F.broadcast(cand.select("query_id", "neighbor_id", "dot_micro2")), "neighbor_id")
+
+    def select_mmr(pdf):
+        import pandas as pd
+
+        ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+        rel = pdf["dot_micro2"].to_numpy(dtype=np.int64)
+        mat = np.array(pdf["nv"].tolist(), dtype=np.int64)
+        sims = _gemm53(mat, mat.T)
+        picked: list[int] = []
+        scores: list[int] = []
+        avail = np.ones(len(ids), dtype=bool)
+        for _ in range(min(k, len(ids))):
+            if picked:
+                sc = lam_num * rel - pen * sims[:, picked].max(axis=1)
+            else:
+                sc = lam_num * rel
+            live = np.nonzero(avail)[0]
+            best = live[np.lexsort((ids[live], -sc[live]))[0]]
+            picked.append(int(best))
+            avail[best] = False
+            scores.append(int(sc[best]))
+        return pd.DataFrame(
+            {
+                "query_id": np.full(len(picked), int(pdf["query_id"].iloc[0]), dtype=np.int64),
+                "neighbor_id": ids[picked],
+                "rel_micro2": rel[picked],
+                "mmr_score": np.array(scores, dtype=np.int64),
+                "rank": np.arange(1, len(picked) + 1, dtype=np.int32),
+            }
+        )
+
+    return withv.groupBy("query_id").applyInPandas(
+        select_mmr,
+        "query_id long, neighbor_id long, rel_micro2 long, mmr_score long, rank int",
+    )
+
+
+def mmr_rerank_sql(
+    query_ids: list[int],
+    k: int = 10,
+    k_cand: int = 40,
+    lam_num: int = 1,
+    lam_den: int = 2,
+) -> str:
+    """DuckDB twin of :func:`mmr_rerank_topk`: the greedy selection unrolled
+    into ``k`` MATERIALIZED rounds — round 1 is argmax ``lam_num·rel``;
+    round i joins the remaining candidates to the i−1 picks through the
+    pairwise-sim table and takes argmax of the penalized score, ties to the
+    lower neighbor_id — replaying the Spark loop pick for pick."""
+    pen = lam_den - lam_num
+    quant = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000))"
+    in_list = ", ".join(str(int(i)) for i in query_ids)
+    rounds = []
+    for i in range(2, k + 1):
+        rounds.append(f"""s{i} AS MATERIALIZED (
+  SELECT query_id, nid, rel, mmr_score, {i} AS rank FROM (
+    SELECT c.query_id, c.nid, c.rel,
+           CAST({lam_num} * c.rel - {pen} * max(s.simv) AS BIGINT) AS mmr_score,
+           row_number() OVER (
+             PARTITION BY c.query_id
+             ORDER BY {lam_num} * c.rel - {pen} * max(s.simv) DESC, c.nid ASC
+           ) AS rn
+    FROM cand c
+    JOIN sel{i - 1} p ON p.query_id = c.query_id
+    JOIN sim s ON s.query_id = c.query_id AND s.a = c.nid AND s.b = p.nid
+    WHERE NOT EXISTS (
+      SELECT 1 FROM sel{i - 1} e WHERE e.query_id = c.query_id AND e.nid = c.nid
+    )
+    GROUP BY c.query_id, c.nid, c.rel
+  ) WHERE rn = 1
+),
+sel{i} AS (SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM s{i})""")
+    chain = ",\n".join(rounds)
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id AS query_id, {quant} AS qv FROM embeddings
+  WHERE vec_id IN ({in_list})
+),
+v AS MATERIALIZED (SELECT vec_id, {quant} AS ev FROM embeddings),
+cand AS MATERIALIZED (
+  SELECT query_id, nid, rel, ev FROM (
+    SELECT query_id, nid, rel, ev,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY rel DESC, nid ASC
+           ) AS rn
+    FROM (
+      SELECT q.query_id, v.vec_id AS nid,
+             CAST(list_dot_product(q.qv, v.ev) AS BIGINT) AS rel, v.ev
+      FROM q, v WHERE v.vec_id <> q.query_id
+    )
+  ) WHERE rn <= {k_cand}
+),
+sim AS MATERIALIZED (
+  SELECT a.query_id, a.nid AS a, b.nid AS b,
+         CAST(list_dot_product(a.ev, b.ev) AS BIGINT) AS simv
+  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.nid <> b.nid
+),
+s1 AS MATERIALIZED (
+  SELECT query_id, nid, rel, CAST({lam_num} * rel AS BIGINT) AS mmr_score,
+         1 AS rank
+  FROM (
+    SELECT query_id, nid, rel,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY rel DESC, nid ASC
+           ) AS rn
+    FROM cand
+  ) WHERE rn = 1
+),
+sel1 AS (SELECT * FROM s1),
+{chain}
+SELECT query_id, nid AS neighbor_id, rel AS rel_micro2, mmr_score,
+       CAST(rank AS INTEGER) AS rank
+FROM sel{k}
+"""

@@ -2942,3 +2942,48 @@ def x114(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, ANN_QUERY_IDS, k=10, candidates=100,
         n_subspaces=8, n_codes=16, train_rounds=2, n_train=256,
     )
+
+# ---------------------------------------------------------------------------
+# x115 — IVF-PQ ANN (Jégou et al. 2011's IVFADC): the x15 inverted file
+# restricts each query to its n_probe nearest cells; inside them candidates
+# rank in the COMPRESSED domain — product-quantized RESIDUALS scored by
+# per-(query, cell) ADC tables.  The production 100 TB serving composition:
+# cell restriction cuts the candidate scan to ~n_probe/n_centroids of the
+# corpus, residual codes (8 bytes/vector) keep it RAM-resident, and no raw
+# vector is touched during scoring.  All arithmetic exact int64 on the
+# micro grid — the oracle replays both quantization levels bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x115_ivfpq_ann",
+    similarity.ivfpq_ann_sql(
+        ANN_QUERY_IDS, k=10, n_centroids=16, n_probe=4,
+        n_subspaces=8, n_codes=16,
+    ),
+)
+def x115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_ann_topk(
+        emb, ANN_QUERY_IDS, k=10, n_centroids=16, n_probe=4,
+        n_subspaces=8, n_codes=16,
+    )
+
+
+# ---------------------------------------------------------------------------
+# x116 — MMR diversity rerank (Carbonell & Goldstein, SIGIR 1998): greedy
+# λ·relevance − (1−λ)·max-sim-to-selected over each query's brute top-40
+# candidates — the standard redundancy-removal stage of a retrieval /
+# curation pipeline (diverse exemplar sampling).  λ is an exact rational
+# and every score an int64 micro² dot, so the oracle unrolls the greedy
+# loop into k MATERIALIZED rounds and replays it pick for pick.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x116_mmr_rerank",
+    similarity.mmr_rerank_sql(ANN_QUERY_IDS, k=8, k_cand=40),
+)
+def x116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.mmr_rerank_topk(emb, ANN_QUERY_IDS, k=8, k_cand=40)

@@ -2249,3 +2249,111 @@ def test_pq_trained_and_rerank(spark):
                 emb, qids, k=5, train_rounds=2, n_train=64).collect()}
     rer5 = {(r["query_id"], r["neighbor_id"]) for r in rer}
     assert len(exact5 & rer5) >= len(exact5 & adc5)
+
+
+def test_ivfpq_cell_restriction_and_exact_adc(spark):
+    """x115 IVF-PQ: every returned neighbor lies in one of the query's
+    n_probe coarse cells, and each adist is re-derivable by hand — residual
+    codebooks (seeds = the 16 ids after the centroid seeds), per-subspace
+    argmin encoding, and the per-(query, cell) ADC table, all exact int64
+    on the micro grid."""
+    import numpy as np
+
+    from flockdb_spark.sources.edges import _read
+
+    emb = _read(spark, "/root/testdata/sf0.001", "embeddings")
+    qids = [0, 1, 2]
+    out = similarity.ivfpq_ann_topk(
+        emb, qids, k=10, n_centroids=16, n_probe=4, n_subspaces=8, n_codes=16
+    ).collect()
+    assert len(out) == 30 and all(r["rank"] <= 10 for r in out)
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.rint(
+        np.array([r["embedding"] for r in rows], dtype=np.float64) * 1_000_000
+    ).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, mat = ids[order], mat[order]
+    cents, seeds = mat[:16], mat[16:32]
+    # codebook = seed residual w.r.t. its own nearest cell (dot DESC, cid ASC)
+    s_cell = np.argsort(-(seeds @ cents.T), axis=1, kind="stable")[:, 0]
+    cw = seeds - cents[s_cell]
+    sub = 64 // 8
+
+    def cell_of(v):
+        return int(np.argsort(-(cents @ v), kind="stable")[0])
+
+    def codes_of(v):
+        r = v - cents[cell_of(v)]
+        return [
+            int(np.argmin(((r[m * sub:(m + 1) * sub] - cw[:, m * sub:(m + 1) * sub]) ** 2).sum(1)))
+            for m in range(8)
+        ]
+
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
+        qv = mat[ids == r["query_id"]][0]
+        nv = mat[ids == r["neighbor_id"]][0]
+        n_cell = cell_of(nv)
+        # the neighbor's cell must be one of the query's 4 probe cells
+        probes = np.argsort(-(cents @ qv), kind="stable")[:4]
+        assert n_cell in probes, r
+        # hand ADC: query residual w.r.t. the NEIGHBOR's cell vs its codes
+        rq = qv - cents[n_cell]
+        adist = sum(
+            int(((rq[m * sub:(m + 1) * sub] - cw[c, m * sub:(m + 1) * sub]) ** 2).sum())
+            for m, c in enumerate(codes_of(nv))
+        )
+        assert r["adist"] == adist, r
+
+
+def test_mmr_rerank_replays_greedy_selection(spark):
+    """x116 MMR: the Spark output replays the hand-run greedy loop pick for
+    pick — λ·rel first, then λ·rel − (1−λ)·max-sim-to-selected, ties to the
+    lower neighbor_id — and rank 1 is exactly the brute top-1."""
+    import numpy as np
+
+    from flockdb_spark.sources.edges import _read
+
+    emb = _read(spark, "/root/testdata/sf0.001", "embeddings")
+    qids = [0, 1]
+    k, k_cand = 6, 20
+    out = sorted(
+        similarity.mmr_rerank_topk(emb, qids, k=k, k_cand=k_cand).collect(),
+        key=lambda r: (r["query_id"], r["rank"]),
+    )
+    assert len(out) == len(qids) * k
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.rint(
+        np.array([r["embedding"] for r in rows], dtype=np.float64) * 1_000_000
+    ).astype(np.int64)
+
+    brute = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["dot_micro2"])
+        for r in similarity.brute_force_topk(emb, qids, k=k_cand).collect()
+    }
+    for qid in qids:
+        cand_ids = np.array([brute[(qid, i)][0] for i in range(1, k_cand + 1)])
+        rel = np.array([brute[(qid, i)][1] for i in range(1, k_cand + 1)], dtype=np.int64)
+        cmat = np.vstack([mat[ids == n][0] for n in cand_ids])
+        sims = cmat @ cmat.T
+        picked, avail = [], np.ones(k_cand, dtype=bool)
+        expect = []
+        for step in range(k):
+            sc = rel - sims[:, picked].max(axis=1) if picked else rel.copy()
+            live = np.nonzero(avail)[0]
+            best = live[np.lexsort((cand_ids[live], -sc[live]))[0]]
+            picked.append(int(best))
+            avail[best] = False
+            expect.append((int(cand_ids[best]), int(sc[best]), step + 1))
+        got = [
+            (r["neighbor_id"], r["mmr_score"], r["rank"])
+            for r in out
+            if r["query_id"] == qid
+        ]
+        assert got == expect, (qid, got, expect)
+        # rank 1 is pure relevance: the brute top-1
+        assert got[0][0] == brute[(qid, 1)][0]
