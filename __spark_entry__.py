@@ -58,6 +58,11 @@ _GATED_GREEN = [
     "x38_embedding_dedup", "x79_k_core", "x97_negative_samples",
     "x109_lsh_auto_neardup", "x110_hybrid_rrf_ann", "x111_media_decode",
     "x101_hybrid_rrf", "q22_select_all",
+    # changed late in r8: BM25-family plan rework (stats ride the plan as a
+    # broadcast 1-row cross join; hybrid's matched-subset cached so the idf
+    # build and scoring share one corpus pass) — x58 already leads via the
+    # r4-stale block; x25/x99 pulled up from their r6/r7 slots
+    "x25_bm25", "x99_bm25_topk",
     # oldest r5-green entries fill the window (driver rows now 3 rounds old)
     "q05_wildcard", "x31_event_features",
     "x36_json_rollup", "x37_boilerplate", "x39_funnel", "x40_mixture_upsample",
@@ -85,10 +90,10 @@ _GATED_GREEN = [
     "x53_lsh_neardup_multitable", "x56_int8_ann",
     "x69_kmeans_fit", "x77_embedding_outliers",
     "x47_bigram_surprisal", "x91_kneser_ney", "x93_personalized_pagerank",
-    "x95_collocations", "x25_bm25",
+    "x95_collocations",
     # driver-green r7 (freshest rows)
     "q24_select_edges_batch", "q25_ordered_uuid",
-    "x98_semantic_dedup", "x99_bm25_topk", "x100_quality_classifier",
+    "x98_semantic_dedup", "x100_quality_classifier",
     "x102_phrase_match", "x103_heavy_hitters_sketch", "x104_orc_roundtrip",
     "x105_vocab_drift", "x106_probe_fit", "x107_multi_phrase",
     "x108_neighborhood_jaccard",
@@ -121,6 +126,11 @@ _CHANGED_IN_ROUND = [
     "x38_embedding_dedup", "x79_k_core", "x97_negative_samples",
     "x109_lsh_auto_neardup", "x110_hybrid_rrf_ann", "x111_media_decode",
     "x101_hybrid_rrf", "q22_select_all",
+    # late-r8 BM25-family plan rework: corpus stats ride the plan as a
+    # broadcast 1-row cross join (no blocking driver action) in
+    # x25/x99/x58; hybrid's matched subset cached (one corpus pass, not
+    # two) in x101/x110
+    "x25_bm25", "x99_bm25_topk", "x58_tfidf_top_terms",
 ]
 
 #: the driver's per-round gate depth (first N of the ordered registry)

@@ -49,20 +49,36 @@ def top_df_terms(term_table: DataFrame, n: int = 5, min_len: int = 4) -> DataFra
     )
 
 
-def _corpus_stats(terms: DataFrame) -> tuple[int, int]:
-    """(n_docs, sum_dl) derived from the cached (doc, term, tf) table — NOT
-    a second tokenize of the corpus.  Every document appears in the table
-    (``split`` always yields ≥1 token, so dl ≥ 1), making this exactly the
-    oracle's stats CTE; the aggregation runs over the cached projection the
-    scorer needs anyway, so collecting the two scalars costs one small agg
-    instead of a full corpus scan."""
-    row = (
+def _corpus_stats_df(terms: DataFrame) -> DataFrame:
+    """1-row (n_docs, avgdl_milli) frame derived from the cached (doc, term,
+    tf) table — NOT a second tokenize of the corpus.  Every document appears
+    in the table (``split`` always yields ≥1 token, so dl ≥ 1), making this
+    exactly the oracle's stats CTE.  Returned as a DataFrame so callers
+    broadcast-cross-join it into the scoring plan: the stats aggregation
+    becomes a stage of the ONE scoring job instead of a separate blocking
+    driver action (at 100 TB that barrier would serialize two full pipeline
+    waves)."""
+    return (
         terms.groupBy("doc_id")
         .agg(F.max("dl").alias("dl"))
-        .agg(F.count(F.lit(1)), F.sum("dl"))
-        .first()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("(cast(sum(dl) as bigint) * 1000) div count(1)")
+            .cast("long")
+            .alias("avgdl_milli"),
+        )
     )
-    return int(row[0]), int(row[1])
+
+
+def _term_score() -> F.Column:
+    """The shared BM25 term score — identical integer arithmetic in
+    ``bm25_scores`` and ``bm25_topk`` (and their oracles); n_docs / df / tf /
+    dl / avgdl_milli are columns of the joined scoring row."""
+    return F.expr(
+        f"((((n_docs - df) * 1000000) div (df + 1) + 1) * tf * {K1_MILLI + 1000}) "
+        f"div (tf * 1000 + ({K1_MILLI} * ({1000 - B_MILLI} + ({B_MILLI} * dl * 1000)"
+        f" div avgdl_milli)) div 1000)"
+    )
 
 
 def bm25_scores(
@@ -83,22 +99,22 @@ def bm25_scores(
     if query_terms is None:
         query_terms = top_df_terms(terms)
 
-    n_docs, sum_dl = _corpus_stats(terms)
-    avgdl_milli = sum_dl * 1000 // n_docs
+    # corpus stats ride the plan as a broadcast 1-row cross join instead of
+    # a blocking .first(): no separate driver action, no pipeline barrier
+    # between the token pass and the scoring graph (r8; the x101 nd pattern)
+    stats = _corpus_stats_df(terms)
 
     df_table = terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     q = F.broadcast(query_terms.select("term").join(df_table, "term"))
 
-    scored = terms.join(q, "term")
-    term_score = F.expr(
-        f"(((({n_docs} - df) * 1000000) div (df + 1) + 1) * tf * {K1_MILLI + 1000}) "
-        f"div (tf * 1000 + ({K1_MILLI} * ({1000 - B_MILLI} + ({B_MILLI} * dl * 1000) div {avgdl_milli})) div 1000)"
-    )
-    return (
-        scored.select("doc_id", term_score.alias("term_score"))
+    scored = terms.join(q, "term").crossJoin(F.broadcast(stats))
+    out = (
+        scored.select("doc_id", _term_score().alias("term_score"))
         .groupBy("doc_id")
         .agg(F.sum("term_score").cast("long").alias("score_micro"))
     )
+    out._flockdb_caches = [terms]  # released by the caller post-materialization
+    return out
 
 
 def bm25_oracle_sql(n_terms: int = 5, min_len: int = 4) -> str:
@@ -162,8 +178,7 @@ def bm25_topk(
     from pyspark.sql import Window
 
     terms = doc_terms(docs, text_col).cache()
-    n_docs, sum_dl = _corpus_stats(terms)
-    avgdl_milli = sum_dl * 1000 // n_docs
+    stats = _corpus_stats_df(terms)  # rides the plan — no blocking action (r8)
     df_table = terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
 
     # fixture query derivation: global row_number over the (df DESC, term)
@@ -183,13 +198,9 @@ def bm25_topk(
         )
     )
 
-    scored = terms.join(F.broadcast(qtab), "term")
-    term_score = F.expr(  # identical arithmetic to bm25_scores — keep in sync
-        f"(((({n_docs} - df) * 1000000) div (df + 1) + 1) * tf * {K1_MILLI + 1000}) "
-        f"div (tf * 1000 + ({K1_MILLI} * ({1000 - B_MILLI} + ({B_MILLI} * dl * 1000) div {avgdl_milli})) div 1000)"
-    )
+    scored = terms.join(F.broadcast(qtab), "term").crossJoin(F.broadcast(stats))
     per_doc = (
-        scored.select("query_id", "doc_id", term_score.alias("ts"))
+        scored.select("query_id", "doc_id", _term_score().alias("ts"))
         .groupBy("query_id", "doc_id")
         .agg(F.sum("ts").cast("long").alias("score_micro"))
     )
@@ -264,14 +275,22 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     terms = doc_terms(docs, text_col)
-    n_docs = docs.count()
-    df_table = terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    scored = terms.join(df_table, "term").select(
-        "doc_id",
-        "term",
-        F.expr(f"((({n_docs} - df) * 1000000) div (df + 1) + 1) * tf").cast("long").alias(
-            "score_micro"
-        ),
+    # n_docs rides the plan as a broadcast 1-row cross join (the x101 nd
+    # pattern) — no separate count job, no driver barrier (r8)
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        terms.join(
+            terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df")),
+            "term",
+        )
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "term",
+            F.expr("(((n_docs - df) * 1000000) div (df + 1) + 1) * tf")
+            .cast("long")
+            .alias("score_micro"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("score_micro"), F.asc("term")
@@ -456,11 +475,16 @@ def hybrid_rrf_topk(
     # distinct shuffle — df(t) and candidate scoring both derive from this
     # matched subset (df must count the query docs too, so the self-
     # exclusion happens only at scoring time)
+    # cached: BOTH consumers below (the idf broadcast build and the scoring
+    # join) read this corpus-sized explode+filter+distinct — uncached, the
+    # broadcast-build job and the main job would each run the full corpus
+    # scan (a genuine double pass at 100 TB, not just local job floor) (r8)
     matched = (
         docs.select("doc_id", F.explode(toks).alias("term"))
         .join(F.broadcast(qterms.select("term").distinct()), "term")
         .select("doc_id", "term")
         .distinct()
+        .cache()
     )
     # idf rides the (tiny) per-term side: df from the matched subset,
     # n_docs as a broadcast 1-row cross join — no blocking driver pull
@@ -498,10 +522,12 @@ def hybrid_rrf_topk(
         ).cast("long").alias("rrf_micro"),
     )
     wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
-    return (
+    out = (
         fused.withColumn("rank", F.row_number().over(wf).cast("long"))
         .where(F.col("rank") <= k)
     )
+    out._flockdb_caches = [matched]  # released by the caller post-materialization
+    return out
 
 
 def hybrid_rrf_sql(
