@@ -114,6 +114,11 @@ BENCH_QUERIES = [
     # (trained codebooks + ADC prefilter + exact rerank)
     "x112_pq_ann",
     "x114_pq_rerank",
+    # r8 late additions: the full IVFADC composition (coarse cells + residual
+    # PQ — the RAM-resident 100 TB serving shape) and the MMR diversity
+    # rerank (greedy λ·rel − (1−λ)·max-sim over brute top-40 candidates)
+    "x115_ivfpq_ann",
+    "x116_mmr_rerank",
 ]
 
 #: queries whose plan .cache()es a corpus-side index (persist_index=True):

@@ -49,35 +49,40 @@ def top_df_terms(term_table: DataFrame, n: int = 5, min_len: int = 4) -> DataFra
     )
 
 
-def _corpus_stats_df(terms: DataFrame) -> DataFrame:
-    """1-row (n_docs, avgdl_milli) frame derived from the cached (doc, term,
-    tf) table — NOT a second tokenize of the corpus.  Every document appears
-    in the table (``split`` always yields ≥1 token, so dl ≥ 1), making this
-    exactly the oracle's stats CTE.  Returned as a DataFrame so callers
-    broadcast-cross-join it into the scoring plan: the stats aggregation
-    becomes a stage of the ONE scoring job instead of a separate blocking
-    driver action (at 100 TB that barrier would serialize two full pipeline
-    waves)."""
-    return (
+def _corpus_stats(terms: DataFrame) -> tuple[int, int]:
+    """(n_docs, avgdl_milli) from the cached (doc, term, tf) table — NOT a
+    second tokenize of the corpus.  Every document appears in the table
+    (``split`` always yields ≥1 token, so dl ≥ 1), making this exactly the
+    oracle's stats CTE.
+
+    Kept as a BLOCKING driver action on purpose (r8, measured): this first
+    action materializes the shared terms cache, so the scoring graph's
+    other consumers all read warm partitions.  The plan-riding alternative
+    (1-row broadcast cross join) removed the barrier but let the broadcast
+    build's subtrees race on the cold cache — the tokenize ran 3× and
+    sf1.0 walls rose 15-40%.  The scalars then fold into the scoring
+    expression as LITERALS, which Catalyst constant-folds inside the
+    whole-stage-codegen span (a 1-row join on the stream measured a
+    further 15-20% BroadcastNestedLoopJoin tax)."""
+    row = (
         terms.groupBy("doc_id")
         .agg(F.max("dl").alias("dl"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.expr("(cast(sum(dl) as bigint) * 1000) div count(1)")
-            .cast("long")
-            .alias("avgdl_milli"),
-        )
+        .agg(F.count(F.lit(1)), F.sum("dl"))
+        .first()
     )
+    n_docs = int(row[0])
+    return n_docs, int(row[1]) * 1000 // n_docs
 
 
-def _term_score() -> F.Column:
+def _term_score(n_docs: int, avgdl_milli: int) -> F.Column:
     """The shared BM25 term score — identical integer arithmetic in
-    ``bm25_scores`` and ``bm25_topk`` (and their oracles); n_docs / df / tf /
-    dl / avgdl_milli are columns of the joined scoring row."""
+    ``bm25_scores`` and ``bm25_topk`` (and their oracles); df / tf / dl are
+    columns of the joined scoring row, the corpus stats are constant-folded
+    literals (see :func:`_corpus_stats`)."""
     return F.expr(
-        f"((((n_docs - df) * 1000000) div (df + 1) + 1) * tf * {K1_MILLI + 1000}) "
+        f"(((({n_docs} - df) * 1000000) div (df + 1) + 1) * tf * {K1_MILLI + 1000}) "
         f"div (tf * 1000 + ({K1_MILLI} * ({1000 - B_MILLI} + ({B_MILLI} * dl * 1000)"
-        f" div avgdl_milli)) div 1000)"
+        f" div {avgdl_milli})) div 1000)"
     )
 
 
@@ -99,17 +104,21 @@ def bm25_scores(
     if query_terms is None:
         query_terms = top_df_terms(terms)
 
-    # corpus stats ride the plan as a broadcast 1-row cross join instead of
-    # a blocking .first(): no separate driver action, no pipeline barrier
-    # between the token pass and the scoring graph (r8; the x101 nd pattern)
-    stats = _corpus_stats_df(terms)
+    # the stats pull is a DELIBERATE blocking action (r8, measured): it
+    # materializes the shared terms cache before the scoring graph's other
+    # consumers (query-term broadcast build, df table, scoring join) fan
+    # out.  Folding the stats into the plan instead (broadcast 1-row cross
+    # join) removes the barrier but lets the broadcast build's subtrees
+    # race on the COLD cache — the tokenize ran 3× and sf1.0 walls rose
+    # 15-40%.  One warm-the-cache action, then every consumer reads it.
+    n_docs, avgdl_milli = _corpus_stats(terms)
 
     df_table = terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     q = F.broadcast(query_terms.select("term").join(df_table, "term"))
 
-    scored = terms.join(q, "term").crossJoin(F.broadcast(stats))
+    scored = terms.join(q, "term")
     out = (
-        scored.select("doc_id", _term_score().alias("term_score"))
+        scored.select("doc_id", _term_score(n_docs, avgdl_milli).alias("term_score"))
         .groupBy("doc_id")
         .agg(F.sum("term_score").cast("long").alias("score_micro"))
     )
@@ -178,7 +187,8 @@ def bm25_topk(
     from pyspark.sql import Window
 
     terms = doc_terms(docs, text_col).cache()
-    stats = _corpus_stats_df(terms)  # rides the plan — no blocking action (r8)
+    # blocking on purpose — warms the shared cache (see _corpus_stats)
+    n_docs, avgdl_milli = _corpus_stats(terms)
     df_table = terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
 
     # fixture query derivation: global row_number over the (df DESC, term)
@@ -198,9 +208,9 @@ def bm25_topk(
         )
     )
 
-    scored = terms.join(F.broadcast(qtab), "term").crossJoin(F.broadcast(stats))
+    scored = terms.join(F.broadcast(qtab), "term")
     per_doc = (
-        scored.select("query_id", "doc_id", _term_score().alias("ts"))
+        scored.select("query_id", "doc_id", _term_score(n_docs, avgdl_milli).alias("ts"))
         .groupBy("query_id", "doc_id")
         .agg(F.sum("ts").cast("long").alias("score_micro"))
     )
@@ -275,22 +285,21 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     terms = doc_terms(docs, text_col)
-    # n_docs rides the plan as a broadcast 1-row cross join (the x101 nd
-    # pattern) — no separate count job, no driver barrier (r8)
+    # n_docs rides the plan folded into the VOCABULARY-sized df side (never
+    # a 1-row cross join on the corpus stream — the BNLJ tax scales with the
+    # corpus); no separate count job, no driver barrier (r8)
     nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    scored = (
-        terms.join(
-            terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df")),
-            "term",
-        )
+    df_table = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
         .crossJoin(F.broadcast(nd))
-        .select(
-            "doc_id",
-            "term",
-            F.expr("(((n_docs - df) * 1000000) div (df + 1) + 1) * tf")
-            .cast("long")
-            .alias("score_micro"),
-        )
+    )
+    scored = terms.join(df_table, "term").select(
+        "doc_id",
+        "term",
+        F.expr("(((n_docs - df) * 1000000) div (df + 1) + 1) * tf")
+        .cast("long")
+        .alias("score_micro"),
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("score_micro"), F.asc("term")
@@ -475,36 +484,32 @@ def hybrid_rrf_topk(
     # distinct shuffle — df(t) and candidate scoring both derive from this
     # matched subset (df must count the query docs too, so the self-
     # exclusion happens only at scoring time)
-    # cached: BOTH consumers below (the idf broadcast build and the scoring
-    # join) read this corpus-sized explode+filter+distinct — uncached, the
-    # broadcast-build job and the main job would each run the full corpus
-    # scan (a genuine double pass at 100 TB, not just local job floor) (r8)
     matched = (
         docs.select("doc_id", F.explode(toks).alias("term"))
         .join(F.broadcast(qterms.select("term").distinct()), "term")
         .select("doc_id", "term")
         .distinct()
-        .cache()
     )
-    # idf rides the (tiny) per-term side: df from the matched subset,
-    # n_docs as a broadcast 1-row cross join — no blocking driver pull
+    # ONE corpus pass (r8): df(t) is a count window keyed by term over the
+    # matched subset (matched is distinct (doc, term), so the window count
+    # IS the document frequency) — this replaces the separate idf broadcast
+    # table, whose build job re-ran the corpus explode+filter+distinct a
+    # second time (a genuine double pass at 100 TB; caching the subset
+    # instead measured slower than the window at sf1.0 — the cache write of
+    # a corpus-sized intermediate costs more than one term-keyed shuffle).
+    # n_docs rides the TINY qterms broadcast side, never the stream.
     nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    idf_table = (
-        matched.groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("df"))
-        .crossJoin(F.broadcast(nd))
-        .select(
-            "term",
-            F.expr("(((n_docs - df) * 1000000) div (df + 1)) + 1")
-            .cast("long").alias("idf_micro"),
-        )
-    )
+    wt = Window.partitionBy("term")
     lex_scored = (
-        matched.join(F.broadcast(qterms), "term")
+        matched.withColumn("df", F.count(F.lit(1)).over(wt).cast("long"))
+        .join(F.broadcast(qterms.crossJoin(nd)), "term")
         .where(F.col("doc_id") != F.col("query_id"))
-        .join(F.broadcast(idf_table), "term")
         .groupBy("query_id", "doc_id")
-        .agg(F.sum("idf_micro").cast("long").alias("lex_score"))
+        .agg(
+            F.sum(
+                F.expr("(((n_docs - df) * 1000000) div (df + 1)) + 1")
+            ).cast("long").alias("lex_score")
+        )
     )
     wl = Window.partitionBy("query_id").orderBy(F.desc("lex_score"), F.asc("doc_id"))
     lex = (
@@ -522,12 +527,10 @@ def hybrid_rrf_topk(
         ).cast("long").alias("rrf_micro"),
     )
     wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
-    out = (
+    return (
         fused.withColumn("rank", F.row_number().over(wf).cast("long"))
         .where(F.col("rank") <= k)
     )
-    out._flockdb_caches = [matched]  # released by the caller post-materialization
-    return out
 
 
 def hybrid_rrf_sql(

@@ -2260,3 +2260,185 @@ SELECT query_id, nid AS neighbor_id, rel AS rel_micro2, mmr_score,
        CAST(rank AS INTEGER) AS rank
 FROM sel{k}
 """
+
+
+def top_pc_projection(
+    emb: DataFrame,
+    rounds: int = 8,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Projection of every vector onto the corpus's dominant principal
+    component, found by deterministic power iteration — the
+    "all-but-the-top" embedding post-processing step (Mu & Viswanath 2018:
+    retrieval embeddings improve when the top PC, which encodes corpus-wide
+    bias, is measured and removed).
+
+    Exactness contract: vectors quantize to the MILLI grid (so the centered
+    Gram's int64/float64 bounds hold), the mean is the per-dim floor mean,
+    and the centered Gram comes from the one-pass expansion
+    ``Σ(x−μ)(x−μ)ᵀ = Σxxᵀ − μ(Σx)ᵀ − (Σx)μᵀ + nμμᵀ`` — exact for ANY fixed
+    μ, so mean and Gram need ONE corpus pass, not two.  Power iteration
+    runs on the driver over the collected 64×64 Gram in arbitrary-precision
+    Python ints (v₀ = 1000·𝟙; per round u = G·v then v' = sign(u)·(|u|·10⁶
+    div max|u|), so trunc ≡ floor and DuckDB's HUGEINT replays every round
+    bit-for-bit).  The projection pass is JVM-side (zip_with/aggregate over
+    a broadcast 64-int literal) — no Python in either corpus pass.
+
+    Scale shape (100 TB): pass 1 is a mapInArrow partial-GEMM per batch
+    (64×64 + 64 + 1 rows emitted per batch) reduced by a 4000-row groupBy —
+    decimal(38,0) accumulation so a 10¹² -vector corpus cannot overflow the
+    int64 partials' sum; the driver state is one 64×64 matrix regardless of
+    corpus size; pass 2 is embarrassingly parallel.  Two passes is the
+    algorithm's true dataflow (the Gram must close before projection).
+
+    Convergence honesty: power iteration closes the ANGLE to the top
+    eigenvector at rate (λ₂/λ₁)^rounds — on spectra where the top
+    eigenvalues cluster (e.g. the synthetic fixture's per-cluster PCs,
+    λ₁/λ₂ ≈ 1.07) 8 rounds reach only ~0.36 |cos|, yet the returned
+    direction already captures ≥ 90% of the top-PC VARIANCE (Rayleigh
+    quotient — the metric that matters for variance removal; the test
+    pins both, plus exact angle convergence on a spiked spectrum).  Raise
+    ``rounds`` when the application needs the eigenvector itself rather
+    than a near-top-variance direction; every round is exact in both
+    engines at any count.
+
+    Output: (vec_id, proj) — proj = Σ_d (x_d − μ_d)·v_d, int64."""
+    import numpy as np
+
+    def partials(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            arr = batch.column(1)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            m = flat * 1000.0
+            x = ((np.trunc(np.abs(m) + 0.5) * np.sign(m)).astype(np.int64)).reshape(
+                batch.num_rows, -1
+            )
+            g = _gemm53(x.T, x)  # (dims, dims) — exact: |x|≤~2e3, n_b≤~1e4
+            sx = x.sum(0)
+            ii = np.repeat(np.arange(dims, dtype=np.int64), dims)
+            jj = np.tile(np.arange(dims, dtype=np.int64), dims)
+            yield pa.record_batch(
+                {
+                    "i": np.r_[ii, np.arange(dims, dtype=np.int64), [-1]],
+                    "j": np.r_[jj, np.full(dims, -1, dtype=np.int64), [-1]],
+                    "p": np.r_[g.reshape(-1), sx, [np.int64(batch.num_rows)]],
+                }
+            )
+
+    stats = (
+        emb.select(id_col, vec_col)
+        .mapInArrow(partials, "i long, j long, p long")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("s"))
+        .collect()
+    )
+    sxx = {}
+    sx = [0] * dims
+    n = 0
+    for r in stats:
+        i, j, s = int(r["i"]), int(r["j"]), int(r["s"])
+        if i == -1:
+            n = s
+        elif j == -1:
+            sx[i] = s
+        else:
+            sxx[(i, j)] = s
+    if n == 0:
+        raise ValueError("top_pc_projection: empty corpus")
+    mu = [s_ // n for s_ in sx]  # python // == floor — matches the oracle
+    # centered Gram from the one-pass expansion (exact python bigints)
+    g = [
+        [
+            sxx[(i, j)] - mu[i] * sx[j] - mu[j] * sx[i] + n * mu[i] * mu[j]
+            for j in range(dims)
+        ]
+        for i in range(dims)
+    ]
+    v = [1000] * dims
+    for _ in range(rounds):
+        u = [sum(g[i][j] * v[j] for j in range(dims)) for i in range(dims)]
+        m = max(abs(x) for x in u)
+        if m == 0:
+            v = [0] * dims
+            break
+        # sign(u)·(|u|·10⁶ div m): trunc ≡ floor on the |·| form, so python,
+        # numpy and DuckDB agree on negatives
+        v = [(1 if x >= 0 else -1) * (abs(x) * 1_000_000 // m) for x in u]
+
+    q_milli = F.transform(
+        F.col(vec_col), lambda c: F.round(c.cast("double") * 1000).cast("long")
+    )
+    v_lit = F.array(*[F.lit(int(x)).cast("long") for x in v])
+    mu_lit = F.array(*[F.lit(int(x)).cast("long") for x in mu])
+    centered = F.zip_with(q_milli, mu_lit, lambda a, b: a - b)
+    proj = F.aggregate(
+        F.zip_with(centered, v_lit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return emb.select(F.col(id_col).alias("vec_id"), proj.alias("proj"))
+
+
+def top_pc_projection_sql(rounds: int = 8, dims: int = 64) -> str:
+    """DuckDB twin of :func:`top_pc_projection`: the same one-pass centered
+    Gram (HUGEINT sums), the power-iteration rounds unrolled and
+    MATERIALIZED, and the identical sign(u)·(|u|·10⁶ // max|u|)
+    normalization — every round exact."""
+    milli = (
+        "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000)"
+        " AS BIGINT))"
+    )
+    rcte = []
+    for r in range(1, rounds + 1):
+        rcte.append(f"""u{r} AS MATERIALIZED (
+  SELECT gc.gi AS i, sum(gc.g * v.v) AS u
+  FROM gc JOIN v{r - 1} v ON v.i = gc.gj GROUP BY gc.gi
+),
+v{r} AS MATERIALIZED (
+  SELECT i, coalesce(
+    (CASE WHEN u >= 0 THEN 1 ELSE -1 END)
+      * ((abs(u) * 1000000) // NULLIF((SELECT max(abs(u)) FROM u{r}), 0)),
+    0) AS v
+  FROM u{r}
+)""")
+    chain = ",\n".join(rcte)
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(ev, 1) - 1 AS i, unnest(ev) AS x
+  FROM (SELECT vec_id, {milli} AS ev FROM embeddings)
+),
+nn AS (SELECT CAST(count(DISTINCT vec_id) AS HUGEINT) AS n FROM e),
+sx AS MATERIALIZED (
+  SELECT i, CAST(sum(x) AS HUGEINT) AS sx FROM e GROUP BY i
+),
+mu AS MATERIALIZED (
+  -- exact floor division (// truncates toward zero on negatives)
+  SELECT i, (sx - ((sx % nn.n + nn.n) % nn.n)) // nn.n AS mu
+  FROM sx, nn
+),
+sxx AS MATERIALIZED (
+  SELECT a.i AS gi, b.i AS gj, CAST(sum(a.x * b.x) AS HUGEINT) AS sxx
+  FROM e a JOIN e b USING (vec_id) GROUP BY a.i, b.i
+),
+gc AS MATERIALIZED (
+  SELECT gi, gj,
+         sxx - mi.mu * sj.sx - mj.mu * si.sx + nn.n * mi.mu * mj.mu AS g
+  FROM sxx
+  JOIN mu mi ON mi.i = gi JOIN mu mj ON mj.i = gj
+  JOIN sx si ON si.i = gi JOIN sx sj ON sj.i = gj
+  CROSS JOIN nn
+),
+v0 AS (SELECT i, CAST(1000 AS HUGEINT) AS v FROM mu),
+{chain}
+SELECT e.vec_id, CAST(sum((e.x - mu.mu) * v{rounds}.v) AS BIGINT) AS proj
+FROM e JOIN mu USING (i) JOIN v{rounds} ON v{rounds}.i = e.i
+GROUP BY e.vec_id
+"""

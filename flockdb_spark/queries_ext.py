@@ -2987,3 +2987,19 @@ def x115(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x116(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return similarity.mmr_rerank_topk(emb, ANN_QUERY_IDS, k=8, k_cand=40)
+
+# ---------------------------------------------------------------------------
+# x117 — dominant-PC projection by deterministic power iteration (the
+# "all-but-the-top" embedding post-processing measurement, Mu & Viswanath
+# 2018).  One corpus pass builds the exact centered-Gram sufficient
+# statistics (Σxxᵀ − μ(Σx)ᵀ − (Σx)μᵀ + nμμᵀ — exact for the floor mean, so
+# mean+Gram need a single pass); the driver iterates the 64×64 Gram in
+# arbitrary-precision ints; a JVM-side second pass projects every vector.
+# The oracle replays the rounds in HUGEINT bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+@query("x117_top_pc_projection", similarity.top_pc_projection_sql(rounds=8))
+def x117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.top_pc_projection(emb, rounds=8)

@@ -2357,3 +2357,71 @@ def test_mmr_rerank_replays_greedy_selection(spark):
         assert got == expect, (qid, got, expect)
         # rank 1 is pure relevance: the brute top-1
         assert got[0][0] == brute[(qid, 1)][0]
+
+
+def test_top_pc_projection_exact_replay_and_quality(spark):
+    """x117: (a) the Spark output replays the integer power iteration
+    bit-for-bit (floor mean, one-pass centered Gram, 8 rounds of
+    sign(u)*(|u|*1e6 // max|u|)); (b) on the fixture — whose top
+    eigenvalues CLUSTER (lambda1/lambda2 ~ 1.07), the regime where plain
+    power iteration converges slowly in angle — the returned direction
+    still captures >= 90% of the top-PC variance by Rayleigh quotient;
+    (c) on a spiked spectrum (clear eigengap) 8 rounds align with numpy's
+    dominant eigenvector to |cos| >= 0.999."""
+    import numpy as np
+
+    from flockdb_spark.sources.edges import _read
+
+    emb = _read(spark, "/root/testdata/sf0.001", "embeddings")
+    out = {r["vec_id"]: r["proj"] for r in similarity.top_pc_projection(emb, rounds=8).collect()}
+    assert len(out) == 500
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64) * 1000.0
+    x = (np.trunc(np.abs(m) + 0.5) * np.sign(m)).astype(np.int64)
+
+    # (a) hand-replay in python bigints
+    n, dims = x.shape
+    sx = [int(s) for s in x.sum(0)]
+    mu = [s // n for s in sx]
+    sxx = x.T.astype(object) @ x.astype(object)
+    g = [[int(sxx[i][j]) - mu[i] * sx[j] - mu[j] * sx[i] + n * mu[i] * mu[j]
+          for j in range(dims)] for i in range(dims)]
+    v = [1000] * dims
+    for _ in range(8):
+        u = [sum(g[i][j] * v[j] for j in range(dims)) for i in range(dims)]
+        mx = max(abs(t) for t in u)
+        v = [(1 if t >= 0 else -1) * (abs(t) * 1_000_000 // mx) for t in u]
+    for vid, xi in zip(ids, x):
+        expect = sum((int(xi[d]) - mu[d]) * v[d] for d in range(dims))
+        assert out[int(vid)] == expect, vid
+
+    # (b) variance capture: Rayleigh quotient of the returned direction vs
+    # the exact top eigenvalue (the meaningful quality metric when the top
+    # eigenvalues cluster — angle converges at (lambda2/lambda1)^T, but any
+    # near-top direction already captures near-top variance)
+    xc = x - np.array(mu)
+    cov = (xc.T @ xc).astype(np.float64)
+    w = np.linalg.eigvalsh(cov)
+    vv = np.array([float(t) for t in v])
+    rayleigh = (vv @ cov @ vv) / (vv @ vv)
+    assert rayleigh >= 0.9 * w.max(), rayleigh / w.max()
+
+    # (c) spiked spectrum: a planted dominant direction converges in angle
+    # variance spike: dim 5 alternates ±3000 (the mean-offset version of
+    # this fixture centers away — the spike must live in the covariance)
+    rng_free = [(int(i), [float(3000 if i % 2 else -3000) if d == 5 else
+                          float(((i * 31 + d * 17) % 13) - 6)
+                          for d in range(64)]) for i in range(200)]
+    spiked = spark.createDataFrame(rng_free, "vec_id long, embedding array<double>")
+    out2 = {r["vec_id"]: r["proj"] for r in similarity.top_pc_projection(spiked, rounds=8).collect()}
+    m2 = np.array([e for _, e in rng_free]) * 1000.0
+    x2 = (np.trunc(np.abs(m2) + 0.5) * np.sign(m2)).astype(np.int64)
+    xc2 = x2 - np.floor_divide(x2.sum(0), len(x2))
+    cov2 = (xc2.T @ xc2).astype(np.float64)
+    w2, vecs2 = np.linalg.eigh(cov2)
+    p_exact = xc2 @ vecs2[:, np.argmax(w2)]
+    p_got = np.array([out2[i] for i, _ in rng_free], dtype=np.float64)
+    cos = abs(p_exact @ p_got) / (np.linalg.norm(p_exact) * np.linalg.norm(p_got))
+    assert cos >= 0.999, cos
