@@ -119,6 +119,10 @@ BENCH_QUERIES = [
     # rerank (greedy λ·rel − (1−λ)·max-sim over brute top-40 candidates)
     "x115_ivfpq_ann",
     "x116_mmr_rerank",
+    # the all-but-the-top measurement pass: one-pass centered Gram + exact
+    # integer power iteration + JVM-side projection — two corpus passes by
+    # the algorithm's dataflow
+    "x117_top_pc_projection",
 ]
 
 #: queries whose plan .cache()es a corpus-side index (persist_index=True):
