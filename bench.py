@@ -163,6 +163,13 @@ CONSTRUCT_IN_PASS = {
     # PQ, timed in-pass
     "x112_pq_ann",
     "x114_pq_rerank",
+    # x115 collects centroid+codebook seeds and builds the per-(query, cell)
+    # ADC tables; x116's candidate stage collects the query vectors; x117
+    # runs the ENTIRE Gram pass + power iteration at construction time — all
+    # corpus-touching, so timed in-pass
+    "x115_ivfpq_ann",
+    "x116_mmr_rerank",
+    "x117_top_pc_projection",
 }
 
 

@@ -635,6 +635,12 @@ def bigram_surprisal(
     bg = bg.cache()
     counts = bg.groupBy("pair").agg(F.count(F.lit(1)).alias("c"))
     total = counts.agg(F.sum("c").alias("n")).select("n")
+    # the 1-row N broadcast deliberately joins the STREAM here (not the
+    # counts side, unlike tfidf's n_docs): folding it into counts inserts a
+    # node between the groupBy and the pair join, which breaks the
+    # ReusedExchange of bg's shuffle — measured 1.9x slower at sf1.0
+    # (3.66 s vs 1.94 s min-of-5); the stream-side BNLJ tax is the cheaper
+    # of the two effects on this plan
     out = (
         bg.join(counts, "pair")
         .join(F.broadcast(total))
