@@ -119,6 +119,9 @@ BENCH_QUERIES = [
     # rerank (greedy λ·rel − (1−λ)·max-sim over brute top-40 candidates)
     "x115_ivfpq_ann",
     "x116_mmr_rerank",
+    # the fully-trained IVFADC (k-means coarse + Lloyd residual codebooks):
+    # the index build IS the query, timed in-pass
+    "x118_ivfpq_trained",
     # the all-but-the-top measurement pass: one-pass centered Gram + exact
     # integer power iteration + JVM-side projection — two corpus passes by
     # the algorithm's dataflow
@@ -170,6 +173,9 @@ CONSTRUCT_IN_PASS = {
     "x115_ivfpq_ann",
     "x116_mmr_rerank",
     "x117_top_pc_projection",
+    # x118 trains both quantization levels at construction (kmeans corpus
+    # passes + residual Lloyd) — the index-build half, timed in-pass
+    "x118_ivfpq_trained",
 }
 
 

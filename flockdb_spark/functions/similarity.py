@@ -2442,3 +2442,318 @@ SELECT e.vec_id, CAST(sum((e.x - mu.mu) * v{rounds}.v) AS BIGINT) AS proj
 FROM e JOIN mu USING (i) JOIN v{rounds} ON v{rounds}.i = e.i
 GROUP BY e.vec_id
 """
+
+
+def ivfpq_trained_ann_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    coarse_iter: int = 2,
+    n_probe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    train_rounds: int = 2,
+    n_train: int = 256,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with BOTH quantization levels TRAINED — the production IVFADC
+    recipe the untrained x115 composition measures the need for (RECALL.md:
+    with untrained coarse cells, residuals have higher variance than the
+    raw vectors and residual PQ loses to flat PQ; training the coarse
+    level is what makes residuals small).
+
+    Level 1: coarse cells from :func:`kmeans_fit` (``coarse_iter`` exact
+    integer Lloyd rounds; assignment = argmin squared distance, ties to
+    the lower cid — the k-means-consistent metric, used for training AND
+    serving here, unlike x115's dot rule).  Level 2: residual codebooks
+    seeded from the ``n_codes`` smallest ids' residuals and refined by
+    ``train_rounds`` per-subspace Lloyd rounds over the ``n_train``
+    smallest ids' residuals (integer floor means, argmin-ties-to-lower-
+    code, empty cells keep their codeword — the x113 training contract).
+
+    Everything is exact int64 on the micro grid and every training round
+    is replayed by the oracle (x118), so the full two-level index build is
+    value-gated, not just the serving pass.  Driver state stays bounded:
+    K×dims centroids + n_train×dims sample + C×dims codebooks.
+
+    Output: (query_id, neighbor_id, adist, rank) — x115's contract."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    sub = dims // n_subspaces
+    qids = [int(i) for i in query_ids]
+
+    # level 1: trained coarse centroids (kmeans_fit runs the corpus passes;
+    # its output is K×dims rows — bounded)
+    cent_rows = kmeans_fit(
+        emb, n_clusters=n_centroids, n_iter=coarse_iter, id_col=id_col, vec_col=vec_col
+    ).collect()
+    by_c: dict[int, dict[int, int]] = {}
+    for r in cent_rows:
+        by_c.setdefault(int(r["cluster"]), {})[int(r["dim"])] = int(r["centroid_micro"])
+    c_ids = np.array(sorted(by_c), dtype=np.int64)
+    c_mat = np.array(
+        [[by_c[c][d] for d in range(dims)] for c in c_ids], dtype=np.int64
+    )
+
+    def cells_of(mat):
+        # argmin ||x−c||² == argmin(|c|² − 2x·c); ties → first (lower cid)
+        cn = (c_mat * c_mat).sum(1)
+        return (cn[None, :] - 2 * _gemm53(mat, c_mat.T)).argmin(axis=1)
+
+    # level 2: residual codebooks, Lloyd-refined on the n_train sample
+    t_rows = (
+        emb.orderBy(id_col).limit(max(n_train, n_codes)).select(id_col, vec_col).collect()
+    )
+    t_order = np.argsort(np.array([r[id_col] for r in t_rows], dtype=np.int64), kind="stable")
+    tmat = _np_quantize(pd.Series([r[vec_col] for r in t_rows]))[t_order]
+    tres = tmat - c_mat[cells_of(tmat)]
+    cw = tres[:n_codes].copy()
+    for m in range(n_subspaces):
+        xs = tres[:n_train, m * sub : (m + 1) * sub]
+        cs = cw[:, m * sub : (m + 1) * sub].copy()
+        for _ in range(train_rounds):
+            d2 = (
+                (xs * xs).sum(1)[:, None]
+                + (cs * cs).sum(1)[None, :]
+                - 2 * _gemm53(xs, cs.T)
+            )
+            codes = np.argmin(d2, axis=1)
+            for c in range(cs.shape[0]):
+                members = xs[codes == c]
+                if len(members):
+                    cs[c] = np.floor_divide(members.sum(0), len(members))
+        cw[:, m * sub : (m + 1) * sub] = cs
+
+    # queries: probe cells by the same argmin-d2 rule; ADC tables per
+    # (query, probed cell) — driver-bounded |Q|·n_probe·M·C
+    q_rows = emb.where(F.col(id_col).isin(qids)).select(id_col, vec_col).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = _np_quantize(pd.Series([r[vec_col] for r in q_rows]))
+    cn = (c_mat * c_mat).sum(1)
+    qd2 = cn[None, :] - 2 * _gemm53(q_mat, c_mat.T)
+    probe_idx = np.argsort(qd2, axis=1, kind="stable")[:, :n_probe]
+    tables = np.empty((len(q_ids), probe_idx.shape[1], n_subspaces, n_codes), dtype=np.int64)
+    for qi in range(len(q_ids)):
+        for pi in range(probe_idx.shape[1]):
+            rq = q_mat[qi] - c_mat[probe_idx[qi, pi]]
+            for m in range(n_subspaces):
+                rm = rq[m * sub : (m + 1) * sub]
+                cm = cw[:, m * sub : (m + 1) * sub]
+                tables[qi, pi, m, :] = (rm * rm).sum() + (cm * cm).sum(1) - 2 * (cm @ rm)
+    bc = emb.sparkSession.sparkContext.broadcast((c_mat, cw, q_ids, probe_idx, tables))
+
+    def score(batches):
+        import pyarrow as pa
+
+        cmat, cwm, qids_np, pidx, tabs = bc.value
+        cnorm = (cmat * cmat).sum(1)
+        n_q, n_p = pidx.shape
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = _i64_arrow(batch.column(0))
+            v = _quantize_arrow(batch.column(1))
+            cell = (cnorm[None, :] - 2 * _gemm53(v, cmat.T)).argmin(axis=1)
+            resid = v - cmat[cell]
+            codes = np.empty((len(ids), n_subspaces), dtype=np.int64)
+            for m in range(n_subspaces):
+                rs = resid[:, m * sub : (m + 1) * sub]
+                cs = cwm[:, m * sub : (m + 1) * sub]
+                d2 = (
+                    (rs * rs).sum(1)[:, None]
+                    + (cs * cs).sum(1)[None, :]
+                    - 2 * _gemm53(rs, cs.T)
+                )
+                codes[:, m] = np.argmin(d2, axis=1)
+            qout, nout, dout = [], [], []
+            for qi in range(n_q):
+                for pi in range(n_p):
+                    sel = np.nonzero((cell == pidx[qi, pi]) & (ids != qids_np[qi]))[0]
+                    if not sel.size:
+                        continue
+                    ad = np.zeros(sel.size, dtype=np.int64)
+                    for m in range(n_subspaces):
+                        ad += tabs[qi, pi, m, codes[sel, m]]
+                    qout.append(np.full(sel.size, qids_np[qi], dtype=np.int64))
+                    nout.append(ids[sel])
+                    dout.append(ad)
+            if not qout:
+                continue
+            qcol = np.concatenate(qout)
+            ncol = np.concatenate(nout)
+            dcol = np.concatenate(dout)
+            order = np.lexsort((ncol, dcol, qcol))
+            qcol, ncol, dcol = qcol[order], ncol[order], dcol[order]
+            starts = np.flatnonzero(np.r_[True, qcol[1:] != qcol[:-1]])
+            pos = np.arange(len(qcol)) - np.repeat(starts, np.diff(np.r_[starts, len(qcol)]))
+            topk = pos < k
+            yield pa.record_batch(
+                {"query_id": qcol[topk], "neighbor_id": ncol[topk], "adist": dcol[topk]}
+            )
+
+    scored = emb.select(id_col, vec_col).mapInArrow(
+        score, "query_id long, neighbor_id long, adist long"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("int")).where(
+        F.col("rank") <= k
+    )
+
+
+def ivfpq_trained_sql(
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    coarse_iter: int = 2,
+    n_probe: int = 4,
+    n_subspaces: int = 8,
+    n_codes: int = 16,
+    train_rounds: int = 2,
+    n_train: int = 256,
+    dims: int = 64,
+) -> str:
+    """DuckDB twin of :func:`ivfpq_trained_ann_topk`: the x69 k-means chain
+    (``coarse_iter`` assign/floor-mean rounds), argmin-d2 cell assignment,
+    the x113-style residual-codebook Lloyd rounds (MATERIALIZED), and the
+    cell-keyed ADC join — every training round and every distance exact."""
+    if coarse_iter != 2:
+        raise NotImplementedError("the SQL twin unrolls exactly 2 coarse rounds")
+    sub = dims // n_subspaces
+    quant = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000))"
+    in_list = ", ".join(str(int(i)) for i in query_ids)
+    dist = (
+        f"list_sum(list_transform(range(1, {dims + 1}), "
+        "i -> (ev[i] - cv[i]) * (ev[i] - cv[i])))"
+    )
+    sl = f"list_slice(t.trv, c.m * {sub} + 1, (c.m + 1) * {sub})"
+    d2_train = (
+        f"CAST(list_dot_product({sl}, {sl}) + list_dot_product(c.cw, c.cw)"
+        f" - 2 * list_dot_product({sl}, c.cw) AS BIGINT)"
+    )
+    rounds = []
+    for r in range(1, train_rounds + 1):
+        rounds.append(f"""asg{r} AS MATERIALIZED (
+  SELECT vec_id, m, code FROM (
+    SELECT t.vec_id, c.m, c.code,
+           row_number() OVER (
+             PARTITION BY t.vec_id, c.m ORDER BY {d2_train} ASC, c.code ASC
+           ) AS rn
+    FROM train t CROSS JOIN cb{r - 1} c
+  ) WHERE rn = 1
+),
+upd{r} AS MATERIALIZED (
+  SELECT a.m, a.code, i.i,
+         CAST(floor(CAST(sum(t.trv[a.m * {sub} + i.i]) AS DOUBLE) / count(*)) AS BIGINT) AS val
+  FROM asg{r} a JOIN train t USING (vec_id)
+  CROSS JOIN (SELECT unnest(range(1, {sub + 1})) AS i) i
+  GROUP BY a.m, a.code, i.i
+),
+cb{r} AS MATERIALIZED (
+  SELECT c.m, c.code, coalesce(u.cw, c.cw) AS cw
+  FROM cb{r - 1} c LEFT JOIN (
+    SELECT m, code, list(val ORDER BY i) AS cw FROM upd{r} GROUP BY m, code
+  ) u USING (m, code)
+)""")
+    chain = ",\n".join(rounds)
+    slv = f"list_slice(x.rv, c.m * {sub} + 1, (c.m + 1) * {sub})"
+    d2_body = (
+        f"CAST(list_dot_product({slv}, {slv}) + list_dot_product(c.cw, c.cw)"
+        f" - 2 * list_dot_product({slv}, c.cw) AS BIGINT)"
+    )
+    return f"""
+WITH v AS MATERIALIZED (SELECT vec_id, {quant} AS ev FROM embeddings),
+seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, ev AS cv
+  FROM v ORDER BY vec_id LIMIT {n_centroids}
+),
+a1 AS MATERIALIZED (
+  SELECT vec_id, cid, ev FROM (
+    SELECT v.vec_id, s.cid, v.ev,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {dist.replace('cv[i]', 's.cv[i]').replace('ev[i]', 'v.ev[i]')} ASC, s.cid ASC) AS rn
+    FROM v CROSS JOIN seeds s) WHERE rn = 1
+),
+c1 AS MATERIALIZED (
+  SELECT cid, list(cm ORDER BY dim) AS cv FROM (
+    SELECT a1.cid, d.i AS dim,
+           CAST(floor(CAST(sum(a1.ev[d.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cm
+    FROM a1, range(1, {dims + 1}) AS d(i) GROUP BY a1.cid, d.i
+  ) GROUP BY cid
+),
+a2 AS MATERIALIZED (
+  SELECT vec_id, cid, ev FROM (
+    SELECT v.vec_id, c.cid, v.ev,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {dist.replace('cv[i]', 'c.cv[i]').replace('ev[i]', 'v.ev[i]')} ASC, c.cid ASC) AS rn
+    FROM v CROSS JOIN c1 c) WHERE rn = 1
+),
+c2 AS MATERIALIZED (
+  SELECT cid, list(cm ORDER BY dim) AS cv FROM (
+    SELECT a2.cid, d.i AS dim,
+           CAST(floor(CAST(sum(a2.ev[d.i]) AS DOUBLE) / count(*)) AS BIGINT) AS cm
+    FROM a2, range(1, {dims + 1}) AS d(i) GROUP BY a2.cid, d.i
+  ) GROUP BY cid
+),
+vcell AS MATERIALIZED (
+  SELECT vec_id, cid, crn,
+         list_transform(range(1, {dims + 1}), i -> ev[i] - cv[i]) AS rv
+  FROM (
+    SELECT v.vec_id, v.ev, c.cid, c.cv,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY {dist.replace('cv[i]', 'c.cv[i]').replace('ev[i]', 'v.ev[i]')} ASC, c.cid ASC) AS crn
+    FROM v CROSS JOIN c2 c
+  ) WHERE crn <= {n_probe}
+),
+train AS MATERIALIZED (
+  SELECT vec_id, rv AS trv FROM vcell WHERE crn = 1
+  ORDER BY vec_id LIMIT {n_train}
+),
+cb0 AS MATERIALIZED (
+  SELECT m.m, s.code, list_slice(s.rv, m.m * {sub} + 1, (m.m + 1) * {sub}) AS cw
+  FROM (
+    SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS code, rv
+    FROM (SELECT vec_id, rv FROM vcell WHERE crn = 1 ORDER BY vec_id LIMIT {n_codes})
+  ) s CROSS JOIN (SELECT unnest(range(0, {n_subspaces})) AS m) m
+),
+{chain},
+probes AS MATERIALIZED (
+  SELECT vec_id AS query_id, cid AS cell, rv FROM vcell
+  WHERE vec_id IN ({in_list})
+),
+corpus AS MATERIALIZED (
+  SELECT vec_id AS neighbor_id, cid AS cell, rv FROM vcell
+  WHERE crn = 1 AND cid IN (SELECT cell FROM probes)
+),
+cd AS MATERIALIZED (
+  SELECT x.neighbor_id, x.cell, c.m, c.code, {d2_body} AS d2
+  FROM corpus x CROSS JOIN cb{train_rounds} c
+),
+enc AS MATERIALIZED (
+  SELECT neighbor_id, cell, m, code FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY neighbor_id, m ORDER BY d2 ASC, code ASC
+    ) AS arn FROM cd
+  ) WHERE arn = 1
+),
+qtab AS MATERIALIZED (
+  SELECT x.query_id, x.cell, c.m, c.code, {d2_body.replace('x.rv', 'x.rv')} AS d2
+  FROM probes x CROSS JOIN cb{train_rounds} c
+),
+adc AS (
+  SELECT t.query_id, e.neighbor_id, CAST(sum(t.d2) AS BIGINT) AS adist
+  FROM enc e JOIN qtab t ON e.cell = t.cell AND e.m = t.m AND e.code = t.code
+  WHERE e.neighbor_id <> t.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adist,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY adist ASC, neighbor_id ASC
+       ) AS INTEGER) AS rank
+FROM adc
+QUALIFY rank <= {k}
+"""

@@ -3003,3 +3003,28 @@ def x116(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x117(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return similarity.top_pc_projection(emb, rounds=8)
+
+# ---------------------------------------------------------------------------
+# x118 — IVF-PQ with BOTH levels TRAINED (the production IVFADC recipe):
+# k-means coarse cells (x69's exact integer Lloyd chain) + residual
+# codebooks refined by per-subspace Lloyd rounds (x113's training
+# contract), argmin-d2 assignment throughout.  Closes the lever RECALL.md
+# measured on x115: training the coarse level is what makes residuals
+# small enough for residual PQ to work.  The oracle replays the FULL
+# two-level index build — coarse rounds, residual rounds, encode, ADC.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x118_ivfpq_trained",
+    similarity.ivfpq_trained_sql(
+        ANN_QUERY_IDS, k=10, n_centroids=16, coarse_iter=2, n_probe=4,
+        n_subspaces=8, n_codes=16, train_rounds=2, n_train=256,
+    ),
+)
+def x118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_trained_ann_topk(
+        emb, ANN_QUERY_IDS, k=10, n_centroids=16, coarse_iter=2, n_probe=4,
+        n_subspaces=8, n_codes=16, train_rounds=2, n_train=256,
+    )

@@ -2425,3 +2425,47 @@ def test_top_pc_projection_exact_replay_and_quality(spark):
     p_got = np.array([out2[i] for i, _ in rng_free], dtype=np.float64)
     cos = abs(p_exact @ p_got) / (np.linalg.norm(p_exact) * np.linalg.norm(p_got))
     assert cos >= 0.999, cos
+
+
+def test_ivfpq_trained_deterministic_and_tighter_residuals(spark):
+    """x118: the two-level trained index is deterministic end to end, honors
+    the x115 output contract, and the TRAINED coarse level produces strictly
+    smaller mean residual norms than x115's untrained seed cells — the
+    measured reason residual PQ needs coarse training (RECALL.md)."""
+    import numpy as np
+
+    from flockdb_spark.sources.edges import _read
+
+    emb = _read(spark, "/root/testdata/sf0.001", "embeddings")
+    qids = [0, 1, 2]
+    a = sorted(map(tuple, similarity.ivfpq_trained_ann_topk(
+        emb, qids, k=10, n_train=64).collect()))
+    b = sorted(map(tuple, similarity.ivfpq_trained_ann_topk(
+        emb, qids, k=10, n_train=64).collect()))
+    assert a == b and len(a) == 30
+    assert all(r[3] <= 10 and r[0] != r[1] for r in a)  # rank<=k, no self
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64) * 1e6
+    x = (np.trunc(np.abs(m) + 0.5) * np.sign(m)).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    x = x[order]
+
+    # untrained coarse = the 16 smallest ids themselves (x115's level 1)
+    seed_c = x[:16].astype(np.float64)
+    cell_u = np.argmax(x.astype(np.float64) @ seed_c.T, axis=1)
+    res_u = x - seed_c[cell_u].astype(np.int64)
+
+    # trained coarse = 2 Lloyd rounds (replicate kmeans_fit's exact rule)
+    cm = x[:16].copy()
+    for _ in range(2):
+        cn = (cm * cm).sum(1)
+        best = (cn[None, :] - 2 * (x.astype(np.float64) @ cm.T.astype(np.float64)).astype(np.int64)).argmin(1)
+        live = np.unique(best)
+        cm = np.array([np.floor_divide(x[best == c].sum(0), (best == c).sum()) for c in live])
+    cn = (cm * cm).sum(1)
+    cell_t = (cn[None, :] - 2 * (x.astype(np.float64) @ cm.T.astype(np.float64)).astype(np.int64)).argmin(1)
+    res_t = x - cm[cell_t]
+
+    assert np.linalg.norm(res_t, axis=1).mean() < np.linalg.norm(res_u, axis=1).mean()
