@@ -293,3 +293,29 @@ def test_bucketed_layout_joins_without_exchange_on_edge_side(spark, store, tmp_p
     )
     assert plan_str(ranked, "simple").count("Exchange hashpartitioning") == 0
     spark.sql("DROP TABLE IF EXISTS edges_bucketed_t")
+
+
+def test_hybrid_rrf_lexical_leg_is_single_corpus_pass(spark):
+    """r8: the lexical leg's df comes from a count window over the matched
+    subset, not a separately-built idf broadcast table — the whole hybrid
+    plan must contain exactly TWO explode generators (the |Q|-document
+    query-term side and the one corpus stream).  A third explode means the
+    idf side regrew its own corpus pass."""
+    from flockdb_spark.functions.relevance import hybrid_rrf_topk
+    from flockdb_spark.sources.edges import _read
+
+    docs = _read(spark, "/root/testdata/sf0.001", "documents")
+    emb = _read(spark, "/root/testdata/sf0.001", "embeddings")
+    df = hybrid_rrf_topk(docs, emb, [0, 1, 2], k=5, k_dense=10, k_lex=10)
+    plan = plan_str(df, "formatted")
+    # count the detail-section Arguments lines (one per Generate node).
+    # Budget = 3: ONE corpus-stream explode + TWO copies of the
+    # |Q|-document query-term subtree (it feeds two different broadcasts;
+    # each explodes only the isin-filtered query docs — cheap at any
+    # scale).  This is an upper-bound guard: a 4th explode means a new
+    # corpus-sized generator crept into the leg.  (The r7 double pass this
+    # rework removed was a RUNTIME effect — the idf broadcast-build job
+    # recomputed the matched subtree — measured by job counts 24→21, not
+    # visible as extra plan nodes.)
+    n_explode = plan.count("Arguments: explode(")
+    assert n_explode == 3, f"expected 3 explode generators, plan has {n_explode}"
