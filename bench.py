@@ -119,9 +119,12 @@ BENCH_QUERIES = [
     # rerank (greedy λ·rel − (1−λ)·max-sim over brute top-40 candidates)
     "x115_ivfpq_ann",
     "x116_mmr_rerank",
-    # the fully-trained IVFADC (k-means coarse + Lloyd residual codebooks):
-    # the index build IS the query, timed in-pass
-    "x118_ivfpq_trained",
+    # x118 (fully-trained IVFADC) stays OFF the headline for the same
+    # reason x113 does: it is the TRAINING step (two k-means corpus passes
+    # + residual Lloyd by design) — racing an index build against a DuckDB
+    # query at sf0.1 measures nothing; the serving-shape line is x115 and
+    # the training arithmetic is value-gated (x118) + recall-measured
+    # (RECALL.md)
     # the all-but-the-top measurement pass: one-pass centered Gram + exact
     # integer power iteration + JVM-side projection — two corpus passes by
     # the algorithm's dataflow
