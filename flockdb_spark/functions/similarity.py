@@ -1901,6 +1901,12 @@ def ivfpq_ann_topk(
         .select(id_col, vec_col)
         .collect()
     )
+    if len(head) < n_centroids + n_codes:
+        raise ValueError(
+            f"ivfpq_ann_topk needs >= n_centroids + n_codes = "
+            f"{n_centroids + n_codes} vectors to seed both quantization "
+            f"levels; corpus has {len(head)}"
+        )
     h_ids = np.array([r[id_col] for r in head], dtype=np.int64)
     order = np.argsort(h_ids, kind="stable")
     h_mat = _np_quantize(pd.Series([r[vec_col] for r in head]))[order]
@@ -2509,6 +2515,11 @@ def ivfpq_trained_ann_topk(
     t_rows = (
         emb.orderBy(id_col).limit(max(n_train, n_codes)).select(id_col, vec_col).collect()
     )
+    if len(t_rows) < n_codes:
+        raise ValueError(
+            f"ivfpq_trained_ann_topk needs >= n_codes = {n_codes} vectors "
+            f"to seed the residual codebooks; corpus has {len(t_rows)}"
+        )
     t_order = np.argsort(np.array([r[id_col] for r in t_rows], dtype=np.int64), kind="stable")
     tmat = _np_quantize(pd.Series([r[vec_col] for r in t_rows]))[t_order]
     tres = tmat - c_mat[cells_of(tmat)]

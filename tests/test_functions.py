@@ -2469,3 +2469,17 @@ def test_ivfpq_trained_deterministic_and_tighter_residuals(spark):
     res_t = x - cm[cell_t]
 
     assert np.linalg.norm(res_t, axis=1).mean() < np.linalg.norm(res_u, axis=1).mean()
+
+
+def test_ivfpq_guards_fire_on_tiny_corpus(spark):
+    """x115/x118: a corpus too small to seed both quantization levels must
+    fail LOUDLY (ValueError naming the requirement), never return a
+    silently-degenerate index."""
+    tiny = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="n_centroids \\+ n_codes"):
+        similarity.ivfpq_ann_topk(tiny, [0], k=3)
+    with pytest.raises(ValueError, match="n_codes"):
+        similarity.ivfpq_trained_ann_topk(tiny, [0], k=3)
