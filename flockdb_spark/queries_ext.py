@@ -3028,3 +3028,48 @@ def x118(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, ANN_QUERY_IDS, k=10, n_centroids=16, coarse_iter=2, n_probe=4,
         n_subspaces=8, n_codes=16, train_rounds=2, n_train=256,
     )
+
+# ---------------------------------------------------------------------------
+# x119 — the maintained IVF routing index as a STREAM (the always-on
+# companion to x15's batch index build): per coarse cell, population and
+# smallest member id, folded incrementally by the real streaming engine —
+# stateless JVM cell assignment (argmax dot over broadcast centroid
+# literals via an array_max of (dot, −cid) structs — no Python worker),
+# then a stateful per-cell aggregation whose count/min state is
+# commutative: no watermark, O(|cells|) state at any stream length.
+# Fifth streaming oracle bridge (x66 sessions, x68 windows, x74 dedup
+# index, x81 sketch, x86 interval join precede it).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x119_stream_ivf_cells",
+    f"""
+WITH cents AS (
+  SELECT vec_id AS cid,
+         CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell_idx,
+         {_QUANT} AS cv
+  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)
+),
+v AS (SELECT vec_id, {_QUANT} AS ev FROM embeddings),
+asg AS (
+  -- cell_idx (the seed RANK) is the stream side's cell id: carried
+  -- through so an empty cell cannot shift the numbering
+  SELECT vec_id, cell_idx FROM (
+    SELECT v.vec_id, c.cell_idx,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY CAST(list_dot_product(v.ev, c.cv) AS BIGINT) DESC, c.cid ASC
+           ) AS rn
+    FROM v, cents c
+  ) WHERE rn = 1
+)
+SELECT cell_idx AS cell, CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(min(vec_id) AS BIGINT) AS min_vec_id
+FROM asg GROUP BY cell_idx
+""",
+)
+def x119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .streaming.windows import ivf_cells_available_now
+
+    return ivf_cells_available_now(spark, sf_dir)

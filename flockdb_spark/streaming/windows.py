@@ -427,3 +427,104 @@ def interval_join_available_now(
     finally:
         q.stop()
     return spark.table(name)
+
+
+def streaming_ivf_cell_index(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The maintained IVF routing index as a STREAM: per coarse cell, its
+    population and smallest member id, folded incrementally as vectors
+    arrive — the stats an ANN query router reads to pick probe budgets and
+    a balance monitor watches for skewed cells (the always-on companion to
+    the batch ``ivf_ann_topk`` index build).
+
+    Assignment is the IVF rule (argmax dot vs the broadcast centroid
+    literals, ties to the lower cid) expressed ENTIRELY in JVM expressions
+    — an array of (dot, −cid) structs reduced by ``array_max``, whose
+    lexicographic order reproduces (dot DESC, cid ASC) exactly — so the
+    stream stays whole-stage-codegen with no Python worker in the loop.
+    Count and min are commutative, so arrival order and micro-batch splits
+    cannot change the result: no watermark, and state is bounded by
+    |cells| rows regardless of stream length.
+
+    Output: (cell, n_vectors, min_vec_id)."""
+    from flockdb_spark.functions.similarity import quantized
+
+    q = quantized(vec_col)
+    entries = []
+    for cid, cvec in centroids:
+        cl = F.array(*[F.lit(int(x)).cast("long") for x in cvec])
+        dot = F.aggregate(
+            F.zip_with(q, cl, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        entries.append(
+            F.struct(dot.alias("dot"), F.lit(-int(cid)).cast("long").alias("negcid"))
+        )
+    best = F.array_max(F.array(*entries))
+    cell = (-best["negcid"]).cast("long")
+    return (
+        emb.select(F.col(id_col).alias("vid"), cell.alias("cell"))
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.min("vid").cast("long").alias("min_vec_id"),
+        )
+    )
+
+
+def ivf_cells_available_now(
+    spark,
+    sf_dir: str,
+    n_centroids: int = 16,
+    timeout_s: int = 600,
+) -> DataFrame:
+    """Run :func:`streaming_ivf_cell_index` as a REAL Structured Streaming
+    query over the embeddings parquet (file source → stateless JVM cell
+    assignment → stateful per-cell aggregation → ``availableNow`` drain →
+    memory sink).  Centroid seeds come from one bounded batch read (the
+    ``n_centroids`` smallest ids — the x15 deterministic quantizer), the
+    same index-bootstrap a production deployment does before turning the
+    ingest stream on.  Complete mode for the gate read; production runs
+    update mode with the sink upserting changed cells per micro-batch."""
+    from flockdb_spark.functions.similarity import _np_quantize
+
+    import numpy as np
+    import pandas as pd
+
+    path = f"{sf_dir}/embeddings.parquet"
+    batch = spark.read.parquet(path)
+    cent_rows = batch.orderBy("vec_id").limit(n_centroids).select("vec_id", "embedding").collect()
+    order = np.argsort(np.array([r["vec_id"] for r in cent_rows], dtype=np.int64), kind="stable")
+    c_mat = _np_quantize(pd.Series([r["embedding"] for r in cent_rows]))[order]
+    centroids = [(int(i), [int(x) for x in c_mat[i]]) for i in range(len(order))]
+
+    emb = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+    _SINK_SEQ[0] += 1
+    name = f"_stream_ivf_cells_{_SINK_SEQ[0]}"
+    q = (
+        streaming_ivf_cell_index(emb, centroids)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_s)
+        if not finished:
+            raise TimeoutError(
+                f"availableNow drain did not finish within {timeout_s}s; "
+                f"memory sink {name!r} would be partial"
+            )
+    finally:
+        q.stop()
+    return spark.table(name)

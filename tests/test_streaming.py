@@ -717,3 +717,37 @@ def test_priority_ordered_drain(spark, tmp_path):
     assert {r["destination_id"] for r in ing.edges().collect()} == {10, 20, 30, 31}
     md = {(r["graph_id"], r["source_id"]): r["count"] for r in ing.metadata().collect()}
     assert md[(1, 1)] == 3 and md[(1, 2)] == 1  # counts span all classes
+
+
+def test_ivf_cells_available_now_matches_batch_assignment(spark):
+    """x119: the streaming IVF cell index (file source → JVM argmax-dot
+    assignment → stateful per-cell count/min → availableNow → memory sink)
+    returns exactly the batch IVF assignment's per-cell populations — the
+    same deterministic quantizer ivf_ann_topk uses (16 smallest-id
+    centroids, ties to the lower cid)."""
+    import numpy as np
+
+    from conftest import SF_DIR
+    from flockdb_spark.streaming.windows import ivf_cells_available_now
+
+    streamed = {
+        (r["cell"], r["n_vectors"], r["min_vec_id"])
+        for r in ivf_cells_available_now(spark, SF_DIR).collect()
+    }
+
+    rows = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64) * 1e6
+    x = (np.trunc(np.abs(m) + 0.5) * np.sign(m)).astype(np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids, x = ids[order], x[order]
+    cents = x[:16]
+    cell = np.argsort(-(x.astype(np.float64) @ cents.T.astype(np.float64)).astype(np.int64),
+                      axis=1, kind="stable")[:, 0]
+    expect = {
+        (int(c), int((cell == c).sum()), int(ids[cell == c].min()))
+        for c in np.unique(cell)
+    }
+    assert streamed == expect and len(streamed) > 0
