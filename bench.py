@@ -153,6 +153,13 @@ INDEX_PERSISTED = {
 CONSTRUCT_IN_PASS = {
     "x84_heavy_hitters",
     "x103_heavy_hitters_sketch",
+    # the BM25 pair shares a per-(corpus, text_col) session memo (one
+    # tokenize + stats warm-up serves the family — relevance.
+    # corpus_terms_stats); the pass loop releases the memo at every pass
+    # boundary so the FIRST family member of a pass (x25 — it precedes x99
+    # in BENCH_QUERIES) still pays the build cold, exactly like the DuckDB
+    # baseline's first family query, while x99 measures the amortized
+    # serving cost a deployment sees
     "x25_bm25",
     "x99_bm25_topk",
     # x101's dense leg collects the query vectors for the broadcast GEMM —
@@ -176,9 +183,8 @@ CONSTRUCT_IN_PASS = {
     "x115_ivfpq_ann",
     "x116_mmr_rerank",
     "x117_top_pc_projection",
-    # x118 trains both quantization levels at construction (kmeans corpus
-    # passes + residual Lloyd) — the index-build half, timed in-pass
-    "x118_ivfpq_trained",
+    # (x118_ivfpq_trained is NOT listed: it is excluded from BENCH_QUERIES
+    # — see the note there — so a CONSTRUCT_IN_PASS entry would be dead)
 }
 
 
@@ -233,7 +239,13 @@ def main() -> None:
     times: dict[str, float] = {}
     times_all: dict[str, list] = {}
     warm_index: dict[str, float] = {}
+    from flockdb_spark.functions.relevance import release_corpus_memo
+
     for i in range(PASSES):
+        # pass boundary: drop the BM25 family's shared corpus-stats memo so
+        # the first family query of THIS pass pays the warm-up cold (within
+        # the pass, later family members reuse it — the amortized cost)
+        release_corpus_memo()
         for name in BENCH_QUERIES:
             if name in INDEX_PERSISTED:
                 # cold by construction: drop the persisted index so this

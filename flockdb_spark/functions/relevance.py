@@ -71,7 +71,53 @@ def _corpus_stats(terms: DataFrame) -> tuple[int, int]:
         .first()
     )
     n_docs = int(row[0])
+    if n_docs == 0:
+        raise ValueError(
+            "bm25 corpus stats: the corpus has no documents (n_docs = 0) — "
+            "avgdl is undefined; score a non-empty documents table"
+        )
     return n_docs, int(row[1]) * 1000 // n_docs
+
+
+#: session-level corpus-stats memo keyed by (analyzed-plan semantic hash,
+#: text_col): the BM25 family (x25 bm25_scores, x99 bm25_topk) pays the
+#: tokenize + blocking stats warm-up ONCE per (corpus, text_col) per
+#: session — exactly how a retrieval deployment amortizes its corpus
+#: statistics across endpoints.  The memo OWNS the cached terms table
+#: (callers must NOT unpersist it); release via :func:`release_corpus_memo`.
+#: Bounded: oldest entry is unpersisted + evicted past _CORPUS_MEMO_MAX.
+_CORPUS_MEMO: dict[tuple[int, str], tuple[DataFrame, int, int]] = {}
+_CORPUS_MEMO_MAX = 8
+
+
+def corpus_terms_stats(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, int, int]:
+    """The shared (cached_terms, n_docs, avgdl_milli) for ``docs`` — memoized
+    per (corpus plan, text_col) so repeated scorers in one session reuse one
+    tokenize and one stats action.  The semantic hash of the ANALYZED plan is
+    the identity: two reads of the same parquet path hash equal, a different
+    source or projection does not."""
+    key = (docs._jdf.queryExecution().analyzed().semanticHash(), text_col)
+    hit = _CORPUS_MEMO.get(key)
+    if hit is not None:
+        return hit
+    terms = doc_terms(docs, text_col).cache()
+    n_docs, avgdl_milli = _corpus_stats(terms)
+    while len(_CORPUS_MEMO) >= _CORPUS_MEMO_MAX:
+        oldest = next(iter(_CORPUS_MEMO))  # dicts iterate in insertion order
+        _CORPUS_MEMO.pop(oldest)[0].unpersist()
+    _CORPUS_MEMO[key] = (terms, n_docs, avgdl_milli)
+    return terms, n_docs, avgdl_milli
+
+
+def release_corpus_memo() -> None:
+    """Unpersist and drop every memoized corpus-stats entry (bench calls this
+    at pass boundaries so the first BM25-family query of a pass still pays
+    the warm-up cold; tests call it to keep the fixture JVM lean)."""
+    for terms, _, _ in _CORPUS_MEMO.values():
+        terms.unpersist()
+    _CORPUS_MEMO.clear()
 
 
 def _term_score(n_docs: int, avgdl_milli: int) -> F.Column:
@@ -98,32 +144,24 @@ def bm25_scores(
     (doc_id, score_micro) for documents matching ≥1 query term.
     """
     # the token table feeds three consumers (query-term derivation, the
-    # vocabulary document-frequency table, and the scoring join) — cache it
-    # so tokenize+explode+combine runs once
-    terms = doc_terms(docs, text_col).cache()
+    # vocabulary document-frequency table, and the scoring join): the
+    # session memo caches it AND runs the deliberate blocking stats action
+    # (see _corpus_stats — the warm-up serializes the cache materialization
+    # before the consumers fan out; measured faster than plan-riding stats
+    # at sf1.0).  The memo owns the cache — nothing to release per-query.
+    terms, n_docs, avgdl_milli = corpus_terms_stats(docs, text_col)
     if query_terms is None:
         query_terms = top_df_terms(terms)
-
-    # the stats pull is a DELIBERATE blocking action (r8, measured): it
-    # materializes the shared terms cache before the scoring graph's other
-    # consumers (query-term broadcast build, df table, scoring join) fan
-    # out.  Folding the stats into the plan instead (broadcast 1-row cross
-    # join) removes the barrier but lets the broadcast build's subtrees
-    # race on the COLD cache — the tokenize ran 3× and sf1.0 walls rose
-    # 15-40%.  One warm-the-cache action, then every consumer reads it.
-    n_docs, avgdl_milli = _corpus_stats(terms)
 
     df_table = terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
     q = F.broadcast(query_terms.select("term").join(df_table, "term"))
 
     scored = terms.join(q, "term")
-    out = (
+    return (
         scored.select("doc_id", _term_score(n_docs, avgdl_milli).alias("term_score"))
         .groupBy("doc_id")
         .agg(F.sum("term_score").cast("long").alias("score_micro"))
     )
-    out._flockdb_caches = [terms]  # released by the caller post-materialization
-    return out
 
 
 def bm25_oracle_sql(n_terms: int = 5, min_len: int = 4) -> str:
@@ -186,9 +224,9 @@ def bm25_topk(
     """
     from pyspark.sql import Window
 
-    terms = doc_terms(docs, text_col).cache()
-    # blocking on purpose — warms the shared cache (see _corpus_stats)
-    n_docs, avgdl_milli = _corpus_stats(terms)
+    # shared per-(corpus, text_col) memo: one tokenize + one blocking stats
+    # warm-up serves the whole BM25 family in a session (see corpus_terms_stats)
+    terms, n_docs, avgdl_milli = corpus_terms_stats(docs, text_col)
     df_table = terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
 
     # fixture query derivation: global row_number over the (df DESC, term)
@@ -215,12 +253,10 @@ def bm25_topk(
         .agg(F.sum("ts").cast("long").alias("score_micro"))
     )
     wq = Window.partitionBy("query_id").orderBy(F.desc("score_micro"), F.asc("doc_id"))
-    out = (
+    return (
         per_doc.withColumn("rnk", F.row_number().over(wq).cast("long"))
         .where(F.col("rnk") <= k)
     )
-    out._flockdb_caches = [terms]  # released by the caller post-materialization
-    return out
 
 
 def bm25_topk_sql(
