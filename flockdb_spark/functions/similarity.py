@@ -1997,9 +1997,16 @@ def ivfpq_ann_topk(
         score, "query_id long, neighbor_id long, adist long"
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w).cast("int")).where(
+    out = scored.withColumn("rank", F.row_number().over(w).cast("int")).where(
         F.col("rank") <= k
     )
+    # the _flockdb_caches release convention (dedup.py): the caller
+    # unpersists after materializing, so repeated index builds in one
+    # session don't accumulate executor-side broadcast blocks (ADVICE r8);
+    # Broadcast.unpersist keeps the driver copy, so a re-execution of the
+    # same DataFrame lazily re-ships it
+    out._flockdb_caches = [bc]
+    return out
 
 
 def ivfpq_ann_sql(
@@ -2201,6 +2208,8 @@ def mmr_rerank_sql(
     round i joins the remaining candidates to the i−1 picks through the
     pairwise-sim table and takes argmax of the penalized score, ties to the
     lower neighbor_id — replaying the Spark loop pick for pick."""
+    if k < 1:
+        raise ValueError(f"mmr_rerank_sql: k must be >= 1, got {k}")
     pen = lam_den - lam_num
     quant = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000))"
     in_list = ", ".join(str(int(i)) for i in query_ids)
@@ -2224,7 +2233,9 @@ def mmr_rerank_sql(
   ) WHERE rn = 1
 ),
 sel{i} AS (SELECT * FROM sel{i - 1} UNION ALL SELECT * FROM s{i})""")
-    chain = ",\n".join(rounds)
+    # k=1 has no greedy rounds — join conditionally so the WITH clause never
+    # ends in a dangling comma (ADVICE r8)
+    chain = (",\n" + ",\n".join(rounds)) if rounds else ""
     return f"""
 WITH q AS MATERIALIZED (
   SELECT vec_id AS query_id, {quant} AS qv FROM embeddings
@@ -2260,8 +2271,7 @@ s1 AS MATERIALIZED (
     FROM cand
   ) WHERE rn = 1
 ),
-sel1 AS (SELECT * FROM s1),
-{chain}
+sel1 AS (SELECT * FROM s1){chain}
 SELECT query_id, nid AS neighbor_id, rel AS rel_micro2, mmr_score,
        CAST(rank AS INTEGER) AS rank
 FROM sel{k}
@@ -2421,7 +2431,7 @@ WITH e AS MATERIALIZED (
   SELECT vec_id, generate_subscripts(ev, 1) - 1 AS i, unnest(ev) AS x
   FROM (SELECT vec_id, {milli} AS ev FROM embeddings)
 ),
-nn AS (SELECT CAST(count(DISTINCT vec_id) AS HUGEINT) AS n FROM e),
+nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings),
 sx AS MATERIALIZED (
   SELECT i, CAST(sum(x) AS HUGEINT) AS sx FROM e GROUP BY i
 ),
@@ -2611,9 +2621,11 @@ def ivfpq_trained_ann_topk(
         score, "query_id long, neighbor_id long, adist long"
     )
     w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
-    return scored.withColumn("rank", F.row_number().over(w).cast("int")).where(
+    out = scored.withColumn("rank", F.row_number().over(w).cast("int")).where(
         F.col("rank") <= k
     )
+    out._flockdb_caches = [bc]  # released by the caller (see ivfpq_ann_topk)
+    return out
 
 
 def ivfpq_trained_sql(
@@ -2670,7 +2682,9 @@ cb{r} AS MATERIALIZED (
     SELECT m, code, list(val ORDER BY i) AS cw FROM upd{r} GROUP BY m, code
   ) u USING (m, code)
 )""")
-    chain = ",\n".join(rounds)
+    # train_rounds=0 serves straight from cb0 — join conditionally so the
+    # WITH clause never carries a dangling comma (ADVICE r8)
+    chain = (",\n".join(rounds) + ",\n") if rounds else ""
     slv = f"list_slice(x.rv, c.m * {sub} + 1, (c.m + 1) * {sub})"
     d2_body = (
         f"CAST(list_dot_product({slv}, {slv}) + list_dot_product(c.cw, c.cw)"
@@ -2731,8 +2745,7 @@ cb0 AS MATERIALIZED (
     FROM (SELECT vec_id, rv FROM vcell WHERE crn = 1 ORDER BY vec_id LIMIT {n_codes})
   ) s CROSS JOIN (SELECT unnest(range(0, {n_subspaces})) AS m) m
 ),
-{chain},
-probes AS MATERIALIZED (
+{chain}probes AS MATERIALIZED (
   SELECT vec_id AS query_id, cid AS cell, rv FROM vcell
   WHERE vec_id IN ({in_list})
 ),

@@ -2483,3 +2483,52 @@ def test_ivfpq_guards_fire_on_tiny_corpus(spark):
         similarity.ivfpq_ann_topk(tiny, [0], k=3)
     with pytest.raises(ValueError, match="n_codes"):
         similarity.ivfpq_trained_ann_topk(tiny, [0], k=3)
+
+
+def test_mmr_and_ivfpq_sql_twins_valid_at_degenerate_shapes(spark):
+    """ADVICE r8: mmr_rerank_sql at k=1 (no greedy rounds) and
+    ivfpq_trained_sql at train_rounds=0 (serve straight from the seeded
+    codebook) must emit VALID SQL — the rounds chain joins conditionally, so
+    the WITH clause never ends in a dangling comma — and k=0 fails loudly."""
+    import duckdb
+
+    from flockdb_spark.sources.edges import _read
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/embeddings.parquet')"
+    )
+    one = con.execute(similarity.mmr_rerank_sql([0, 1], k=1, k_cand=10)).fetchall()
+    # k=1 is pure relevance: one row per query, rank 1, the brute top-1
+    assert len(one) == 2 and all(r[4] == 1 for r in one)
+    spark_one = {
+        (r["query_id"], r["neighbor_id"], r["rel_micro2"], r["mmr_score"], r["rank"])
+        for r in similarity.mmr_rerank_topk(
+            _read(spark, "/root/testdata/sf0.001", "embeddings"), [0, 1], k=1, k_cand=10
+        ).collect()
+    }
+    assert {tuple(r) for r in one} == spark_one
+    r0 = con.execute(ivfpq_trained_sql_rounds0 := similarity.ivfpq_trained_sql(
+        [0, 1], k=5, train_rounds=0
+    )).fetchall()
+    assert len(r0) == 10 and ",\n," not in ivfpq_trained_sql_rounds0
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        similarity.mmr_rerank_sql([0], k=0)
+
+
+def test_ivfpq_broadcast_release_handle(spark):
+    """ADVICE r8: the IVF-PQ builders expose their broadcast via the
+    _flockdb_caches release convention so repeated index builds in one
+    session don't accumulate executor-side broadcast blocks; unpersist is
+    non-destructive (a re-execution lazily re-ships the driver copy)."""
+    from flockdb_spark.sources.edges import _read
+
+    emb = _read(spark, "/root/testdata/sf0.001", "embeddings")
+    out = similarity.ivfpq_ann_topk(emb, [0], k=3)
+    handles = out._flockdb_caches
+    assert len(handles) == 1
+    n1 = out.count()
+    for h in handles:
+        h.unpersist()
+    assert out.count() == n1  # re-execution after unpersist still works
