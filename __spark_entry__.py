@@ -31,54 +31,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver gates only the FIRST 50 registry entries each round, so we order
-# the registry by gate priority.  Rotated for r8 (registry 136, all with
-# driver rows): the window leads with the 19-entry r4-STALE block
-# (x28–x30/x32/x34/x50/x51/x55/x57–x63/x65–x68 — their last driver rows are
-# 3 rounds old; VERDICT r7 item 1 holds us to the r7 registry comment that
-# promised them).  Next the entries whose CODE or ORACLE changed in r8:
-# x38/x79/x97 (oracles RESTATED — bounded hop+jump twin, MATERIALIZED peel
-# CTEs, flat arg_min ring pick — so sf3.0 evidence exists, VERDICT item 2),
-# x109 (shape-rule SQL parity guards), x101/x110 (dense-leg single-count),
-# x111 (UTF-8 oracle + fmt-chunk bit depth), q22 (service-backed, runs
-# under the r8 FAIR scheduler + torn-store execute fix).  The oldest
-# r5-green entries fill the remaining slots.  The r5 remainder and the
-# r6/r7-green sets gate after the window — all 136 are green in this
-# round's local sf0.01 gate.
+# the registry by gate priority.  Rotated for r9 (registry 144, all with
+# driver rows): the window leads with the NOW-STALEST blocks exactly as
+# VERDICT r8 item 2 prescribes — the 9-entry r5 remainder
+# (x80–x83/x85/x86/x89/x90/x92, last driver rows 4 rounds old) and the
+# 31-entry r6-green block (q06–q21 core + x01–x05/x16/x17/x35/x47/x53/
+# x56/x69/x77/x91/x93/x95, 3 rounds old).  Next the entries whose CODE or
+# ORACLE changed in r9 (see _CHANGED_IN_ROUND).  The oldest r7-green rows
+# fill the remaining slots.  The r8-gated sets (freshest rows) sort after
+# the window — all 144 are green in this round's local sf0.01 gate.
 _GATED_GREEN = [
-    # r4-stale 19 — promised to lead r8 (VERDICT r7 item 1)
-    "x28_train_split", "x29_stratified_sample",
-    "x30_length_quantiles", "x32_repetition", "x34_decontaminate",
-    "x50_pii_redaction", "x51_training_order", "x55_select_top_quality",
-    "x57_fuzzy_decontaminate", "x58_tfidf_top_terms",
-    "x59_inverted_index", "x60_normalize_text", "x61_pair_integrity",
-    "x62_oov_rate", "x63_corpus_diff",
-    "x65_leakage_free_splits", "x66_stream_sessionization",
-    "x67_duplicated_spans", "x68_stream_event_rates",
-    # changed in r8 (code or oracle touched — see _CHANGED_IN_ROUND)
-    "x38_embedding_dedup", "x79_k_core", "x97_negative_samples",
-    "x109_lsh_auto_neardup", "x110_hybrid_rrf_ann", "x111_media_decode",
-    "x101_hybrid_rrf", "q22_select_all",
-    # changed late in r8: BM25-family plan rework (stats ride the plan as a
-    # broadcast 1-row cross join; hybrid's matched-subset cached so the idf
-    # build and scoring share one corpus pass) — x58 already leads via the
-    # r4-stale block; x25/x99 pulled up from their r6/r7 slots
-    "x25_bm25", "x99_bm25_topk",
-    # oldest r5-green entries fill the window (driver rows now 3 rounds old)
-    "q05_wildcard", "x31_event_features",
-    "x36_json_rollup", "x37_boilerplate", "x39_funnel", "x40_mixture_upsample",
-    "x41_bigram_vocab", "x42_khop", "x43_mutual_edges", "x44_components",
-    "x45_chunking", "x46_token_ids",
-    "x48_curation_dag", "x49_quality_canonical", "x54_temperature_sample",
-    "x70_bpe_pair_counts", "x71_source_overlap", "x72_span_dedup_rewrite",
-    "x73_incremental_dedup", "x74_stream_dedup_index", "x75_training_shards",
-    "x76_vocab_spectrum", "x78_lang_confusion",
-    # ---- below the 50-entry window ----
-    # r5-green remainder (next rotation's fill candidates)
+    # r5-green remainder — stalest rows, promised to lead r9 (VERDICT r8 item 2)
     "x80_count_min_sketch", "x81_stream_sketch",
     "x82_bloom_decontaminate", "x83_hll_registers", "x85_fixed_size_sample",
     "x86_stream_interval_join", "x89_zorder_key", "x90_token_budget",
     "x92_last_touch",
-    # driver-green r6 (FlockDB core + r6-gated extensions)
+    # r6-green block — second-stalest, same VERDICT promise
     "q06_keyset_pages", "q07_by_destination", "q08_backward", "q09_where_in",
     "q10_intersection", "q11_union", "q12_difference", "q13_nested",
     "q15_incl_archived", "q16_state_filters",
@@ -91,9 +59,17 @@ _GATED_GREEN = [
     "x69_kmeans_fit", "x77_embedding_outliers",
     "x47_bigram_surprisal", "x91_kneser_ney", "x93_personalized_pagerank",
     "x95_collocations",
-    # driver-green r7 (freshest rows)
+    # changed in r9 (code or oracle touched — see _CHANGED_IN_ROUND);
+    # x25/x99 share the new corpus-stats memo, the ANN four carry the
+    # advice fixes (conditional SQL chains, broadcast release, count(*))
+    "x25_bm25", "x99_bm25_topk",
+    "x115_ivfpq_ann", "x116_mmr_rerank", "x117_top_pc_projection",
+    "x118_ivfpq_trained",
+    # oldest r7-green rows fill the window to 50
     "q24_select_edges_batch", "q25_ordered_uuid",
     "x98_semantic_dedup", "x100_quality_classifier",
+    # ---- below the 50-entry window ----
+    # r7-green remainder
     "x102_phrase_match", "x103_heavy_hitters_sketch", "x104_orc_roundtrip",
     "x105_vocab_drift", "x106_probe_fit", "x107_multi_phrase",
     "x108_neighborhood_jaccard",
@@ -109,6 +85,30 @@ _GATED_GREEN = [
     "x21_asof_join", "x22_range_join", "x23_rollup", "x24_event_rollup",
     "x13_degree_dist", "x14_pagerank", "x26_topk_per_group",
     "x27_triangles",
+    # r8-gated (freshest driver rows): the r4-stale 19, the r8 changes,
+    # and the r5-green fill that led the r8 window
+    "x28_train_split", "x29_stratified_sample",
+    "x30_length_quantiles", "x32_repetition", "x34_decontaminate",
+    "x50_pii_redaction", "x51_training_order", "x55_select_top_quality",
+    "x57_fuzzy_decontaminate", "x58_tfidf_top_terms",
+    "x59_inverted_index", "x60_normalize_text", "x61_pair_integrity",
+    "x62_oov_rate", "x63_corpus_diff",
+    "x65_leakage_free_splits", "x66_stream_sessionization",
+    "x67_duplicated_spans", "x68_stream_event_rates",
+    "x38_embedding_dedup", "x79_k_core", "x97_negative_samples",
+    "x109_lsh_auto_neardup", "x110_hybrid_rrf_ann", "x111_media_decode",
+    "x101_hybrid_rrf", "q22_select_all",
+    "q05_wildcard", "x31_event_features",
+    "x36_json_rollup", "x37_boilerplate", "x39_funnel", "x40_mixture_upsample",
+    "x41_bigram_vocab", "x42_khop", "x43_mutual_edges", "x44_components",
+    "x45_chunking", "x46_token_ids",
+    "x48_curation_dag", "x49_quality_canonical", "x54_temperature_sample",
+    "x70_bpe_pair_counts", "x71_source_overlap", "x72_span_dedup_rewrite",
+    "x73_incremental_dedup", "x74_stream_dedup_index", "x75_training_shards",
+    "x76_vocab_spectrum", "x78_lang_confusion",
+    # the r8-NEW PQ/IVF-PQ/streaming-index entries whose code is untouched
+    # in r9 (x115–x118 sit in the window above via _CHANGED_IN_ROUND)
+    "x112_pq_ann", "x113_pq_trained", "x114_pq_rerank", "x119_stream_ivf_cells",
 ]
 
 #: every query whose CODE or ORACLE was touched this round (kept current per
@@ -117,20 +117,15 @@ _GATED_GREEN = [
 #: silently recur).  Ungated entries sort first automatically and need no
 #: listing here unless also changed.
 _CHANGED_IN_ROUND = [
-    # r8: x38/x79/x97 oracles restated for sf3.0 tractability (bounded
-    # hop+jump twin / MATERIALIZED peel CTEs / flat arg_min ring pick);
-    # x109's SQL shape rule gained the COALESCE + zero-multiplier parity
-    # guards; x101/x110 share one corpus count in the dense-leg selector;
-    # x111's oracle sums UTF-8 bytes and decode reads the fmt bit depth;
-    # q22 is service-backed (FAIR scheduler + execute torn-store fix)
-    "x38_embedding_dedup", "x79_k_core", "x97_negative_samples",
-    "x109_lsh_auto_neardup", "x110_hybrid_rrf_ann", "x111_media_decode",
-    "x101_hybrid_rrf", "q22_select_all",
-    # late-r8 BM25-family plan rework: corpus stats ride the plan as a
-    # broadcast 1-row cross join (no blocking driver action) in
-    # x25/x99/x58; hybrid's matched subset cached (one corpus pass, not
-    # two) in x101/x110
-    "x25_bm25", "x99_bm25_topk", "x58_tfidf_top_terms",
+    # r9: x25/x99 share the new per-(corpus, text_col) session stats memo
+    # (relevance.corpus_terms_stats — one tokenize + one blocking warm-up
+    # serves the BM25 family); x115/x118 expose their ADC broadcast via the
+    # _flockdb_caches release convention; x116's SQL twin joins its greedy
+    # rounds conditionally (k=1 valid); x117's oracle counts raw rows
+    # (count(*)) to mirror the Spark-side n exactly
+    "x25_bm25", "x99_bm25_topk",
+    "x115_ivfpq_ann", "x116_mmr_rerank", "x117_top_pc_projection",
+    "x118_ivfpq_trained",
 ]
 
 #: the driver's per-round gate depth (first N of the ordered registry)

@@ -29,15 +29,25 @@ def test_changed_queries_sit_inside_gate_window():
         f"changed-in-round queries outside the driver's {entry.GATE_WINDOW}-"
         f"entry gate window: {missing} — reorder _GATED_GREEN"
     )
-    # and the promised rotation leads the window: r8 gates the 19-entry
-    # r4-stale block first (VERDICT r7 item 1)
-    for name in ("x28_train_split", "x29_stratified_sample",
-                 "x30_length_quantiles", "x32_repetition", "x34_decontaminate",
-                 "x50_pii_redaction", "x51_training_order",
-                 "x55_select_top_quality", "x57_fuzzy_decontaminate",
-                 "x58_tfidf_top_terms", "x59_inverted_index",
-                 "x60_normalize_text", "x61_pair_integrity", "x62_oov_rate",
-                 "x63_corpus_diff", "x65_leakage_free_splits",
-                 "x66_stream_sessionization", "x67_duplicated_spans",
-                 "x68_stream_event_rates"):
+    # and the promised rotation leads the window: r9 gates the now-stalest
+    # blocks first — the 9-entry r5 remainder plus the 31-entry r6-green
+    # block (VERDICT r8 item 2)
+    for name in (
+        # r5 remainder (driver rows 4 rounds old at r9)
+        "x80_count_min_sketch", "x81_stream_sketch",
+        "x82_bloom_decontaminate", "x83_hll_registers",
+        "x85_fixed_size_sample", "x86_stream_interval_join",
+        "x89_zorder_key", "x90_token_budget", "x92_last_touch",
+        # r6-green block (3 rounds old)
+        "q06_keyset_pages", "q07_by_destination", "q08_backward",
+        "q09_where_in", "q10_intersection", "q11_union", "q12_difference",
+        "q13_nested", "q15_incl_archived", "q16_state_filters",
+        "q17_oplog_replay", "q18_mass_action", "q19_metadata_merge",
+        "q20_reconcile", "q21_count_estimates", "x01_dedup_exact",
+        "x02_ngram_jaccard", "x17_dedup_resolve", "x03_minhash_lsh",
+        "x04_simhash", "x16_simhash_neardup", "x05_ann_topk",
+        "x35_multiprobe_ann", "x53_lsh_neardup_multitable", "x56_int8_ann",
+        "x69_kmeans_fit", "x77_embedding_outliers", "x47_bigram_surprisal",
+        "x91_kneser_ney", "x93_personalized_pagerank", "x95_collocations",
+    ):
         assert name in window
