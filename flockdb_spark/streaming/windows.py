@@ -490,7 +490,10 @@ def ivf_cells_available_now(
     ``n_centroids`` smallest ids — the x15 deterministic quantizer), the
     same index-bootstrap a production deployment does before turning the
     ingest stream on.  Complete mode for the gate read; production runs
-    update mode with the sink upserting changed cells per micro-batch."""
+    update mode with the sink upserting changed cells per micro-batch —
+    that path is parity-tested against the batch aggregate over an
+    out-of-order two-batch replay
+    (test_ivf_cells_update_mode_upsert_matches_batch)."""
     from flockdb_spark.functions.similarity import _np_quantize
 
     import numpy as np
