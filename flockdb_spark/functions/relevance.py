@@ -472,8 +472,12 @@ def hybrid_rrf_topk(
                     an oracle that replays the multi-probe dense leg in
                     SQL; a plan test pins that the ANN path engages at the
                     threshold.
-      lexical leg — the corpus token stream is FILTERED against the
-                    broadcast query-term union BEFORE any shuffle (only a
+      lexical leg — the (query_id, term) table is COLLECTED once at
+                    construction (bounded by the |Q| query documents'
+                    vocabulary at any corpus size) so both of its broadcast
+                    uses are free local-table builds; the corpus token
+                    stream is FILTERED against the broadcast query-term
+                    union BEFORE any shuffle (only a
                     term occurring in some query document can score), so
                     the only exchanges are over the matched subset:
                     distinct (doc, term), the per-term df, and the
@@ -509,12 +513,26 @@ def hybrid_rrf_topk(
         F.col("rank").cast("long").alias("dense_rank"),
     )
 
-    # query-side terms: explode ONLY the |Q| query documents (id pushdown)
+    # query-side terms: explode ONLY the |Q| query documents and COLLECT
+    # them (r9 job audit) — the (query_id, term) set is bounded by the |Q|
+    # query documents' vocabulary at ANY corpus size, and as a plan subtree
+    # it was re-executed by EVERY broadcast build that referenced it (the
+    # term filter AND the scoring join each re-ran the |Q|-doc scan as
+    # their own job: 18 jobs/pass at sf0.1, ~4 of them corpus-path scans).
+    # As driver literals both broadcasts become local-table builds — zero
+    # extra jobs.  n_docs folds into the scoring expression the same way
+    # (the 1-row crossJoin broadcast was a third re-run).
     toks = tokens(text_col)
-    qterms = (
+    qterm_rows = (
         docs.where(F.col("doc_id").isin(qids))
         .select(F.col("doc_id").alias("query_id"), F.explode(toks).alias("term"))
         .distinct()
+        .collect()
+    )
+    n_docs = docs.count()
+    qterms = docs.sparkSession.createDataFrame(
+        [(int(r["query_id"]), r["term"]) for r in qterm_rows],
+        "query_id long, term string",
     )
     # corpus side: scan+explode, broadcast-filter to query terms BEFORE the
     # distinct shuffle — df(t) and candidate scoring both derive from this
@@ -533,17 +551,15 @@ def hybrid_rrf_topk(
     # second time (a genuine double pass at 100 TB; caching the subset
     # instead measured slower than the window at sf1.0 — the cache write of
     # a corpus-sized intermediate costs more than one term-keyed shuffle).
-    # n_docs rides the TINY qterms broadcast side, never the stream.
-    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     wt = Window.partitionBy("term")
     lex_scored = (
         matched.withColumn("df", F.count(F.lit(1)).over(wt).cast("long"))
-        .join(F.broadcast(qterms.crossJoin(nd)), "term")
+        .join(F.broadcast(qterms), "term")
         .where(F.col("doc_id") != F.col("query_id"))
         .groupBy("query_id", "doc_id")
         .agg(
             F.sum(
-                F.expr("(((n_docs - df) * 1000000) div (df + 1)) + 1")
+                F.expr(f"((({n_docs} - df) * 1000000) div (df + 1)) + 1")
             ).cast("long").alias("lex_score")
         )
     )

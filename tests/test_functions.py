@@ -1963,8 +1963,10 @@ def test_hybrid_rrf_dense_leg_auto_switch(spark):
     assert a == b and a
 
     # ADVICE r7: the leg selector's corpus count is REUSED by the ANN
-    # branch's auto shape — constructing the plan runs exactly ONE count
-    # job, not one for the selector plus one inside lsh_ann_topk
+    # branch's auto shape — constructing the plan runs exactly TWO count
+    # jobs total: the dense selector's emb count (shared with lsh_ann_topk)
+    # plus the lexical leg's one-off docs count (the n_docs literal, r9).
+    # A third count would mean the ANN branch re-counting the corpus.
     _DF = type(emb)  # the concrete class (pyspark.sql.classic overrides count)
 
     calls = {"n": 0}
@@ -1979,7 +1981,7 @@ def test_hybrid_rrf_dense_leg_auto_switch(spark):
         relevance.hybrid_rrf_topk(docs, emb, qids, k=5, dense_brute_max_dots=0)
     finally:
         _DF.count = orig_count
-    assert calls["n"] == 1, calls
+    assert calls["n"] == 2, calls
 
 
 def test_probe_fit_recovers_planted_weights(spark):

@@ -309,13 +309,10 @@ def test_hybrid_rrf_lexical_leg_is_single_corpus_pass(spark):
     df = hybrid_rrf_topk(docs, emb, [0, 1, 2], k=5, k_dense=10, k_lex=10)
     plan = plan_str(df, "formatted")
     # count the detail-section Arguments lines (one per Generate node).
-    # Budget = 3: ONE corpus-stream explode + TWO copies of the
-    # |Q|-document query-term subtree (it feeds two different broadcasts;
-    # each explodes only the isin-filtered query docs — cheap at any
-    # scale).  This is an upper-bound guard: a 4th explode means a new
-    # corpus-sized generator crept into the leg.  (The r7 double pass this
-    # rework removed was a RUNTIME effect — the idf broadcast-build job
-    # recomputed the matched subtree — measured by job counts 24→21, not
-    # visible as extra plan nodes.)
+    # Budget = 1 (r9): the ONE corpus-stream explode.  The |Q|-document
+    # query-term subtree is COLLECTED at construction (bounded by the query
+    # docs' vocabulary) and re-enters as driver literals, so its two
+    # broadcast uses are local-table builds — a 2nd explode in the plan
+    # means a corpus-sized generator crept back into the leg.
     n_explode = plan.count("Arguments: explode(")
-    assert n_explode == 3, f"expected 3 explode generators, plan has {n_explode}"
+    assert n_explode == 1, f"expected 1 explode generator, plan has {n_explode}"
