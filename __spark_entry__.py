@@ -65,11 +65,13 @@ _GATED_GREEN = [
     "x25_bm25", "x99_bm25_topk",
     "x115_ivfpq_ann", "x116_mmr_rerank", "x117_top_pc_projection",
     "x118_ivfpq_trained",
-    # oldest r7-green rows fill the window to 50
-    "q24_select_edges_batch", "q25_ordered_uuid",
-    "x98_semantic_dedup", "x100_quality_classifier",
+    "x101_hybrid_rrf", "x110_hybrid_rrf_ann", "x71_source_overlap",
+    # oldest r7-green row fills the window to 50
+    "q24_select_edges_batch",
     # ---- below the 50-entry window ----
     # r7-green remainder
+    "q25_ordered_uuid",
+    "x98_semantic_dedup", "x100_quality_classifier",
     "x102_phrase_match", "x103_heavy_hitters_sketch", "x104_orc_roundtrip",
     "x105_vocab_drift", "x106_probe_fit", "x107_multi_phrase",
     "x108_neighborhood_jaccard",
@@ -96,14 +98,14 @@ _GATED_GREEN = [
     "x65_leakage_free_splits", "x66_stream_sessionization",
     "x67_duplicated_spans", "x68_stream_event_rates",
     "x38_embedding_dedup", "x79_k_core", "x97_negative_samples",
-    "x109_lsh_auto_neardup", "x110_hybrid_rrf_ann", "x111_media_decode",
-    "x101_hybrid_rrf", "q22_select_all",
+    "x109_lsh_auto_neardup", "x111_media_decode",
+    "q22_select_all",
     "q05_wildcard", "x31_event_features",
     "x36_json_rollup", "x37_boilerplate", "x39_funnel", "x40_mixture_upsample",
     "x41_bigram_vocab", "x42_khop", "x43_mutual_edges", "x44_components",
     "x45_chunking", "x46_token_ids",
     "x48_curation_dag", "x49_quality_canonical", "x54_temperature_sample",
-    "x70_bpe_pair_counts", "x71_source_overlap", "x72_span_dedup_rewrite",
+    "x70_bpe_pair_counts", "x72_span_dedup_rewrite",
     "x73_incremental_dedup", "x74_stream_dedup_index", "x75_training_shards",
     "x76_vocab_spectrum", "x78_lang_confusion",
     # the r8-NEW PQ/IVF-PQ/streaming-index entries whose code is untouched
@@ -126,6 +128,10 @@ _CHANGED_IN_ROUND = [
     "x25_bm25", "x99_bm25_topk",
     "x115_ivfpq_ann", "x116_mmr_rerank", "x117_top_pc_projection",
     "x118_ivfpq_trained",
+    # x101/x110: the (query_id, term) subtree is collected at construction
+    # (driver literals, bounded by the query docs' vocabulary); x71: shingle
+    # keyed on source directly — the doc_id re-join shuffle is gone
+    "x101_hybrid_rrf", "x110_hybrid_rrf_ann", "x71_source_overlap",
 ]
 
 #: the driver's per-round gate depth (first N of the ordered registry)

@@ -867,11 +867,15 @@ def source_overlap(
 
     Output: (source_a, source_b, n_shared).
     """
-    sh = word_shingles(docs, n, text_col, id_col)
+    # shingle the corpus keyed DIRECTLY on the source column (r9): the
+    # previous shape shingled by doc_id and joined the corpus-sized shingle
+    # table back to the doc→source map — a whole extra shuffle join whose
+    # only purpose was fetching the source label the scan already had.
+    # word_shingles distinct-ifies per ROW; the cross-document distinct
+    # below collapses the rest, so the (source, shingle) set is identical.
     src_sh = (
-        docs.select(F.col(id_col).alias("doc_id"), F.col(source_col).alias("_src"))
-        .join(sh, "doc_id")
-        .select("_src", "shingle")
+        word_shingles(docs, n, text_col, id_col=source_col)
+        .select(F.col("doc_id").alias("_src"), "shingle")
         .distinct()
     )
     a = src_sh.select(F.col("_src").alias("source_a"), "shingle")
