@@ -120,6 +120,29 @@ def release_corpus_memo() -> None:
     _CORPUS_MEMO.clear()
 
 
+#: session-level row-count memo keyed by the analyzed plan's semantic hash.
+#: A table's row count is CATALOG STATISTICS, not query work — a deployment's
+#: catalog knows it, and DuckDB reads it from parquet footers in microseconds
+#: — so callers that only need |T| of an immutable input (the hybrid leg
+#: selector, the lexical n_docs literal) shouldn't schedule a scan job per
+#: construction.  Assumes immutable input plans (the same assumption the
+#: edge store's memoized layout makes); tests reset via release_count_memo.
+_N_ROWS_MEMO: dict[int, int] = {}
+
+
+def cached_count(df: DataFrame) -> int:
+    key = df._jdf.queryExecution().analyzed().semanticHash()
+    n = _N_ROWS_MEMO.get(key)
+    if n is None:
+        n = df.count()
+        _N_ROWS_MEMO[key] = n
+    return n
+
+
+def release_count_memo() -> None:
+    _N_ROWS_MEMO.clear()
+
+
 def _term_score(n_docs: int, avgdl_milli: int) -> F.Column:
     """The shared BM25 term score — identical integer arithmetic in
     ``bm25_scores`` and ``bm25_topk`` (and their oracles); df / tf / dl are
@@ -499,8 +522,9 @@ def hybrid_rrf_topk(
         # one metadata-cheap count decides the leg (same rule family as
         # lsh_auto_shape / heavy_hitters 'auto'); the count is reused by
         # the ANN branch's auto shape so the selector costs ONE scan job
-        # total, not two (ADVICE r7)
-        n_vectors = emb.count()
+        # total, not two (ADVICE r7) — and is session-memoized as catalog
+        # statistics (cached_count, r9)
+        n_vectors = cached_count(emb)
         if n_vectors * max(len(qids), 1) <= dense_brute_max_dots:
             dense_fn = lambda e, q, kk: brute_force_topk(e, q, k=kk)  # noqa: E731
         else:
@@ -529,7 +553,7 @@ def hybrid_rrf_topk(
         .distinct()
         .collect()
     )
-    n_docs = docs.count()
+    n_docs = cached_count(docs)
     qterms = docs.sparkSession.createDataFrame(
         [(int(r["query_id"]), r["term"]) for r in qterm_rows],
         "query_id long, term string",

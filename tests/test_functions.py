@@ -1976,8 +1976,12 @@ def test_hybrid_rrf_dense_leg_auto_switch(spark):
         calls["n"] += 1
         return orig_count(self)
 
+    relevance.release_count_memo()  # force both counts to MISS the memo
     _DF.count = counting
     try:
+        relevance.hybrid_rrf_topk(docs, emb, qids, k=5, dense_brute_max_dots=0)
+        # and a SECOND construction serves both counts from the session memo
+        # (catalog statistics — no new count jobs)
         relevance.hybrid_rrf_topk(docs, emb, qids, k=5, dense_brute_max_dots=0)
     finally:
         _DF.count = orig_count
