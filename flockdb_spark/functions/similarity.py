@@ -2781,3 +2781,176 @@ SELECT query_id, neighbor_id, adist,
 FROM adc
 QUALIFY rank <= {k}
 """
+
+
+# --- binary sign-sketch ANN (x120) ----------------------------------------
+
+#: JVM packing of a quantized embedding's SIGN BITS into one BIGINT: bit i is
+#: set iff component i is >= 0 (zero counts as non-negative — both engines
+#: apply the same rule).  Pure codegen expressions — the ingest-side sketch
+#: build runs with zero Python, like the x119 streaming cell assignment.
+_SIGN_PACK = (
+    "aggregate(zip_with({col}, sequence(0, {dmax}),"
+    " (x, i) -> IF(x >= 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),"
+    " CAST(0 AS BIGINT), (a, b) -> a | b)"
+)
+
+
+def sign_sketch(quantized_col_name: str, dims: int = 64) -> F.Column:
+    """Packed BIGINT of sign bits over an already-quantized array column
+    (named, so the expression stays a plain codegen HOF chain)."""
+    if dims > 64:
+        raise ValueError(f"sign_sketch packs at most 64 dims, got {dims}")
+    return F.expr(_SIGN_PACK.format(col=quantized_col_name, dmax=dims - 1))
+
+
+def binary_ann_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    k_cand: int = 100,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Binary-quantization ANN: each vector compresses to its 64 SIGN BITS
+    (one BIGINT — 64× smaller than the micro-int vector, 32× smaller than
+    float32), candidates rank by HAMMING distance (one xor + popcount per
+    pair instead of a 64-wide dot), and the ≤|Q|·k_cand winners get an
+    EXACT integer-dot rerank — the x114 two-stage recipe with the cheapest
+    possible prefilter.  This is Charikar's SimHash signature applied to
+    the embedding itself with the identity hyperplanes (the coordinate
+    axes): unit vectors close in cosine agree on most coordinate signs.
+
+    Scale shape (100 TB): the sketch build is PURE JVM expressions over
+    the corpus scan (zip_with/aggregate — zero Python at ingest, the
+    x119 rule); the candidate scan streams (id, sketch) = 16 bytes/row
+    through an Arrow popcount with per-batch local top-k_cand, so the
+    shuffle after it carries ≤ k_cand·partitions rows per query; the
+    rerank joins the driver-tiny candidate list back to the vector table
+    broadcast-style (the only full-width vector reads are the winners).
+
+    Output: (query_id, neighbor_id, dot_micro2, rank) — the exact-dot
+    contract shared by brute_force_topk / pq_rerank_topk."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    qids = [int(i) for i in query_ids]
+    pack = _SIGN_PACK.format(col="_ev", dmax=dims - 1)
+    skd = emb.select(
+        F.col(id_col).alias("vid"), quantized(vec_col).alias("_ev")
+    ).select("vid", F.expr(pack).alias("sk"))
+
+    q_rows = skd.where(F.col("vid").isin(qids)).collect()
+    if len(q_rows) != len(qids):
+        raise ValueError(
+            f"binary_ann_topk: {len(qids) - len(q_rows)} query ids missing "
+            f"from the corpus (need every query in {id_col})"
+        )
+    q_ids = np.array([r["vid"] for r in q_rows], dtype=np.int64)
+    q_sk = np.array([r["sk"] for r in q_rows], dtype=np.int64)
+    bc = emb.sparkSession.sparkContext.broadcast((q_ids, q_sk))
+
+    def ham(batches):
+        import pyarrow as pa
+
+        qi, qs = bc.value
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            ids = _i64_arrow(batch.column(0))
+            sk = _i64_arrow(batch.column(1))
+            # xor matrix (n, |Q|) then vectorized popcount via unpackbits
+            x = np.bitwise_xor(sk[:, None], qs[None, :])
+            h = (
+                np.unpackbits(x.view(np.uint8).reshape(len(ids), -1), axis=1)
+                .reshape(len(ids), len(qi), 8 * x.itemsize)
+                .sum(axis=2)
+                .astype(np.int64)
+            )
+            qout, nout, hout = [], [], []
+            for j in range(len(qi)):
+                sel = np.nonzero(ids != qi[j])[0]
+                top = sel[np.lexsort((ids[sel], h[sel, j]))[:k_cand]]
+                qout.append(np.full(len(top), qi[j], dtype=np.int64))
+                nout.append(ids[top])
+                hout.append(h[top, j])
+            yield pa.record_batch(
+                {
+                    "query_id": np.concatenate(qout),
+                    "neighbor_id": np.concatenate(nout),
+                    "hamming": np.concatenate(hout),
+                }
+            )
+
+    scored = skd.mapInArrow(ham, "query_id long, neighbor_id long, hamming long")
+    wc = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
+    cand = (
+        scored.withColumn("crn", F.row_number().over(wc))
+        .where(F.col("crn") <= k_cand)
+        .select("query_id", "neighbor_id")
+    )
+    qv = emb.where(F.col(id_col).isin(qids)).select(
+        F.col(id_col).alias("query_id"), quantized(vec_col).alias("qv")
+    )
+    ev = emb.select(F.col(id_col).alias("neighbor_id"), quantized(vec_col).alias("ev"))
+    rer = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(ev, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            dot_q(F.col("qv"), F.col("ev")).alias("dot_micro2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_micro2"), F.asc("neighbor_id"))
+    out = rer.withColumn("rank", F.row_number().over(w).cast("int")).where(
+        F.col("rank") <= k
+    )
+    out._flockdb_caches = [bc]  # the release convention (see ivfpq_ann_topk)
+    return out
+
+
+def binary_ann_sql(
+    query_ids: list[int], k: int = 10, k_cand: int = 100, dims: int = 64
+) -> str:
+    """DuckDB twin of :func:`binary_ann_topk`: replay the sign packing
+    (bit 63 via the BIGINT min literal — ``1 << 63`` overflows DuckDB's
+    checked shift; summing DISTINCT powers of two equals the bitwise OR),
+    the xor/popcount Hamming ranking (ties → lower neighbor_id), and the
+    exact-dot rerank, bit-for-bit."""
+    if dims != 64:
+        raise NotImplementedError("the SQL twin packs exactly 64 dims")
+    quant = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000))"
+    in_list = ", ".join(str(int(i)) for i in query_ids)
+    pack = (
+        "CAST(list_sum(list_transform(range(1, 65), i -> "
+        "CASE WHEN ev[i] >= 0 THEN "
+        "(CASE WHEN i = 64 THEN CAST(-9223372036854775808 AS BIGINT) "
+        "ELSE (CAST(1 AS BIGINT) << (i - 1)) END) "
+        "ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+    )
+    return f"""
+WITH v AS MATERIALIZED (SELECT vec_id, {quant} AS ev FROM embeddings),
+sk AS MATERIALIZED (SELECT vec_id, ev, {pack} AS sk FROM v),
+q AS (SELECT vec_id AS query_id, ev AS qv, sk AS qsk FROM sk
+      WHERE vec_id IN ({in_list})),
+cand AS MATERIALIZED (
+  SELECT query_id, vec_id AS neighbor_id, qv, ev FROM (
+    SELECT q.query_id, s.vec_id, q.qv, s.ev,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY bit_count(xor(s.sk, q.qsk)) ASC, s.vec_id ASC
+           ) AS crn
+    FROM sk s CROSS JOIN q WHERE s.vec_id <> q.query_id
+  ) WHERE crn <= {k_cand}
+)
+SELECT query_id, neighbor_id,
+       CAST(list_dot_product(qv, ev) AS BIGINT) AS dot_micro2,
+       CAST(row_number() OVER (
+         PARTITION BY query_id ORDER BY CAST(list_dot_product(qv, ev) AS BIGINT) DESC,
+                                        neighbor_id ASC
+       ) AS INTEGER) AS rank
+FROM cand
+QUALIFY rank <= {k}
+"""

@@ -3073,3 +3073,25 @@ def x119(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.windows import ivf_cells_available_now
 
     return ivf_cells_available_now(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# x120 — binary sign-sketch ANN: every embedding compresses to its 64 SIGN
+# BITS in ONE BIGINT (64× vs the micro-int vector), candidates rank by
+# Hamming distance (xor + popcount — the cheapest possible prefilter,
+# Charikar's SimHash with the coordinate axes as hyperplanes), the winners
+# get the x114 exact-dot rerank.  The sketch build is PURE JVM expressions
+# (zip_with/aggregate — zero Python at ingest, the x119 rule); the oracle
+# replays the packing (bit 63 via the BIGINT min literal), the xor/popcount
+# ranking, and the rerank bit-for-bit.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x120_binary_ann",
+    similarity.binary_ann_sql(ANN_QUERY_IDS, k=10, k_cand=100),
+)
+def x120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.binary_ann_topk(
+        _read(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, k_cand=100
+    )

@@ -2538,3 +2538,60 @@ def test_ivfpq_broadcast_release_handle(spark):
     for h in handles:
         h.unpersist()
     assert out.count() == n1  # re-execution after unpersist still works
+
+
+def test_sign_sketch_packs_expected_bits(spark):
+    """x120: the JVM sign-packing expression sets bit i iff component i is
+    >= 0 (zero counts as non-negative), including the BIGINT sign bit."""
+    rows = [
+        (0, [1.0] * 64),                      # all bits -> -1 (two's complement)
+        (1, [-1.0] * 64),                     # no bits -> 0
+        (2, [1.0, -1.0] * 32),                # even bits -> 0x5555...
+        (3, [0.0] * 64),                      # zeros are non-negative -> all bits
+        (4, [-1.0] * 63 + [1.0]),             # only bit 63 -> BIGINT min
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # sign_sketch needs the quantized array column in scope
+    sel = df.select("vec_id", similarity.quantized("embedding").alias("_ev"))
+    got = {r["vec_id"]: r["sk"] for r in sel.select("vec_id", similarity.sign_sketch("_ev").alias("sk")).collect()}
+
+    def pack(vals):
+        acc = 0
+        for i, v in enumerate(vals):
+            if v >= 0:
+                acc |= 1 << i
+        return acc - (1 << 64) if acc >= (1 << 63) else acc
+
+    for vid, vec in rows:
+        assert got[vid] == pack(vec), (vid, got[vid], pack(vec))
+    assert got[4] == -(1 << 63)
+
+
+def test_binary_ann_full_candidate_budget_equals_brute(spark):
+    """x120: with k_cand >= corpus size the Hamming prefilter drops nothing,
+    so the exact rerank reproduces brute_force_topk row for row — and at the
+    gate budget (k_cand=100) the top-1 still matches brute top-1 on the
+    fixture corpus (sign agreement tracks cosine on unit vectors)."""
+    from flockdb_spark.sources.edges import _read
+
+    emb = _read(spark, "/root/testdata/sf0.001", "embeddings")
+    qids = [0, 1, 2]
+    brute = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["dot_micro2"])
+        for r in similarity.brute_force_topk(emb, qids, k=5).collect()
+    }
+    full = similarity.binary_ann_topk(emb, qids, k=5, k_cand=10**6)
+    got = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["dot_micro2"])
+        for r in full.collect()
+    }
+    for c in getattr(full, "_flockdb_caches", []):
+        c.unpersist()
+    assert got == brute
+    gate = similarity.binary_ann_topk(emb, qids, k=5, k_cand=100)
+    top1 = {
+        r["query_id"]: r["neighbor_id"] for r in gate.collect() if r["rank"] == 1
+    }
+    for c in getattr(gate, "_flockdb_caches", []):
+        c.unpersist()
+    assert top1 == {q: brute[(q, 1)][0] for q in qids}
