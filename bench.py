@@ -129,6 +129,10 @@ BENCH_QUERIES = [
     # integer power iteration + JVM-side projection — two corpus passes by
     # the algorithm's dataflow
     "x117_top_pc_projection",
+    # r9: binary sign-sketch ANN — the cheapest compressed-domain prefilter
+    # (one BIGINT of sign bits per vector, xor+popcount candidates, exact
+    # rerank) next to the PQ (x112/x114/x115) and LSH (x35/x109) lines
+    "x120_binary_ann",
 ]
 
 #: queries whose plan .cache()es a corpus-side index (persist_index=True):
@@ -183,6 +187,9 @@ CONSTRUCT_IN_PASS = {
     "x115_ivfpq_ann",
     "x116_mmr_rerank",
     "x117_top_pc_projection",
+    # x120's construction collects the query sign-sketches (a corpus-
+    # touching scan) — timed in-pass like the other index builders
+    "x120_binary_ann",
     # (x118_ivfpq_trained is NOT listed: it is excluded from BENCH_QUERIES
     # — see the note there — so a CONSTRUCT_IN_PASS entry would be dead)
 }
