@@ -246,13 +246,20 @@ def main() -> None:
     times: dict[str, float] = {}
     times_all: dict[str, list] = {}
     warm_index: dict[str, float] = {}
-    from flockdb_spark.functions.relevance import release_corpus_memo
+    from flockdb_spark.functions.relevance import (
+        release_corpus_memo,
+        release_count_memo,
+    )
 
     for i in range(PASSES):
         # pass boundary: drop the BM25 family's shared corpus-stats memo so
         # the first family query of THIS pass pays the warm-up cold (within
-        # the pass, later family members reuse it — the amortized cost)
+        # the pass, later family members reuse it — the amortized cost), and
+        # the row-count memo so x101/x110's construction counts are paid in
+        # EVERY pass — min-of-passes then measures what CONSTRUCT_IN_PASS
+        # claims (per-pass construction), not a memoized-count fast path
         release_corpus_memo()
+        release_count_memo()
         for name in BENCH_QUERIES:
             if name in INDEX_PERSISTED:
                 # cold by construction: drop the persisted index so this

@@ -86,8 +86,18 @@ def _corpus_stats(terms: DataFrame) -> tuple[int, int]:
 #: statistics across endpoints.  The memo OWNS the cached terms table
 #: (callers must NOT unpersist it); release via :func:`release_corpus_memo`.
 #: Bounded: oldest entry is unpersisted + evicted past _CORPUS_MEMO_MAX.
-_CORPUS_MEMO: dict[tuple[int, str], tuple[DataFrame, int, int]] = {}
+_CORPUS_MEMO: dict[tuple[int, str, str], tuple[DataFrame, int, int]] = {}
 _CORPUS_MEMO_MAX = 8
+
+
+def _plan_key(df: DataFrame) -> tuple[int, str]:
+    """Memo identity of an (assumed-immutable) input plan: the analyzed
+    plan's 32-bit semanticHash PLUS its canonicalized tree string — the
+    string disambiguates the (rare but possible) 32-bit hash collision
+    between two different corpora, which would otherwise silently serve the
+    wrong n_docs/avgdl as constant-folded literals."""
+    qe = df._jdf.queryExecution().analyzed()
+    return qe.semanticHash(), qe.canonicalized().toString()
 
 
 def corpus_terms_stats(
@@ -95,10 +105,11 @@ def corpus_terms_stats(
 ) -> tuple[DataFrame, int, int]:
     """The shared (cached_terms, n_docs, avgdl_milli) for ``docs`` — memoized
     per (corpus plan, text_col) so repeated scorers in one session reuse one
-    tokenize and one stats action.  The semantic hash of the ANALYZED plan is
-    the identity: two reads of the same parquet path hash equal, a different
-    source or projection does not."""
-    key = (docs._jdf.queryExecution().analyzed().semanticHash(), text_col)
+    tokenize and one stats action.  The identity is the ANALYZED plan's
+    (semanticHash, canonicalized tree string): two reads of the same parquet
+    path key equal, a different source or projection does not, and a 32-bit
+    hash collision between different corpora cannot alias (see _plan_key)."""
+    key = (*_plan_key(docs), text_col)
     hit = _CORPUS_MEMO.get(key)
     if hit is not None:
         return hit
@@ -127,11 +138,11 @@ def release_corpus_memo() -> None:
 #: selector, the lexical n_docs literal) shouldn't schedule a scan job per
 #: construction.  Assumes immutable input plans (the same assumption the
 #: edge store's memoized layout makes); tests reset via release_count_memo.
-_N_ROWS_MEMO: dict[int, int] = {}
+_N_ROWS_MEMO: dict[tuple[int, str], int] = {}
 
 
 def cached_count(df: DataFrame) -> int:
-    key = df._jdf.queryExecution().analyzed().semanticHash()
+    key = _plan_key(df)
     n = _N_ROWS_MEMO.get(key)
     if n is None:
         n = df.count()

@@ -2790,7 +2790,11 @@ QUALIFY rank <= {k}
 #: apply the same rule).  Pure codegen expressions — the ingest-side sketch
 #: build runs with zero Python, like the x119 streaming cell assignment.
 _SIGN_PACK = (
-    "aggregate(zip_with({col}, sequence(0, {dmax}),"
+    # slice to exactly dims components first: a vector LONGER than dims must
+    # truncate (matching the SQL twin), not pad zip_with's sequence side with
+    # null indices — shiftleft(1, null) is null and the OR-aggregate would
+    # silently collapse the whole sketch to null
+    "aggregate(zip_with(slice({col}, 1, {dims}), sequence(0, {dmax}),"
     " (x, i) -> IF(x >= 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),"
     " CAST(0 AS BIGINT), (a, b) -> a | b)"
 )
@@ -2801,7 +2805,7 @@ def sign_sketch(quantized_col_name: str, dims: int = 64) -> F.Column:
     (named, so the expression stays a plain codegen HOF chain)."""
     if dims > 64:
         raise ValueError(f"sign_sketch packs at most 64 dims, got {dims}")
-    return F.expr(_SIGN_PACK.format(col=quantized_col_name, dmax=dims - 1))
+    return F.expr(_SIGN_PACK.format(col=quantized_col_name, dims=dims, dmax=dims - 1))
 
 
 def binary_ann_topk(
@@ -2836,7 +2840,7 @@ def binary_ann_topk(
     from pyspark.sql import Window
 
     qids = [int(i) for i in query_ids]
-    pack = _SIGN_PACK.format(col="_ev", dmax=dims - 1)
+    pack = _SIGN_PACK.format(col="_ev", dims=dims, dmax=dims - 1)
     skd = emb.select(
         F.col(id_col).alias("vid"), quantized(vec_col).alias("_ev")
     ).select("vid", F.expr(pack).alias("sk"))

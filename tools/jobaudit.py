@@ -47,13 +47,17 @@ def main() -> None:
         for attempt in range(3):
             if name in INDEX_PERSISTED:
                 spark.catalog.clearCache()
-            before_jobs = set(tracker.getJobIdsForGroup() or [])
-            spark.sparkContext.setJobGroup(name, name)
+            # unique per-attempt group: attempts share nothing, so each
+            # attempt's job/stage/task counts are exact, not cumulative
+            # (earlier revisions read the default group for before_jobs,
+            # which inflated attempts 1 and 2)
+            group = f"{name}#{attempt}"
+            spark.sparkContext.setJobGroup(group, group)
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
-            job_ids = [j for j in (tracker.getJobIdsForGroup(name) or []) if j not in before_jobs]
+            job_ids = list(tracker.getJobIdsForGroup(group) or [])
             n_stages = 0
             n_tasks = 0
             for j in job_ids:
