@@ -710,7 +710,10 @@ def x12(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("x111_media_decode", multimodal.media_decode_sql())
 def x111(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.synth_media(_read(spark, sf_dir, "documents"))
-    return multimodal.decode_features(media)
+    # the JVM header-audit fast path (r10): every fixed-layout header field
+    # parses codegen-side; Arrow touches bytes only for the payload sum.
+    # tests/test_functions.py asserts equality with the generic decoder.
+    return multimodal.decode_features_fast(media)
 
 
 # ---------------------------------------------------------------------------

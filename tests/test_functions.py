@@ -1930,6 +1930,48 @@ def test_media_decode_non_ascii_and_bit_depth(spark):
         multimodal.decode_blob(hdr24 + b"\x00\x01\x02")
 
 
+def test_media_decode_fast_path_matches_generic(spark):
+    """decode_features_fast (JVM header audit + numpy payload sum, r10) must
+    be row-identical to the generic chunk-walking decoder on canonical
+    blobs — including non-ASCII payloads whose UTF-8 bytes are malformed at
+    the 32-byte header-slice boundary — and must NULL the audit columns on
+    a non-canonical layout instead of mis-parsing it."""
+    docs = spark.createDataFrame(
+        [
+            (0, "plain ascii payload " * 9),
+            (1, "héllo wörld 日本語 🚀" * 11),
+            (2, ""),
+            (3, "é" * 31),  # multi-byte char split exactly at the slice edge
+            (4, "x"),
+        ],
+        "doc_id long, text string",
+    )
+    media = multimodal.synth_media(docs)
+    slow = {r["doc_id"]: r.asDict() for r in multimodal.decode_features(media).collect()}
+    fast = {r["doc_id"]: r.asDict() for r in multimodal.decode_features_fast(media).collect()}
+    assert fast == slow
+
+    # non-canonical layout (extra chunk between fmt and data): fast path
+    # refuses (NULL audit columns); the generic walker still parses it
+    import struct
+
+    payload = bytes([1, 2, 3, 250])
+    data = b"".join(struct.pack("<h", b) for b in payload)
+    odd = (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + 16 + 8 + 4 + 8 + len(data), b"WAVE")
+        + struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 8000, 16000, 2, 16)
+        + struct.pack("<4sI", b"LIST", 4) + b"INFO"
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+    noncanon = spark.createDataFrame(
+        [(9, "audio", bytearray(odd))], multimodal.MEDIA_SCHEMA
+    )
+    row = multimodal.decode_features_fast(noncanon).collect()[0]
+    assert row["width"] is None and row["n_samples"] is None
+    generic = multimodal.decode_features(noncanon).collect()[0]
+    assert generic["n_samples"] == 4 and generic["payload_sum"] == sum(payload)
+
+
 def test_hybrid_rrf_dense_leg_auto_switch(spark):
     """hybrid_rrf_topk's dense leg auto-selects: brute GEMM under the dot
     budget, LSH-bucketed ANN above it — the plan must actually change at
