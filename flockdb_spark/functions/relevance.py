@@ -573,10 +573,18 @@ def hybrid_rrf_topk(
     # distinct shuffle — df(t) and candidate scoring both derive from this
     # matched subset (df must count the query docs too, so the self-
     # exclusion happens only at scoring time)
+    # SHUFFLE FOLD (r10): each stage pair below shares ONE exchange.  An
+    # explicit repartition on the COARSER key satisfies the downstream
+    # operators' ClusteredDistribution requirements (hash(term) co-locates
+    # every (doc, term) pair; hash(query_id) every (query, doc) pair), so
+    # the distinct + df-window ride one term exchange, and the score
+    # aggregate + top-k window ride one query_id exchange — 13 exchanges
+    # fell to 9 on the identical result (plan test pins the counts).
     matched = (
         docs.select("doc_id", F.explode(toks).alias("term"))
         .join(F.broadcast(qterms.select("term").distinct()), "term")
         .select("doc_id", "term")
+        .repartition("term")
         .distinct()
     )
     # ONE corpus pass (r8): df(t) is a count window keyed by term over the
@@ -591,6 +599,7 @@ def hybrid_rrf_topk(
         matched.withColumn("df", F.count(F.lit(1)).over(wt).cast("long"))
         .join(F.broadcast(qterms), "term")
         .where(F.col("doc_id") != F.col("query_id"))
+        .repartition("query_id")
         .groupBy("query_id", "doc_id")
         .agg(
             F.sum(
@@ -605,13 +614,28 @@ def hybrid_rrf_topk(
         .select("query_id", "doc_id", "lex_rank")
     )
 
-    fused = dense.join(lex, ["query_id", "doc_id"], "full_outer").select(
-        "query_id",
-        "doc_id",
-        F.expr(
-            f"coalesce(1000000 div ({rrf_k} + dense_rank), 0)"
-            f" + coalesce(1000000 div ({rrf_k} + lex_rank), 0)"
-        ).cast("long").alias("rrf_micro"),
+    # fusion as union + sum (algebraically identical to the former
+    # full-outer join + coalesce: a doc present in one leg contributes that
+    # leg's term, in both legs the sum of both): two ≤k·|Q|-row inputs meet
+    # in ONE query_id exchange that the final top-k window then reuses —
+    # the join needed a (query_id, doc_id) exchange per side plus the
+    # window's own
+    fused = (
+        dense.select(
+            "query_id",
+            "doc_id",
+            F.expr(f"1000000 div ({rrf_k} + dense_rank)").cast("long").alias("c"),
+        )
+        .unionAll(
+            lex.select(
+                "query_id",
+                "doc_id",
+                F.expr(f"1000000 div ({rrf_k} + lex_rank)").cast("long").alias("c"),
+            )
+        )
+        .repartition("query_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("c").cast("long").alias("rrf_micro"))
     )
     wf = Window.partitionBy("query_id").orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
     return (

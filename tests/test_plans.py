@@ -316,3 +316,15 @@ def test_hybrid_rrf_lexical_leg_is_single_corpus_pass(spark):
     # means a corpus-sized generator crept back into the leg.
     n_explode = plan.count("Arguments: explode(")
     assert n_explode == 1, f"expected 1 explode generator, plan has {n_explode}"
+    # r10 shuffle fold: the whole brute-dense hybrid rides FOUR hash
+    # exchanges — dense top-k window (query_id), lexical term exchange
+    # (shared by the distinct AND the df window), lexical query_id exchange
+    # (shared by the score aggregate AND the top-k window), and the fusion
+    # union's query_id exchange (shared by the rrf sum AND the final
+    # window).  A fifth exchange means a stage pair stopped sharing.
+    import re
+
+    raw = df._jdf.queryExecution().executedPlan().toString()
+    n_ex = len(re.findall(r"Exchange hashpartitioning", raw))
+    assert n_ex == 4, f"expected 4 hash exchanges, plan has {n_ex}\n{raw}"
+    assert "Exchange SinglePartition" not in raw
