@@ -31,22 +31,64 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver gates only the FIRST 50 registry entries each round, so we order
-# the registry by gate priority.  Rotated for r9 (registry 144, all with
-# driver rows): the window leads with the NOW-STALEST blocks exactly as
-# VERDICT r8 item 2 prescribes — the 9-entry r5 remainder
-# (x80–x83/x85/x86/x89/x90/x92, last driver rows 4 rounds old) and the
-# 31-entry r6-green block (q06–q21 core + x01–x05/x16/x17/x35/x47/x53/
-# x56/x69/x77/x91/x93/x95, 3 rounds old).  Next the entries whose CODE or
-# ORACLE changed in r9 (see _CHANGED_IN_ROUND).  The oldest r7-green rows
-# fill the remaining slots.  The r8-gated sets (freshest rows) sort after
-# the window — all 144 are green in this round's local sf0.01 gate.
+# the registry by gate priority.  Rotated for r10 (registry 145, all with
+# driver rows): the window leads with the NOW-STALEST block exactly as
+# VERDICT r9 item 1 prescribes — the 27-entry r7-green set (last driver
+# rows 3 rounds old).  Next the entries whose CODE, ORACLE, or decisive
+# session conf changed in r10 (see _CHANGED_IN_ROUND).  The oldest
+# r8-green rows fill the remaining slots.  The r8 remainder and the
+# r9-gated sets (freshest rows) sort after the window — all 145 are green
+# in this round's local sf0.01 gate.
 _GATED_GREEN = [
-    # r5-green remainder — stalest rows, promised to lead r9 (VERDICT r8 item 2)
+    # r7-green block — stalest rows, promised to lead r10 (VERDICT r9 item 1)
+    "q01_point_lookup", "q02_contains", "q03_metadata", "q04_degree_counts",
+    "q14_select_edges", "q23_select2_batch", "q25_ordered_uuid",
+    "x98_semantic_dedup", "x100_quality_classifier",
+    "x102_phrase_match", "x103_heavy_hitters_sketch", "x104_orc_roundtrip",
+    "x105_vocab_drift", "x106_probe_fit", "x107_multi_phrase",
+    "x108_neighborhood_jaccard",
+    "x33_seq_packing", "x87_jsonl_roundtrip", "x88_csv_roundtrip",
+    "x52_lsh_ann_multitable", "x96_salted_join", "x64_label_centroids",
+    "x94_kn_perplexity",
+    "x84_heavy_hitters", "x18_lsh_neardup", "x06_lsh_ann", "x15_ivf_ann",
+    # changed in r10 (code, oracle, or decisive conf — see _CHANGED_IN_ROUND)
+    "x25_bm25", "x99_bm25_topk", "x101_hybrid_rrf", "x110_hybrid_rrf_ann",
+    "x111_media_decode", "x120_binary_ann", "x91_kneser_ney",
+    # oldest r8-green rows fill the window to 50
+    "x28_train_split", "x29_stratified_sample",
+    "x30_length_quantiles", "x32_repetition", "x34_decontaminate",
+    "x50_pii_redaction", "x51_training_order", "x55_select_top_quality",
+    "x57_fuzzy_decontaminate", "x58_tfidf_top_terms",
+    "x59_inverted_index", "x60_normalize_text", "x61_pair_integrity",
+    "x62_oov_rate", "x63_corpus_diff", "x65_leakage_free_splits",
+    # ---- below the 50-entry window ----
+    # r8-green remainder
+    "x66_stream_sessionization",
+    "x67_duplicated_spans", "x68_stream_event_rates",
+    "x38_embedding_dedup", "x79_k_core", "x97_negative_samples",
+    "x109_lsh_auto_neardup",
+    "q22_select_all",
+    "q05_wildcard", "x31_event_features",
+    "x36_json_rollup", "x37_boilerplate", "x39_funnel", "x40_mixture_upsample",
+    "x41_bigram_vocab", "x42_khop", "x43_mutual_edges", "x44_components",
+    "x45_chunking", "x46_token_ids",
+    "x48_curation_dag", "x49_quality_canonical", "x54_temperature_sample",
+    "x70_bpe_pair_counts", "x72_span_dedup_rewrite",
+    "x73_incremental_dedup", "x74_stream_dedup_index", "x75_training_shards",
+    "x76_vocab_spectrum", "x78_lang_confusion",
+    "x112_pq_ann", "x113_pq_trained", "x114_pq_rerank", "x119_stream_ivf_cells",
+    # r7-green remainder (stub-path multimodal + driver-tiny lookups)
+    "x07_embedding_neardup", "x19_pipeline", "x08_quality", "x09_token_count",
+    "x10_lang_id", "x11_fingerprint", "x12_multimodal", "x20_sessionization",
+    "x21_asof_join", "x22_range_join", "x23_rollup", "x24_event_rollup",
+    "x13_degree_dist", "x14_pagerank", "x26_topk_per_group",
+    "x27_triangles",
+    # r9-gated (freshest driver rows): the r5 remainder, the r6-green core
+    # block, and the r9 changes
     "x80_count_min_sketch", "x81_stream_sketch",
     "x82_bloom_decontaminate", "x83_hll_registers", "x85_fixed_size_sample",
     "x86_stream_interval_join", "x89_zorder_key", "x90_token_budget",
     "x92_last_touch",
-    # r6-green block — second-stalest, same VERDICT promise
     "q06_keyset_pages", "q07_by_destination", "q08_backward", "q09_where_in",
     "q10_intersection", "q11_union", "q12_difference", "q13_nested",
     "q15_incl_archived", "q16_state_filters",
@@ -57,60 +99,11 @@ _GATED_GREEN = [
     "x35_multiprobe_ann",
     "x53_lsh_neardup_multitable", "x56_int8_ann",
     "x69_kmeans_fit", "x77_embedding_outliers",
-    "x47_bigram_surprisal", "x91_kneser_ney", "x93_personalized_pagerank",
+    "x47_bigram_surprisal", "x93_personalized_pagerank",
     "x95_collocations",
-    # changed in r9 (code or oracle touched — see _CHANGED_IN_ROUND);
-    # x25/x99 share the new corpus-stats memo, the ANN four carry the
-    # advice fixes (conditional SQL chains, broadcast release, count(*))
-    "x25_bm25", "x99_bm25_topk",
     "x115_ivfpq_ann", "x116_mmr_rerank", "x117_top_pc_projection",
-    "x118_ivfpq_trained",
-    "x101_hybrid_rrf", "x110_hybrid_rrf_ann", "x71_source_overlap",
-    # oldest r7-green row fills the window to 50
+    "x118_ivfpq_trained", "x71_source_overlap",
     "q24_select_edges_batch",
-    # ---- below the 50-entry window ----
-    # r7-green remainder
-    "q25_ordered_uuid",
-    "x98_semantic_dedup", "x100_quality_classifier",
-    "x102_phrase_match", "x103_heavy_hitters_sketch", "x104_orc_roundtrip",
-    "x105_vocab_drift", "x106_probe_fit", "x107_multi_phrase",
-    "x108_neighborhood_jaccard",
-    "x33_seq_packing", "x87_jsonl_roundtrip", "x88_csv_roundtrip",
-    "x52_lsh_ann_multitable", "x96_salted_join", "x64_label_centroids",
-    "x94_kn_perplexity",
-    "x84_heavy_hitters", "x18_lsh_neardup", "x06_lsh_ann",
-    "q01_point_lookup", "q02_contains", "q03_metadata", "q04_degree_counts",
-    "q14_select_edges", "q23_select2_batch",
-    "x15_ivf_ann",
-    "x07_embedding_neardup", "x19_pipeline", "x08_quality", "x09_token_count",
-    "x10_lang_id", "x11_fingerprint", "x12_multimodal", "x20_sessionization",
-    "x21_asof_join", "x22_range_join", "x23_rollup", "x24_event_rollup",
-    "x13_degree_dist", "x14_pagerank", "x26_topk_per_group",
-    "x27_triangles",
-    # r8-gated (freshest driver rows): the r4-stale 19, the r8 changes,
-    # and the r5-green fill that led the r8 window
-    "x28_train_split", "x29_stratified_sample",
-    "x30_length_quantiles", "x32_repetition", "x34_decontaminate",
-    "x50_pii_redaction", "x51_training_order", "x55_select_top_quality",
-    "x57_fuzzy_decontaminate", "x58_tfidf_top_terms",
-    "x59_inverted_index", "x60_normalize_text", "x61_pair_integrity",
-    "x62_oov_rate", "x63_corpus_diff",
-    "x65_leakage_free_splits", "x66_stream_sessionization",
-    "x67_duplicated_spans", "x68_stream_event_rates",
-    "x38_embedding_dedup", "x79_k_core", "x97_negative_samples",
-    "x109_lsh_auto_neardup", "x111_media_decode",
-    "q22_select_all",
-    "q05_wildcard", "x31_event_features",
-    "x36_json_rollup", "x37_boilerplate", "x39_funnel", "x40_mixture_upsample",
-    "x41_bigram_vocab", "x42_khop", "x43_mutual_edges", "x44_components",
-    "x45_chunking", "x46_token_ids",
-    "x48_curation_dag", "x49_quality_canonical", "x54_temperature_sample",
-    "x70_bpe_pair_counts", "x72_span_dedup_rewrite",
-    "x73_incremental_dedup", "x74_stream_dedup_index", "x75_training_shards",
-    "x76_vocab_spectrum", "x78_lang_confusion",
-    # the r8-NEW PQ/IVF-PQ/streaming-index entries whose code is untouched
-    # in r9 (x115–x118 sit in the window above via _CHANGED_IN_ROUND)
-    "x112_pq_ann", "x113_pq_trained", "x114_pq_rerank", "x119_stream_ivf_cells",
 ]
 
 #: every query whose CODE or ORACLE was touched this round (kept current per
@@ -119,19 +112,15 @@ _GATED_GREEN = [
 #: silently recur).  Ungated entries sort first automatically and need no
 #: listing here unless also changed.
 _CHANGED_IN_ROUND = [
-    # r9: x25/x99 share the new per-(corpus, text_col) session stats memo
-    # (relevance.corpus_terms_stats — one tokenize + one blocking warm-up
-    # serves the BM25 family); x115/x118 expose their ADC broadcast via the
-    # _flockdb_caches release convention; x116's SQL twin joins its greedy
-    # rounds conditionally (k=1 valid); x117's oracle counts raw rows
-    # (count(*)) to mirror the Spark-side n exactly
-    "x25_bm25", "x99_bm25_topk",
-    "x115_ivfpq_ann", "x116_mmr_rerank", "x117_top_pc_projection",
-    "x118_ivfpq_trained",
-    # x101/x110: the (query_id, term) subtree is collected at construction
-    # (driver literals, bounded by the query docs' vocabulary); x71: shingle
-    # keyed on source directly — the doc_id re-join shuffle is gone
-    "x101_hybrid_rrf", "x110_hybrid_rrf_ann", "x71_source_overlap",
+    # r10: x25/x99/x101/x110 carry the strengthened memo identity
+    # (relevance._plan_key — semanticHash + canonicalized plan string,
+    # ADVICE r9); x101/x110 additionally the 4-exchange shuffle fold;
+    # x111 the JVM header-audit fast path; x120 the slice-to-dims sign
+    # pack (ADVICE r9) + the array-of-sketches rotation refactor (gated
+    # shape rotations=0 unchanged); x91 is conf-level — its wall rides the
+    # new canChangeCachedPlanOutputPartitioning session default
+    "x25_bm25", "x99_bm25_topk", "x101_hybrid_rrf", "x110_hybrid_rrf_ann",
+    "x111_media_decode", "x120_binary_ann", "x91_kneser_ney",
 ]
 
 #: the driver's per-round gate depth (first N of the ordered registry)

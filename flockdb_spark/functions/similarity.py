@@ -2808,6 +2808,27 @@ def sign_sketch(quantized_col_name: str, dims: int = 64) -> F.Column:
     return F.expr(_SIGN_PACK.format(col=quantized_col_name, dims=dims, dmax=dims - 1))
 
 
+def _rot_pack(col: str, dims: int, r: int) -> str:
+    """JVM packing of rotation ``r``'s sign bits: rotation 0 is the identity
+    hyperplane set (:data:`_SIGN_PACK`); rotation r ≥ 1 uses the 45° axis-
+    pair diagonals sign(x_i ± x_{(i+o) mod dims}) with offset o = ⌈r/2⌉ and
+    alternating sign — GENUINELY new hyperplanes (a coordinate permutation
+    or sign flip would leave every pairwise Hamming distance unchanged and
+    amplify nothing), still a pure codegen HOF chain with zero Python."""
+    if r == 0:
+        return _SIGN_PACK.format(col=col, dims=dims, dmax=dims - 1)
+    o = (r + 1) // 2
+    sgn = "+" if r % 2 == 1 else "-"
+    base = f"slice({col}, 1, {dims})"
+    shifted = f"concat(slice({col}, {o + 1}, {dims - o}), slice({col}, 1, {o}))"
+    return (
+        f"aggregate(zip_with(zip_with({base}, {shifted}, (x, y) -> x {sgn} y),"
+        f" sequence(0, {dims - 1}),"
+        " (v, i) -> IF(v >= 0, shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),"
+        " CAST(0 AS BIGINT), (a, b) -> a | b)"
+    )
+
+
 def binary_ann_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -2816,6 +2837,7 @@ def binary_ann_topk(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rotations: int = 0,
 ) -> DataFrame:
     """Binary-quantization ANN: each vector compresses to its 64 SIGN BITS
     (one BIGINT — 64× smaller than the micro-int vector, 32× smaller than
@@ -2834,16 +2856,25 @@ def binary_ann_topk(
     rerank joins the driver-tiny candidate list back to the vector table
     broadcast-style (the only full-width vector reads are the winners).
 
+    ``rotations=R`` adds R extra sketches per vector from the 45° axis-pair
+    diagonal hyperplanes (see :func:`_rot_pack`) — the classic SimHash
+    OR-amplification (the x52/x53 multi-table pattern): candidates rank by
+    their minimum Hamming distance over the R+1 sketch families, so a true
+    neighbor only needs to look close under one.  Costs 8·(R+1) bytes/row
+    on the candidate scan instead of 8; the default R=0 keeps the
+    single-sketch shape the x120 oracle replays bit-for-bit.
+
     Output: (query_id, neighbor_id, dot_micro2, rank) — the exact-dot
     contract shared by brute_force_topk / pq_rerank_topk."""
     import numpy as np
     from pyspark.sql import Window
 
     qids = [int(i) for i in query_ids]
-    pack = _SIGN_PACK.format(col="_ev", dims=dims, dmax=dims - 1)
+    n_sk = rotations + 1
+    packs = [_rot_pack("_ev", dims, r) for r in range(n_sk)]
     skd = emb.select(
         F.col(id_col).alias("vid"), quantized(vec_col).alias("_ev")
-    ).select("vid", F.expr(pack).alias("sk"))
+    ).select("vid", F.expr(f"array({', '.join(packs)})").alias("sks"))
 
     q_rows = skd.where(F.col("vid").isin(qids)).collect()
     if len(q_rows) != len(qids):
@@ -2852,7 +2883,7 @@ def binary_ann_topk(
             f"from the corpus (need every query in {id_col})"
         )
     q_ids = np.array([r["vid"] for r in q_rows], dtype=np.int64)
-    q_sk = np.array([r["sk"] for r in q_rows], dtype=np.int64)
+    q_sk = np.array([r["sks"] for r in q_rows], dtype=np.int64)  # (|Q|, n_sk)
     bc = emb.sparkSession.sparkContext.broadcast((q_ids, q_sk))
 
     def ham(batches):
@@ -2863,13 +2894,22 @@ def binary_ann_topk(
             if batch.num_rows == 0:
                 continue
             ids = _i64_arrow(batch.column(0))
-            sk = _i64_arrow(batch.column(1))
-            # xor matrix (n, |Q|) then vectorized popcount via unpackbits
-            x = np.bitwise_xor(sk[:, None], qs[None, :])
+            # fixed-length list<int64> → (n, n_sk) without a Python loop
+            sk = (
+                batch.column(1)
+                .values.to_numpy(zero_copy_only=False)
+                .reshape(len(ids), n_sk)
+            )
+            # xor tensor (n, |Q|, n_sk), vectorized popcount, then the
+            # multi-table OR-amplification: a candidate ranks by its BEST
+            # sketch (min Hamming over rotations) — close pairs only need
+            # to look close under ONE hyperplane family
+            x = np.bitwise_xor(sk[:, None, :], qs[None, :, :])
             h = (
                 np.unpackbits(x.view(np.uint8).reshape(len(ids), -1), axis=1)
-                .reshape(len(ids), len(qi), 8 * x.itemsize)
-                .sum(axis=2)
+                .reshape(len(ids), len(qi), n_sk, 64)
+                .sum(axis=3)
+                .min(axis=2)
                 .astype(np.int64)
             )
             qout, nout, hout = [], [], []

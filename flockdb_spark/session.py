@@ -35,6 +35,15 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE coalesce INSIDE cached plans too (default false pins a
+        # cached subtree's exchanges at spark.sql.shuffle.partitions): the
+        # r9 "in-bench session tax" on x91 was exactly this — its cached
+        # bigram-type table kept 89 shuffle partitions at sf3.0 (3 waves on
+        # 32 threads, steady wall 5.2 s) while AQE coalesced every uncached
+        # stage; with this flag the cached exchange coalesces like the rest
+        # (18 tasks, 2.7 s).  Cost: a cache hit may repartition when reused
+        # under a different requirement — right trade at every SF we run.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         # FAIR scheduling makes the O5 per-class pools REAL: each
         # flock_<class> pool (operators/classes.py) gets an equal share of
         # task slots, so a long copy-class scan cannot head-of-line-block a

@@ -29,25 +29,26 @@ def test_changed_queries_sit_inside_gate_window():
         f"changed-in-round queries outside the driver's {entry.GATE_WINDOW}-"
         f"entry gate window: {missing} — reorder _GATED_GREEN"
     )
-    # and the promised rotation leads the window: r9 gates the now-stalest
-    # blocks first — the 9-entry r5 remainder plus the 31-entry r6-green
-    # block (VERDICT r8 item 2)
+    # and the promised rotation leads the window: r10 gates the now-stalest
+    # block first — the 27-entry r7-green set whose driver rows are 3
+    # rounds old (VERDICT r9 item 1), filled with the oldest r8 rows
     for name in (
-        # r5 remainder (driver rows 4 rounds old at r9)
-        "x80_count_min_sketch", "x81_stream_sketch",
-        "x82_bloom_decontaminate", "x83_hll_registers",
-        "x85_fixed_size_sample", "x86_stream_interval_join",
-        "x89_zorder_key", "x90_token_budget", "x92_last_touch",
-        # r6-green block (3 rounds old)
-        "q06_keyset_pages", "q07_by_destination", "q08_backward",
-        "q09_where_in", "q10_intersection", "q11_union", "q12_difference",
-        "q13_nested", "q15_incl_archived", "q16_state_filters",
-        "q17_oplog_replay", "q18_mass_action", "q19_metadata_merge",
-        "q20_reconcile", "q21_count_estimates", "x01_dedup_exact",
-        "x02_ngram_jaccard", "x17_dedup_resolve", "x03_minhash_lsh",
-        "x04_simhash", "x16_simhash_neardup", "x05_ann_topk",
-        "x35_multiprobe_ann", "x53_lsh_neardup_multitable", "x56_int8_ann",
-        "x69_kmeans_fit", "x77_embedding_outliers", "x47_bigram_surprisal",
-        "x91_kneser_ney", "x93_personalized_pagerank", "x95_collocations",
+        # r7-green block (driver rows 3 rounds old at r10)
+        "q01_point_lookup", "q02_contains", "q03_metadata",
+        "q04_degree_counts", "q14_select_edges", "q23_select2_batch",
+        "q25_ordered_uuid", "x98_semantic_dedup", "x100_quality_classifier",
+        "x102_phrase_match", "x103_heavy_hitters_sketch",
+        "x104_orc_roundtrip", "x105_vocab_drift", "x106_probe_fit",
+        "x107_multi_phrase", "x108_neighborhood_jaccard", "x33_seq_packing",
+        "x87_jsonl_roundtrip", "x88_csv_roundtrip", "x52_lsh_ann_multitable",
+        "x96_salted_join", "x64_label_centroids", "x94_kn_perplexity",
+        "x84_heavy_hitters", "x18_lsh_neardup", "x06_lsh_ann", "x15_ivf_ann",
+        # oldest r8-green fill
+        "x28_train_split", "x29_stratified_sample", "x30_length_quantiles",
+        "x32_repetition", "x34_decontaminate", "x50_pii_redaction",
+        "x51_training_order", "x55_select_top_quality",
+        "x57_fuzzy_decontaminate", "x58_tfidf_top_terms", "x59_inverted_index",
+        "x60_normalize_text", "x61_pair_integrity", "x62_oov_rate",
+        "x63_corpus_diff", "x65_leakage_free_splits",
     ):
         assert name in window
