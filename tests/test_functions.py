@@ -2637,3 +2637,51 @@ def test_binary_ann_full_candidate_budget_equals_brute(spark):
     for c in getattr(gate, "_flockdb_caches", []):
         c.unpersist()
     assert top1 == {q: brute[(q, 1)][0] for q in qids}
+
+
+def test_binary_ann_rotations_amplify(spark):
+    """x120 r10: the rotation sketches must be GENUINELY different
+    hyperplane families — (a) rotations=full-budget still equals brute
+    (min-Hamming over families never drops the exact rerank), (b) the
+    rotated candidate sets at the gate budget recall at least as much of
+    brute top-k as the single sketch (OR-amplification can only widen),
+    and (c) the diagonal packs differ from the identity pack on a vector
+    where axis signs and pair-sum signs diverge."""
+    from flockdb_spark.sources.edges import _read
+
+    emb = _read(spark, "/root/testdata/sf0.001", "embeddings")
+    qids = [0, 1, 2]
+    brute = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.brute_force_topk(emb, qids, k=5).collect()
+    }
+
+    def hits(df):
+        got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in df.collect()}
+        for c in getattr(df, "_flockdb_caches", []):
+            c.unpersist()
+        return got
+
+    assert hits(similarity.binary_ann_topk(emb, qids, k=5, k_cand=10**6, rotations=3)) == brute
+
+    truth = {q: {brute[(q, r)] for r in range(1, 6)} for q in qids}
+    base = hits(similarity.binary_ann_topk(emb, qids, k=5, k_cand=50))
+    rot = hits(similarity.binary_ann_topk(emb, qids, k=5, k_cand=50, rotations=4))
+    n_base = sum(len(truth[q] & {v for (qq, _), v in base.items() if qq == q}) for q in qids)
+    n_rot = sum(len(truth[q] & {v for (qq, _), v in rot.items() if qq == q}) for q in qids)
+    assert n_rot >= n_base
+
+    # (c) identity vs diagonal packs: x = (+1, -1, +1, -1, ...) has identity
+    # sketch 0x5555... while the offset-1 pair sums x_i + x_{i+1} are all 0
+    # (non-negative -> all bits set): the families genuinely differ — a
+    # permuted or sign-flipped "rotation" could never separate these
+    df = spark.createDataFrame(
+        [(0, [1.0, -1.0] * 32)], "vec_id long, embedding array<double>"
+    )
+    sel = df.select(similarity.quantized("embedding").alias("_ev"))
+    row = sel.select(
+        F.expr(similarity._rot_pack("_ev", 64, 0)).alias("id_pack"),
+        F.expr(similarity._rot_pack("_ev", 64, 1)).alias("diag_pack"),
+    ).collect()[0]
+    assert row["id_pack"] != row["diag_pack"]
+    assert row["diag_pack"] == -1  # all 64 bits set (two's complement)
