@@ -478,6 +478,8 @@ def hybrid_rrf_topk(
     text_col: str = "text",
     dense_fn=None,
     dense_brute_max_dots: int = 10**9,
+    n_docs: int | None = None,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """Hybrid retrieval: fuse a DENSE ranking (embedding cosine top-k) with a
     LEXICAL ranking (IDF-weighted term-overlap top-k) by reciprocal-rank
@@ -531,11 +533,13 @@ def hybrid_rrf_topk(
     qids = [int(i) for i in query_ids]
     if dense_fn is None:
         # one metadata-cheap count decides the leg (same rule family as
-        # lsh_auto_shape / heavy_hitters 'auto'); the count is reused by
-        # the ANN branch's auto shape so the selector costs ONE scan job
-        # total, not two (ADVICE r7) — and is session-memoized as catalog
-        # statistics (cached_count, r9)
-        n_vectors = cached_count(emb)
+        # lsh_auto_shape / heavy_hitters 'auto').  Callers that read from
+        # parquet pass ``n_vectors``/``n_docs`` from the FOOTER statistics
+        # (sources.edges.parquet_nrows — the same catalog path DuckDB's
+        # count(*) takes, r10); the Spark count job is only the fallback
+        # for non-parquet inputs, session-memoized as catalog statistics
+        if n_vectors is None:
+            n_vectors = cached_count(emb)
         if n_vectors * max(len(qids), 1) <= dense_brute_max_dots:
             dense_fn = lambda e, q, kk: brute_force_topk(e, q, k=kk)  # noqa: E731
         else:
@@ -564,7 +568,8 @@ def hybrid_rrf_topk(
         .distinct()
         .collect()
     )
-    n_docs = cached_count(docs)
+    if n_docs is None:
+        n_docs = cached_count(docs)
     qterms = docs.sparkSession.createDataFrame(
         [(int(r["query_id"]), r["term"]) for r in qterm_rows],
         "query_id long, term string",

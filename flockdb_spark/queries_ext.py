@@ -21,7 +21,7 @@ from .functions import (
 )
 from . import tsutil
 from .queries import ORACLES, query, store_for
-from .sources.edges import _read, with_fixture_ctes
+from .sources.edges import _read, parquet_nrows, with_fixture_ctes
 from .sources.layout import zorder_key_sql
 
 ANN_QUERY_IDS = [0, 1, 2, 3, 4]
@@ -2680,6 +2680,8 @@ def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
     relevance.hybrid_rrf_sql(ANN_QUERY_IDS, k=10, k_dense=20, k_lex=20),
 )
 def x101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # row counts from the parquet footers (the DuckDB-equivalent catalog
+    # path, r10): the leg selector and the n_docs literal cost zero jobs
     return relevance.hybrid_rrf_topk(
         _read(spark, sf_dir, "documents"),
         _read(spark, sf_dir, "embeddings"),
@@ -2687,6 +2689,8 @@ def x101(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         k_dense=20,
         k_lex=20,
+        n_docs=parquet_nrows(sf_dir, "documents"),
+        n_vectors=parquet_nrows(sf_dir, "embeddings"),
     )
 
 
@@ -2873,6 +2877,7 @@ def x110(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return relevance.hybrid_rrf_topk(
         docs, emb, ANN_QUERY_IDS, k=10, k_dense=20, k_lex=20, dense_fn=dense_fn,
+        n_docs=parquet_nrows(sf_dir, "documents"),
     )
 
 

@@ -69,6 +69,18 @@ def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def parquet_nrows(sf_dir: str, table: str) -> int:
+    """Row count from the parquet FOOTER — the catalog-statistics path
+    (microseconds, zero Spark jobs), exactly how DuckDB answers count(*)
+    over parquet.  Callers that only need |T| of an immutable input (the
+    hybrid dense-leg selector, the lexical n_docs literal) should use this
+    instead of scheduling a count scan per construction; at 100 TB a real
+    catalog serves the same number."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+
+
 def build_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The unified edges DataFrame (all graphs)."""
     orders = _read(spark, sf_dir, "orders")
