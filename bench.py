@@ -133,6 +133,10 @@ BENCH_QUERIES = [
     # (one BIGINT of sign bits per vector, xor+popcount candidates, exact
     # rerank) next to the PQ (x112/x114/x115) and LSH (x35/x109) lines
     "x120_binary_ann",
+    # r10: DSIR importance selection — hashed unigram+bigram bag models
+    # (target vs raw) fit in one constant-size shuffle, per-doc log-ratio
+    # weights via broadcast join, deterministic Gumbel-limit top-k
+    "x121_dsir_selection",
 ]
 
 #: queries whose plan .cache()es a corpus-side index (persist_index=True):
@@ -190,6 +194,11 @@ CONSTRUCT_IN_PASS = {
     # x120's construction collects the query sign-sketches (a corpus-
     # touching scan) — timed in-pass like the other index builders
     "x120_binary_ann",
+    # x121's construction is lazy, but its plan .cache()es the gram
+    # projection across the model-fit and scoring passes — rebuilding (and
+    # unpersisting via _flockdb_caches) each pass keeps passes 2+ from
+    # serving the gram stream cache-warm while DuckDB re-tokenizes
+    "x121_dsir_selection",
     # (x118_ivfpq_trained is NOT listed: it is excluded from BENCH_QUERIES
     # — see the note there — so a CONSTRUCT_IN_PASS entry would be dead)
 }

@@ -1280,6 +1280,166 @@ HAVING count(*) >= (SELECT t FROM thr)
 
 
 # ---------------------------------------------------------------------------
+# DSIR importance resampling (hashed n-gram data selection)
+# ---------------------------------------------------------------------------
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_source: str = "src0",
+    buckets: int = 256,
+    k: int = 100,
+    temperature: float = 0.0,
+    seed: int = 1,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """DSIR-style data selection: score every document by its hashed-n-gram
+    importance weight against a target domain and keep the top ``k``
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling" — the public recipe behind domain-matched pretraining
+    subsets).
+
+    Features are hashed unigrams+bigrams: every token and every adjacent
+    token pair maps to one of ``buckets`` cells via the engine-portable
+    rolling hash, and two bag-of-buckets unigram models are fit in one
+    aggregation — ``p`` over the ``target_source`` slice, ``q`` over the
+    whole corpus — with add-1 smoothing.  A document's weight is the sum of
+    its grams' per-bucket log ratios ``ln(p_b / q_b)``; the ratio is rounded
+    to MICRO units per bucket BEFORE the per-doc sum, so weights are
+    integer-exact and order-independent (the score_micro convention every
+    scored oracle here uses).
+
+    ``temperature=0`` (the gated shape) is the deterministic limit of the
+    paper's Gumbel top-k resample — select the k largest weights outright.
+    ``temperature>0`` adds seeded Gumbel noise ``g = -ln(-ln(u))`` with
+    ``u`` drawn from a per-doc universal-hash scramble (pure column
+    expressions, reproducible across runs and engines) and selects by
+    ``weight/τ + g`` — sampling proportional-to-exp(weight/τ) without
+    replacement, the paper's actual draw.
+
+    Plan shape at 100 TB: gram generation is a map-side generator (no
+    shuffle); the bucket-model aggregation shuffles ≤ buckets·partitions
+    rows after partial agg (CONSTANT-size, never vocabulary-sized — the
+    same reduced-keyspace trick as the CMS pass in :func:`heavy_hitters`);
+    the totals are a broadcast 1-row cross join; the per-bucket log-ratio
+    table is ``buckets`` rows, broadcast into the scoring join so the gram
+    stream never shuffles; the per-doc sum partial-aggregates to doc grain
+    before its one corpus shuffle; the final top-k is
+    TakeOrderedAndProject.  The gram projection is cached across the two
+    passes (model fit + scoring) and the handle rides on the result as
+    ``_flockdb_caches`` — at 100 TB use a disk-backed level or accept the
+    second scan.
+
+    Output: (doc_id, weight_micro), weight DESC, doc_id ASC, ``k`` rows.
+    """
+    w = tokens(text_col)
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = (
+        docs.select(
+            "doc_id",
+            (F.col(source_col) == target_source).alias("_tgt"),
+            F.explode(F.concat(w, pairs)).alias("gram"),
+        )
+        .select(
+            "doc_id",
+            "_tgt",
+            F.pmod(portable_hash("gram"), F.lit(buckets)).cast("int").alias("bucket"),
+        )
+        .cache()
+    )
+    btab = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("qc"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("tc"),
+    )
+    tot = btab.agg(F.sum("tc").alias("tt"), F.sum("qc").alias("qt"))
+    # identical arithmetic text on both engines: one ln over one quotient,
+    # so the only cross-engine divergence is a last-ulp libm difference
+    # swallowed by the micro rounding
+    lr = btab.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("tc") + 1.0) * (F.col("qt") + buckets))
+                / ((F.col("tt") + buckets) * (F.col("qc") + 1.0))
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("lr_micro"),
+    )
+    weights = (
+        feats.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("lr_micro").cast("long").alias("weight_micro"))
+    )
+    if temperature > 0:
+        # seeded Gumbel noise from a per-doc universal-hash scramble:
+        # u ∈ (0,1) strictly, so -ln(-ln(u)) is always finite
+        a, b = PH_BASES[seed % len(PH_BASES)], 7_919 * (seed + 1)
+        u = (
+            F.pmod(F.col("doc_id") * a + b, F.lit(FP_MOD)).cast("double")
+            + 0.5
+        ) / FP_MOD
+        key = F.col("weight_micro") / 1e6 / temperature - F.log(-F.log(u))
+        out = weights.orderBy(F.desc(key), F.asc("doc_id")).limit(k)
+    else:
+        out = weights.orderBy(F.desc("weight_micro"), F.asc("doc_id")).limit(k)
+    out._flockdb_caches = [feats]
+    return out
+
+
+def dsir_importance_sql(
+    target_source: str = "src0",
+    buckets: int = 256,
+    k: int = 100,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`dsir_importance` at temperature 0."""
+    w = "string_split(text, ' ')"
+    pairs = (
+        f"list_transform(range(1, greatest(length({w}), 1)), "
+        f"i -> concat_ws(chr(32), {w}[i], {w}[i+1]))"
+    )
+    return f"""
+WITH grams AS (
+  SELECT doc_id, source = '{target_source}' AS tgt,
+         unnest(list_concat({w}, {pairs})) AS gram
+  FROM {table}
+),
+feats AS (
+  SELECT doc_id, tgt, {portable_hash_sql('gram')} % {buckets} AS bucket
+  FROM grams
+),
+btab AS (
+  SELECT bucket, count(*) AS qc,
+         sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tc
+  FROM feats GROUP BY bucket
+),
+tot AS (SELECT sum(tc) AS tt, sum(qc) AS qt FROM btab),
+lr AS (
+  SELECT bucket,
+         CAST(round(ln(((tc + 1.0) * (qt + {buckets}))
+                       / ((tt + {buckets}) * (qc + 1.0))) * 1000000) AS BIGINT)
+           AS lr_micro
+  FROM btab, tot
+)
+SELECT doc_id, CAST(sum(lr_micro) AS BIGINT) AS weight_micro
+FROM feats JOIN lr USING (bucket)
+GROUP BY doc_id
+ORDER BY weight_micro DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
 # Kneser-Ney bigram model counts (LM estimation over the corpus)
 # ---------------------------------------------------------------------------
 

@@ -3103,3 +3103,21 @@ def x120(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.binary_ann_topk(
         _read(spark, sf_dir, "embeddings"), ANN_QUERY_IDS, k=10, k_cand=100
     )
+
+
+# ---------------------------------------------------------------------------
+# x121 — DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
+# bag models for the target domain vs the raw corpus, per-doc log-ratio
+# weights (micro-integer, order-independent), deterministic Gumbel-limit
+# top-k.  The model-fit shuffle is CONSTANT-size (≤ buckets cells after
+# partial agg) and scoring is a broadcast join — the corpus never shuffles
+# at gram grain, the shape that matters when the raw pool is 100 TB and the
+# target slice is a few GB.
+# ---------------------------------------------------------------------------
+
+
+@query("x121_dsir_selection", text.dsir_importance_sql(buckets=256, k=100))
+def x121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.dsir_importance(
+        _read(spark, sf_dir, "documents"), buckets=256, k=100
+    )

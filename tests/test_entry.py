@@ -49,6 +49,10 @@ def test_changed_queries_sit_inside_gate_window():
         "x51_training_order", "x55_select_top_quality",
         "x57_fuzzy_decontaminate", "x58_tfidf_top_terms", "x59_inverted_index",
         "x60_normalize_text", "x61_pair_integrity", "x62_oov_rate",
-        "x63_corpus_diff", "x65_leakage_free_splits",
+        "x63_corpus_diff",
+        # x65_leakage_free_splits was the 50th slot until the new-in-r10
+        # x121 (ungated → sorts first) displaced it; x65's last driver row
+        # (r8) stays the freshest of the displaced fill block
+        "x121_dsir_selection",
     ):
         assert name in window

@@ -1362,6 +1362,58 @@ def test_cms_estimate_never_underestimates(spark):
         assert min(ests) >= truth[row["word"]]
 
 
+def _dsir_corpus(spark):
+    # 5 target docs in the alpha/beta/gamma vocabulary; 5 raw docs in a
+    # disjoint xx/yy/zz vocabulary; one RAW doc written in the TARGET
+    # vocabulary — the doc DSIR exists to find
+    rows = (
+        [(i, "alpha beta gamma alpha beta", "tgt") for i in range(5)]
+        + [(10 + i, "xx yy zz xx yy", "other") for i in range(5)]
+        + [(99, "alpha beta gamma gamma beta", "other")]
+    )
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_dsir_selects_target_like_docs(spark):
+    df = _dsir_corpus(spark)
+    out = text.dsir_importance(df, target_source="tgt", buckets=64, k=6)
+    got = {r["doc_id"]: r["weight_micro"] for r in out.collect()}
+    # the 6 selected docs are exactly the 6 written in the target
+    # vocabulary — including the raw doc 99 the method is meant to surface
+    assert set(got) == {0, 1, 2, 3, 4, 99}
+    # in-domain docs score strictly above every off-domain doc
+    all_w = {
+        r["doc_id"]: r["weight_micro"]
+        for r in text.dsir_importance(df, target_source="tgt", buckets=64, k=100).collect()
+    }
+    assert min(got.values()) > max(all_w[d] for d in all_w if d not in got)
+    # off-domain grams are rarer in target than raw -> negative log ratios
+    assert all(all_w[d] < 0 for d in (10, 11, 12, 13, 14))
+    # cache-handle convention: the gram projection rides on the result
+    assert out._flockdb_caches[0].columns == ["doc_id", "_tgt", "bucket"]
+
+
+def test_dsir_gumbel_resample_reproducible(spark):
+    df = _dsir_corpus(spark)
+    sel = lambda tau, seed: [  # noqa: E731
+        r["doc_id"]
+        for r in text.dsir_importance(
+            df, target_source="tgt", buckets=64, k=6,
+            temperature=tau, seed=seed,
+        ).collect()
+    ]
+    # same seed -> bit-identical draw; tau->0+ recovers the deterministic
+    # top-k set (noise magnitude ~1 vs weight gaps scaled by 1/tau)
+    assert sel(1e-6, seed=1) == sel(1e-6, seed=1)
+    assert set(sel(1e-6, seed=1)) == {0, 1, 2, 3, 4, 99}
+    # huge tau -> noise dominates: still k rows, reproducible per seed,
+    # and at least one seed reorders relative to the deterministic draw
+    draws = {s: tuple(sel(1e9, seed=s)) for s in range(4)}
+    assert all(len(set(d)) == 6 for d in draws.values())
+    assert any(set(d) != {0, 1, 2, 3, 4, 99} or list(d) != sel(0, 1)
+               for d in draws.values())
+
+
 def test_fixed_size_sample_exact_k_and_deterministic(spark):
     from flockdb_spark.functions import splits
 
