@@ -65,6 +65,25 @@ def get_spark(
         # exactly what a deployment runs.
         .config("spark.sql.codegen.cache.maxEntries", "2000")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver JVM IS the executor — size its heap for the
+        # THREAD COUNT, not for a driver's coordination role.  The old 8g
+        # default gave 32 task threads ~250 MB each; at sf3+ the tail of a
+        # multi-query session ran under continuous GC (r10 measured x111
+        # 14.9 s in-bench vs 0.7 s with a 32g heap — same plan, pure GC
+        # tax; early-pass queries were unaffected, late-pass inflated
+        # 1.5-4x).  32g is max-heap (committed lazily), ~1 GB/thread — the
+        # low end of what any production executor gets per core.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # ...and a big heap starves the ContextCleaner: shuffle-file /
+        # broadcast cleanup is driven by WEAK REFERENCES, so it only runs
+        # after an old-gen GC — which a 32g heap under a multi-query
+        # session may not see for tens of minutes (Spark's own backstop,
+        # spark.cleaner.periodicGC.interval, defaults to 30min).  r10
+        # measured the backlog directly: consecutive sf3.0 LSH index
+        # builds degraded 20 s -> 31 s -> 37 s as dead shuffle files
+        # accumulated, and recovered to flat ~11-16 s with a forced GC
+        # between runs.  2min keeps cleanup ahead of any query sequence —
+        # the same interval a long-lived production driver wants.
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     return builder.getOrCreate()
