@@ -280,8 +280,15 @@ def main() -> None:
         for name in BENCH_QUERIES:
             if name in INDEX_PERSISTED:
                 # cold by construction: drop the persisted index so this
-                # pass pays the full build, like the DuckDB baseline does
+                # pass pays the full build, like the DuckDB baseline does.
+                # The GC is the mid-pass twin of the pass-boundary one
+                # (also OUTSIDE the timed section): the index builds are
+                # the pass's biggest shuffle producers, and their freshly
+                # dead shuffle state otherwise lands on whatever query
+                # follows them (r10 measured x25, three slots later, at
+                # 11.6 s in-bench vs 1.0 s isolated at sf1.0)
                 spark.catalog.clearCache()
+                spark._jvm.System.gc()
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR) if name in CONSTRUCT_IN_PASS else dfs[name]
             df.write.format("noop").mode("overwrite").save()
