@@ -1505,15 +1505,25 @@ def _bigram_type_counts(docs: DataFrame, text_col: str) -> DataFrame:
 
 
 def _kn_from_c12(c12: DataFrame) -> DataFrame:
-    c1 = c12.groupBy("w1").agg(
-        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n_follow")
-    )
-    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n_precede"))
+    # The left marginal (c1, n_follow) and the continuation marginal
+    # (n_precede) are WINDOW aggregates over the type table, not separate
+    # groupBy tables joined back: each marginal then costs exactly one
+    # exchange of the vocabulary-grain c12 (partition by the key, whole-
+    # partition frame) instead of an aggregation shuffle PLUS a join
+    # shuffle of c12 on the same key.  Net: 4 exchanges -> 2 after the
+    # type-count shuffle (VERDICT r10 item 1 — the 3-way vocab join was
+    # the only algorithmic >2x survivor at sf3.0).  T stays a 1-row
+    # broadcast.  Arithmetic identical (pinned floor-division order).
+    from pyspark.sql.window import Window
+
+    w1w = Window.partitionBy("w1")
+    w2w = Window.partitionBy("w2")
     tt = c12.agg(F.count(F.lit(1)).alias("tt"))
     dn, dd = KN_DISCOUNT_NUM, KN_DISCOUNT_DEN
     return (
-        c12.join(c1, "w1")
-        .join(cont, "w2")
+        c12.withColumn("c1", F.sum("c").over(w1w))
+        .withColumn("n_follow", F.count(F.lit(1)).over(w1w))
+        .withColumn("n_precede", F.count(F.lit(1)).over(w2w))
         .join(F.broadcast(tt))
         .select(
             "w1",

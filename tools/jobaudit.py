@@ -47,6 +47,13 @@ def main() -> None:
         for attempt in range(3):
             if name in INDEX_PERSISTED:
                 spark.catalog.clearCache()
+            # attempt-boundary hygiene, same as bench.py's pass boundary:
+            # force a full GC OUTSIDE the timed section so ContextCleaner's
+            # weak-ref shuffle/broadcast cleanup from the previous attempt
+            # cannot bleed into this attempt's wall (r11: an sf3.0 x91 probe
+            # without this degraded 9s -> 28s -> 67s across attempts from
+            # carried shuffle state, not the plan)
+            spark._jvm.System.gc()
             # unique per-attempt group: attempts share nothing, so each
             # attempt's job/stage/task counts are exact, not cumulative
             # (earlier revisions read the default group for before_jobs,
