@@ -20,11 +20,22 @@ from .schema import EDGE_COLUMNS
 from .sources.edges import build_edges, build_metadata
 
 
+#: bucket count for the UNIQUE-index twin layout (write_unique_twin); pinned
+#: because a bucketed table's spec must match its files across sessions — a
+#: cluster deployment re-writes the twin with a bucket count sized to its
+#: executor fleet (thousands), the fixture store uses a small fixed one
+UNIQUE_TWIN_BUCKETS = 8
+
+
 @dataclass
 class EdgeStore:
     spark: SparkSession
     edges: DataFrame
     metadata: DataFrame
+    #: optional UNIQUE (source_id, destination_id) index twin — a bucketed,
+    #: dest-sorted layout of the same rows (write_unique_twin); None when the
+    #: store was not materialized through the persisted layout
+    by_src_dst: DataFrame | None = None
 
     @classmethod
     def from_sf_dir(cls, spark: SparkSession, sf_dir: str, cache: bool = False) -> "EdgeStore":
@@ -102,6 +113,33 @@ class EdgeStore:
                 .partitionBy("graph_id")
                 .parquet(path)
             )
+
+    def write_unique_twin(self, path: str, table: str) -> None:
+        """The UNIQUE ``(source_id, destination_id)`` index analogue — the
+        reference's second per-edge index, which it forces for dest-ordered
+        scans (``shards/SqlShard.scala:64-67,240-244``).  Written as a Spark
+        BUCKETED table (hash(source_id) buckets, files sorted by
+        (source_id, destination_id)): a bucketed scan reports
+        hash(source_id) output partitioning, so per-source windows/joins on
+        source_id plan with ZERO exchanges — the dest-order rank (q07/R7)
+        becomes scan → filter → in-partition sort → window.
+
+        ``table`` is a scratch catalog name used for the bucketed write
+        (Spark only writes bucket-tagged files through saveAsTable); it is
+        dropped immediately — readers re-register the files as an external
+        bucketed table at their own name (queries.register_unique_twin)."""
+        (
+            self.edges.repartition(UNIQUE_TWIN_BUCKETS, "source_id")
+            .sortWithinPartitions("source_id", "destination_id")
+            .select(*EDGE_COLUMNS)
+            .write.mode("overwrite")
+            .bucketBy(UNIQUE_TWIN_BUCKETS, "source_id")
+            .sortBy("source_id", "destination_id")
+            .option("path", path)
+            .saveAsTable(table)
+        )
+        # external table (explicit path): DROP unregisters, files stay
+        self.spark.sql(f"DROP TABLE IF EXISTS {table}")
 
     def write_backward_twin(self, path: str) -> None:
         """The optional performance twin for backward-heavy workloads

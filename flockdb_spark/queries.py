@@ -67,7 +67,8 @@ def query(name: str, oracle: str | None = None):
 #: bump when the store derivation (sources/edges.py build_edges /
 #: build_metadata) or the persisted layout shape changes — the cache tag
 #: includes it, so stale layouts from older code are never read
-_LAYOUT_VERSION = 1
+#: (v2: added the UNIQUE (source_id, destination_id) bucketed index twin)
+_LAYOUT_VERSION = 2
 
 
 def _store_cache_dir(sf_dir: str) -> Path:
@@ -79,6 +80,26 @@ def _store_cache_dir(sf_dir: str) -> Path:
     key = f"{Path(sf_dir).resolve()}|v{_LAYOUT_VERSION}"
     tag = hashlib.sha1(key.encode()).hexdigest()[:8]
     return Path(root) / f"{Path(sf_dir).name}-{tag}"
+
+
+def register_unique_twin(spark: SparkSession, path: str, name: str) -> DataFrame:
+    """(Re-)register the UNIQUE-index twin files at ``path`` as an external
+    BUCKETED table — bucket metadata lives in the catalog, not the files, and
+    the default catalog is session-scoped, so every fresh session re-creates
+    the entry (the spec must match what ``EdgeStore.write_unique_twin``
+    wrote: hash(source_id) into UNIQUE_TWIN_BUCKETS, dest-sorted files)."""
+    from .graph import UNIQUE_TWIN_BUCKETS
+
+    if not spark.catalog.tableExists(name):
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in EDGE_SCHEMA.fields
+        )
+        spark.sql(
+            f"CREATE TABLE {name} ({cols}) USING PARQUET"
+            f" CLUSTERED BY (source_id) SORTED BY (source_id, destination_id)"
+            f" INTO {UNIQUE_TWIN_BUCKETS} BUCKETS LOCATION '{path}'"
+        )
+    return spark.table(name)
 
 
 def store_for(spark: SparkSession, sf_dir: str) -> EdgeStore:
@@ -104,6 +125,7 @@ def store_for(spark: SparkSession, sf_dir: str) -> EdgeStore:
     if st is None:
         base = _store_cache_dir(sf_dir)
         epath, mpath = base / "edges", base / "metadata"
+        upath = base / "edges_by_src_dst"
         if not ((epath / "_SUCCESS").exists() and (mpath / "_SUCCESS").exists()):
             # build into a scratch dir, then one atomic rename publishes both
             # tables — a concurrent builder loses the rename and reads the
@@ -112,6 +134,12 @@ def store_for(spark: SparkSession, sf_dir: str) -> EdgeStore:
             built = EdgeStore.from_sf_dir(spark, sf_dir)
             built.edges = built.edges.localCheckpoint(eager=True)
             built.write_optimized(str(tmp / "edges"))
+            # the second reference index: UNIQUE (source_id, destination_id)
+            # (SqlShard.scala:64-67) — bucketed twin for dest-ordered scans
+            built.write_unique_twin(
+                str(tmp / "edges_by_src_dst"),
+                table=f"edges_twin_build_{os.getpid()}",
+            )
             (
                 build_metadata(spark, sf_dir, built.edges)
                 .repartitionByRange("graph_id", "source_id")
@@ -129,6 +157,11 @@ def store_for(spark: SparkSession, sf_dir: str) -> EdgeStore:
                 shutil.rmtree(tmp, ignore_errors=True)  # lost the race
         st = EdgeStore.read_optimized(spark, str(epath))
         st.metadata = spark.read.parquet(str(mpath)).select(*METADATA_COLUMNS)
+        if (upath / "_SUCCESS").exists():
+            import re
+
+            tname = "edges_by_src_dst_" + re.sub(r"[^0-9A-Za-z]", "_", base.name)
+            st.by_src_dst = register_unique_twin(spark, str(upath), tname)
         _STORES[sf_dir] = st
     return st
 
@@ -373,18 +406,29 @@ WHERE graph_id = 1 AND state = 0 AND source_id IN (SELECT source_id FROM src10)
 """),
 )
 def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source dest-ordered rank.  The rank window repartitions only the
-    POST-semi-join rows (10 vertices' adjacency) — job floor, not data: q07
-    walls equal q05's at every SF (0.258 vs 0.247 s at sf3.0).  On the
-    bucketed layout the exchange disappears entirely
-    (test_plans.py::test_bucketed_layout_joins_without_exchange_on_edge_side,
-    PLANS.md "known job-floor residuals")."""
+    """Per-source dest-ordered rank, served from the UNIQUE
+    (source_id, destination_id) index twin — the same index the reference
+    FORCES for dest-ordered scans (``shards/SqlShard.scala:240-244``
+    ``USE INDEX (unique_source_id_destination_id)``).  The bucketed twin's
+    scan reports hash(source_id) partitioning, the broadcast semi-join
+    preserves it, and the rank window plans with ZERO exchanges:
+    scan → filter → in-partition sort → window (r10 plan paid an exchange
+    of the post-join rows).  The 10-source probe follows R9's inline-≤64
+    rule (operators/algebra.py): an IN literal, not a broadcast join —
+    it pushes to the parquet scan, prunes buckets, and drops the broadcast
+    job from the floor.  Falls back to the primary layout when the store
+    has no twin (ad-hoc EdgeStore.from_edges callers)."""
     st = store_for(spark, sf_dir)
+    base = (
+        st.by_src_dst.where(F.col("graph_id") == 1)
+        if st.by_src_dst is not None
+        else st.graph(1)
+    )
+    src10 = [int(i) for i in params_for(spark, sf_dir)["src10"]]
     w = Window.partitionBy("source_id").orderBy(F.desc("destination_id"))
     return (
-        st.graph(1)
-        .where(F.col("state") == 0)
-        .join(F.broadcast(_src10_df(spark, sf_dir)), "source_id", "left_semi")
+        base.where(F.col("state") == 0)
+        .where(F.col("source_id").isin(src10))
         .select(
             "source_id",
             "destination_id",
