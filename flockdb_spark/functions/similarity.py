@@ -378,6 +378,7 @@ def _np_sign(
     out_id: str,
     out_vec: str,
     carry_packed_buckets: bool = False,
+    table_offset: int = 0,
 ) -> DataFrame:
     """(out_id, out_vec quantized, tbl, bucket) for every (row, table) — the
     Arrow/numpy twin of signing via ``hyperplane_signature`` column
@@ -408,8 +409,15 @@ def _np_sign(
     if carry_packed_buckets and planes * n_tables > 64:
         raise ValueError("packed buckets need planes * n_tables <= 64")
     spark = emb.sparkSession
+    # table_offset shifts only the SEED (global table index): pass p of a
+    # multi-pass run signs with tables [p·L, (p+1)·L) of the uncapped run;
+    # the emitted local `tbl` column stays [0, L) so per-pass bucket
+    # grouping and first-collision masks are unchanged
     hs = np.stack(
-        [hyperplane_matrix(spark, dims, planes, hash_mode, t) for t in range(n_tables)]
+        [
+            hyperplane_matrix(spark, dims, planes, hash_mode, t + table_offset)
+            for t in range(n_tables)
+        ]
     )
     pow2 = (1 << np.arange(planes)).astype(np.int64)
     bc = spark.sparkContext.broadcast(hs)
@@ -530,25 +538,38 @@ def lsh_auto_shape_sql(
     bucket_budget: int = 512,
     min_planes: int = 4,
     max_tables: int = 32,
+    max_passes: int = 4,
 ) -> str:
     """DuckDB twin of :func:`lsh_auto_shape`, as a one-row SELECT body
-    (columns: planes, n_tables) for a WITH clause — the x109 oracle
-    computes the shape from the corpus count INSIDE the query, so the same
-    SQL string stays valid at every scale factor.  The planes rule is pure
-    integer (smallest k with budget<<k ≥ n); the tables rule mirrors
-    :func:`lsh_tables_for` including the round-to-6-decimals guard."""
+    (columns: planes, n_tables, n_passes, n_tables_eff) for a WITH clause —
+    the x109 oracle computes the shape from the corpus count INSIDE the
+    query, so the same SQL string stays valid at every scale factor.  The
+    planes rule is pure integer (smallest k with budget<<k ≥ n); the tables
+    rule mirrors :func:`lsh_tables_for` including the round-to-6-decimals
+    guard; the pass rule is the integer ceil-div of the uncapped L
+    mirroring the recovery in :func:`lsh_auto_shape`."""
     return f"""
-  SELECT planes,
-         greatest(1, least({max_tables}, CAST(ceil(round(
-           ln(1 - {target_recall}) /
-           ln(1 - power(1 - acos({threshold}) / pi(), planes)), 6)) AS BIGINT))) AS n_tables
+  SELECT planes, least(l_unc, {max_tables}) AS n_tables,
+         CASE WHEN l_unc > {max_tables}
+              THEN least({max_passes}, (l_unc + {max_tables} - 1) // {max_tables})
+              ELSE 1 END AS n_passes,
+         least(l_unc, {max_tables}) *
+         CASE WHEN l_unc > {max_tables}
+              THEN least({max_passes}, (l_unc + {max_tables} - 1) // {max_tables})
+              ELSE 1 END AS n_tables_eff
   FROM (
-    -- COALESCE mirrors the Python fallback k=30 when no k in [0,31) fits
-    -- (count > budget<<30 — ~5e11 vectors; parity guard, ADVICE r7)
-    SELECT greatest({min_planes}, COALESCE((
-      SELECT min(k) FROM range(0, 31) r(k)
-      WHERE ({bucket_budget} << k) >= (SELECT count(*) FROM {corpus_sql})
-    ), 30)) AS planes
+    SELECT planes,
+           greatest(1, CAST(ceil(round(
+             ln(1 - {target_recall}) /
+             ln(1 - power(1 - acos({threshold}) / pi(), planes)), 6)) AS BIGINT)) AS l_unc
+    FROM (
+      -- COALESCE mirrors the Python fallback k=30 when no k in [0,31) fits
+      -- (count > budget<<30 — ~5e11 vectors; parity guard, ADVICE r7)
+      SELECT greatest({min_planes}, COALESCE((
+        SELECT min(k) FROM range(0, 31) r(k)
+        WHERE ({bucket_budget} << k) >= (SELECT count(*) FROM {corpus_sql})
+      ), 30)) AS planes
+    )
   )
 """
 
@@ -582,6 +603,7 @@ def lsh_auto_shape(
     bucket_budget: int = 512,
     min_planes: int = 2,
     max_tables: int = 32,
+    max_passes: int = 4,
 ) -> dict:
     """RECALL.md's tuning rule as code — size (planes, n_tables) for a
     corpus of ``n_vectors``.  As of r7 this IS the default for
@@ -605,34 +627,56 @@ def lsh_auto_shape(
     ``{"planes": ..., "n_tables": ...}`` (usable as kwargs for both
     ``lsh_neardup_pairs`` and ``lsh_ann_topk``).
 
-    When the ``max_tables`` cap binds hard enough that the MODELED
-    at-threshold recall (:func:`lsh_modeled_recall`) lands below
-    ``target_recall``, a ``LshRecallWarning`` fires naming both numbers
-    and the escape hatches — the trade must never be silent for a
-    100 TB caller (VERDICT r7; RECALL.md measured 0.53 at sf10)."""
+    When the ``max_tables`` cap binds, the shape RECOVERS the target by
+    adding PASSES (r11, VERDICT r10 item 3): ``n_passes`` extra rounds of
+    ``n_tables`` fresh-seeded tables each (global table index
+    ``pass·L + t``, so pass p is exactly tables [p·L, (p+1)·L) of the
+    uncapped run).  ``lsh_neardup_pairs`` executes the passes as separate
+    chunked jobs and dedups pairs across them — equivalent output to one
+    uncapped run, but peak per-job shuffle stays bounded at n·max_tables
+    key rows, which is the point of the cap.  Total cost is linear in
+    n_passes and VISIBLE in the returned shape — never a silent trade.
+
+    ``max_passes`` bounds the recovery spend.  When even
+    ``max_tables·max_passes`` effective tables leave the MODELED
+    at-threshold recall (:func:`lsh_modeled_recall`) below
+    ``target_recall``, the ``LshRecallWarning`` fires naming both numbers
+    and the escape hatches (VERDICT r7; RECALL.md measured 0.53 at sf10).
+    That regime is intrinsic, not an implementation gap: hyperplane LSH
+    needs L ≈ ln(1/(1−target))/p tables, and at a loose threshold like
+    cos 0.45 (ρ = ln p₁/ln p₂ ≈ 0.62; Andoni & Indyk, CACM 2008) the
+    required L at n=50M is ~4700 — recoverable for near-dup thresholds
+    (cos ≥ ~0.8: ≤5 passes), loud for topical-similarity ones."""
     import warnings
 
     n = max(int(n_vectors), 1)
     k = next((k for k in range(0, 31) if (bucket_budget << k) >= n), 30)
     planes = max(min_planes, k)
-    n_tables = lsh_tables_for(planes, threshold, target_recall, max_tables)
-    modeled = lsh_modeled_recall(planes, n_tables, threshold)
+    l_unc = lsh_tables_for(planes, threshold, target_recall, 1 << 30)
+    n_tables = min(l_unc, max_tables)
+    n_passes = (
+        min(max_passes, (l_unc + max_tables - 1) // max_tables)
+        if l_unc > max_tables
+        else 1
+    )
+    modeled = lsh_modeled_recall(planes, n_tables * n_passes, threshold)
     # strict tolerance band: the ceil in lsh_tables_for guarantees modeled
-    # ≥ target whenever the cap does NOT bind, so any shortfall is the cap
+    # ≥ target whenever the caps do NOT bind, so any shortfall is the caps
     if modeled < target_recall - 1e-9:
         warnings.warn(
-            f"LSH auto shape for n={n}: the max_tables={max_tables} cap binds "
-            f"(planes={planes} would need "
-            f"{lsh_tables_for(planes, threshold, target_recall, 1 << 30)} tables); "
-            f"modeled at-threshold recall {modeled:.3f} < target {target_recall}. "
-            f"Above-threshold pairs keep near-full recall (p grows steeply with "
-            f"cosine). To recover at-threshold recall: raise max_tables, raise "
-            f"bucket_budget (fewer planes), or run a second pass on survivors — "
+            f"LSH auto shape for n={n}: the max_tables={max_tables} × "
+            f"max_passes={max_passes} budget binds (planes={planes} would "
+            f"need {l_unc} tables); modeled at-threshold recall "
+            f"{modeled:.3f} < target {target_recall} even after "
+            f"{n_passes}-pass recovery. Above-threshold pairs keep "
+            f"near-full recall (p grows steeply with cosine). To recover "
+            f"at-threshold recall: raise max_passes/max_tables, raise "
+            f"bucket_budget (fewer planes), or raise the threshold — "
             f"see RECALL.md.",
             LshRecallWarning,
             stacklevel=3,
         )
-    return {"planes": planes, "n_tables": n_tables}
+    return {"planes": planes, "n_tables": n_tables, "n_passes": n_passes}
 
 
 def lsh_neardup_pairs(
@@ -646,6 +690,7 @@ def lsh_neardup_pairs(
     n_tables: int | None = None,
     persist_index: bool = False,
     n_vectors: int | None = None,
+    n_passes: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs beyond broadcastable corpus sizes: candidates
     = same random-hyperplane bucket (high-cosine pairs land together with
@@ -669,33 +714,33 @@ def lsh_neardup_pairs(
     work ~n·budget·L instead of the n²/2^planes a fixed shape degrades to
     (the r6 SCALE.md sf10 finding).  Pass explicit values to pin a shape
     (cheaper low-L variants stay gated by x53).
+
+    When the auto shape's table cap binds, ``n_passes`` > 1 recovers the
+    recall target (r11): pass p re-signs with tables [p·L, (p+1)·L) of
+    the uncapped run (fresh seeds — the global-table-index scheme) as its
+    OWN bucket-join job, and pairs are deduped across passes.  The output
+    set is identical to one run with n_passes·L tables; the chunking
+    bounds peak per-job shuffle at n·L key rows instead of n·L_uncapped
+    (x122 gates the equivalence: 2 passes of 8 ≡ the pinned 16-table x18
+    shape).  Cost is linear in n_passes and declared in the auto shape.
     Output: (a, b, dot_micro2) with a < b, dot ≥ threshold."""
     if planes is None:
         # n_vectors lets a caller that already counted skip the count job
-        planes = lsh_auto_shape(
+        shape = lsh_auto_shape(
             emb.count() if n_vectors is None else n_vectors,
             threshold=threshold, target_recall=0.95,
             bucket_budget=512, min_planes=4, max_tables=32,
-        )["planes"]
+        )
+        planes = shape["planes"]
+        if n_tables is None:
+            n_tables = shape["n_tables"]
+        if n_passes is None:
+            n_passes = shape["n_passes"]
     if n_tables is None:
         # derive L from the planes actually in effect (the caller may have
         # pinned planes while leaving tables to the recall rule)
         n_tables = lsh_tables_for(planes, threshold, 0.95, 32)
-    # corpus signing is the vectorized numpy path (read once, no cache);
-    # planes=0 keeps the degenerate one-bucket column expression
-    if planes == 0:
-        sig = emb.select(
-            F.col(id_col).alias("_id"), quantized(vec_col).alias("_v")
-        ).select(
-            "_id", "_v", F.lit(0).alias("tbl"), F.lit(0).cast("long").alias("bucket")
-        )
-    else:
-        sig = _np_sign(
-            emb, id_col, vec_col, dims, planes, hash_mode, n_tables, "_id", "_v",
-            carry_packed_buckets=n_tables > 1 and planes * n_tables <= 64,
-        )
-    if persist_index:
-        sig = sig.cache()  # the signed corpus is the index (see lsh_ann_topk)
+    n_passes = 1 if n_passes is None else max(int(n_passes), 1)
     thresh = int(threshold * MICRO * MICRO)
 
     # Candidate scoring is a per-bucket numpy int64 GEMM (applyInArrow):
@@ -753,14 +798,40 @@ def lsh_neardup_pairs(
             {"a": cat(chunks_a), "b": cat(chunks_b), "dot_micro2": cat(chunks_d)}
         )
 
-    out = sig.groupBy("tbl", "bucket").applyInArrow(
-        score_bucket, "a long, b long, dot_micro2 long"
-    )
+    # corpus signing is the vectorized numpy path (read once, no cache);
+    # planes=0 keeps the degenerate one-bucket column expression
+    def one_pass(table_offset: int) -> DataFrame:
+        if planes == 0:
+            sig = emb.select(
+                F.col(id_col).alias("_id"), quantized(vec_col).alias("_v")
+            ).select(
+                "_id", "_v",
+                F.lit(0).alias("tbl"), F.lit(0).cast("long").alias("bucket"),
+            )
+        else:
+            sig = _np_sign(
+                emb, id_col, vec_col, dims, planes, hash_mode, n_tables,
+                "_id", "_v",
+                carry_packed_buckets=n_tables > 1 and planes * n_tables <= 64,
+                table_offset=table_offset,
+            )
+        if persist_index:
+            # the signed corpus is the index (see lsh_ann_topk)
+            sig = sig.cache()
+        return sig.groupBy("tbl", "bucket").applyInArrow(
+            score_bucket, "a long, b long, dot_micro2 long"
+        )
+
+    out = one_pass(0)
+    for p in range(1, n_passes):
+        out = out.unionByName(one_pass(p * n_tables))
     # single-table: each id carries exactly ONE bucket per table, so a pair
     # meets in one (tbl, bucket).  Multi-table with packed buckets:
-    # first-collision emission makes each pair globally unique.  Only the
-    # unpackable shapes (planes·n_tables > 64) still need the dedup pass.
-    if n_tables > 1 and planes * n_tables > 64:
+    # first-collision emission makes each pair globally unique WITHIN a
+    # pass.  The unpackable shapes (planes·n_tables > 64) and multi-pass
+    # runs (a pair can collide in several passes) need the dedup pass —
+    # dot_micro2 is pair-determined, so any survivor row is the right one.
+    if (n_tables > 1 and planes * n_tables > 64) or n_passes > 1:
         out = out.dropDuplicates(["a", "b"])
     return out
 
@@ -1273,6 +1344,7 @@ def lsh_ann_topk(
     n_tables: int | None = None,
     persist_index: bool = False,
     n_vectors: int | None = None,
+    n_passes: int | None = None,
 ) -> DataFrame:
     """Bucketed ANN: exact ranking restricted to the query's LSH bucket(s).
 
@@ -1303,17 +1375,26 @@ def lsh_ann_topk(
 
     if planes is None:
         # callers that already counted the corpus (e.g. hybrid_rrf_topk's
-        # leg selector) pass n_vectors so the auto shape costs zero jobs here
+        # leg selector) pass n_vectors so the auto shape costs zero jobs
+        # here.  max_passes=1: top-k does NOT run the multi-pass recovery
+        # itself (see below), so the warning must model what actually runs
         planes = lsh_auto_shape(
             emb.count() if n_vectors is None else n_vectors,
             target_recall=0.95, bucket_budget=512,
-            min_planes=4, max_tables=16,
+            min_planes=4, max_tables=16, max_passes=1,
         )["planes"]
     if n_tables is None:
         import math
 
         l_pairs = lsh_tables_for(planes, 0.45, 0.95, max_tables=1 << 30)
         n_tables = max(1, min(16, math.ceil(2 * l_pairs / max(n_probe, 1))))
+    if n_passes is not None and n_passes > 1:
+        # shape-dict compatibility with lsh_neardup_pairs' recovery: for
+        # top-k the candidate volume is QUERY-bounded (|Q|·n_probe·budget
+        # per table), so extra passes fold into one signing job as extra
+        # tables — same seeds (global table index), same output as a
+        # chunked run, no peak-shuffle concern to chunk around
+        n_tables = n_tables * int(n_passes)
 
     # corpus signing: vectorized numpy GEMM path (the query side below stays
     # in column expressions — it is broadcast-tiny and needs the per-plane

@@ -2825,7 +2825,7 @@ sig AS (
          {similarity.lsh_bucket_dyn_sql("ev", 64)} AS bucket
   FROM v
   CROSS JOIN shape
-  CROSS JOIN (SELECT unnest(range(0, (SELECT n_tables FROM shape))) AS t)
+  CROSS JOIN (SELECT unnest(range(0, (SELECT n_tables_eff FROM shape))) AS t)
 )
 SELECT DISTINCT a.vec_id AS a, b.vec_id AS b,
        CAST(list_dot_product(a.ev, b.ev) AS BIGINT) AS dot_micro2
@@ -3120,4 +3120,36 @@ def x120(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x121(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.dsir_importance(
         _read(spark, sf_dir, "documents"), buckets=256, k=100
+    )
+
+
+# ---------------------------------------------------------------------------
+# x122 — multi-pass LSH recall recovery (VERDICT r10 item 3): when the
+# table cap binds, `lsh_neardup_pairs` recovers the recall target by
+# running extra PASSES of fresh-seeded tables (global table index
+# pass·L + t) and deduping pairs across them — output-equivalent to one
+# uncapped run, with peak per-job shuffle bounded at n·L key rows.  This
+# gate pins the equivalence at a shape small enough for every sweep SF:
+# 2 passes of 8 tables must equal the pinned 16-table x18 production
+# shape, so the oracle IS x18's 16-table SQL verbatim.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x122_lsh_multipass_neardup",
+    f"""
+WITH v AS (SELECT vec_id, {_QUANT} AS ev FROM embeddings),
+{_multi_sig_cte(_X18_PLANES, 16)}
+SELECT DISTINCT a.vec_id AS a, b.vec_id AS b,
+       CAST(list_dot_product(a.ev, b.ev) AS BIGINT) AS dot_micro2
+FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                     AND a.vec_id < b.vec_id
+WHERE CAST(list_dot_product(a.ev, b.ev) AS BIGINT) >= 450000000000
+""",
+)
+def x122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return similarity.lsh_neardup_pairs(
+        emb, threshold=0.45, planes=4, n_tables=8, n_passes=2,
+        hash_mode="portable",
     )

@@ -1654,18 +1654,50 @@ def test_lsh_auto_shape_python_sql_parity():
 
     from flockdb_spark.functions.similarity import lsh_auto_shape, lsh_auto_shape_sql
 
+    import warnings
+
+    from flockdb_spark.functions.similarity import (
+        LshRecallWarning,
+        lsh_modeled_recall,
+    )
+
     for n in (1, 100, 500, 2_000, 8_192, 8_193, 20_000, 60_000, 200_000,
               1_000_000, 50_000_000):
-        want = lsh_auto_shape(
-            n, threshold=0.45, target_recall=0.95, bucket_budget=512,
-            min_planes=4, max_tables=32,
-        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", LshRecallWarning)
+            want = lsh_auto_shape(
+                n, threshold=0.45, target_recall=0.95, bucket_budget=512,
+                min_planes=4, max_tables=32,
+            )
         sql = lsh_auto_shape_sql(
             f"range({n})", threshold=0.45, target_recall=0.95,
             bucket_budget=512, min_planes=4, max_tables=32,
         )
-        planes, n_tables = duckdb.sql(sql).fetchone()
-        assert (planes, n_tables) == (want["planes"], want["n_tables"]), n
+        planes, n_tables, n_passes, n_eff = duckdb.sql(sql).fetchone()
+        assert (planes, n_tables, n_passes) == (
+            want["planes"], want["n_tables"], want["n_passes"],
+        ), n
+        assert n_eff == want["n_tables"] * want["n_passes"], n
+
+    # the recovery closes the VERDICT r10 bar at near-dup thresholds: at
+    # n=50M and cos 0.9, the pass rule must land modeled at-threshold
+    # recall >= 0.9 WITHOUT any LshRecallWarning (2 passes of 32 suffice);
+    # the loose cos-0.45 regime stays loud by design — it would need ~4700
+    # tables (rho ~= 0.62), which no recovery can make cheap
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", LshRecallWarning)
+        s = lsh_auto_shape(50_000_000, threshold=0.9, target_recall=0.95,
+                           min_planes=4, max_tables=32)
+    assert s["n_passes"] > 1
+    assert lsh_modeled_recall(
+        s["planes"], s["n_tables"] * s["n_passes"], threshold=0.9
+    ) >= 0.9
+    sql = lsh_auto_shape_sql("range(50000000)", threshold=0.9,
+                             target_recall=0.95, min_planes=4, max_tables=32)
+    planes, n_tables, n_passes, n_eff = duckdb.sql(sql).fetchone()
+    assert (planes, n_tables, n_passes) == (
+        s["planes"], s["n_tables"], s["n_passes"],
+    )
 
 
 def test_lsh_auto_default_matches_pinned_shape(spark):
@@ -1683,7 +1715,7 @@ def test_lsh_auto_default_matches_pinned_shape(spark):
     emb = _read(spark, "/root/testdata/sf0.001", "embeddings")
     n = emb.count()
     assert lsh_auto_shape(n, min_planes=4, max_tables=32) == {
-        "planes": 4, "n_tables": 16,
+        "planes": 4, "n_tables": 16, "n_passes": 1,
     }
     # ann exchange rate: n_probe=4 halves L (measured in RECALL.md)
     assert lsh_tables_for(4, 0.45, 0.95, max_tables=1 << 30) == 16
@@ -2243,22 +2275,34 @@ def test_lsh_auto_shape_warns_when_table_cap_binds(spark):
     with warnings.catch_warnings():
         warnings.simplefilter("error", LshRecallWarning)
         shape = lsh_auto_shape(5_000, min_planes=4)
-    assert shape == {"planes": 4, "n_tables": 16}
+    assert shape == {"planes": 4, "n_tables": 16, "n_passes": 1}
 
-    # sf10-like corpus: the cap binds and the warning carries the model
+    # sf10-like corpus at the loose 0.45 threshold: even the max_passes=4
+    # recovery cannot reach 0.95 (the regime needs >1000 tables — the
+    # intrinsic rho cost), so the warning still fires and names the model
     with pytest.warns(LshRecallWarning, match="modeled at-threshold recall"):
         shape = lsh_auto_shape(5_000_000, min_planes=4)
     assert shape["n_tables"] == 32
-    modeled = lsh_modeled_recall(shape["planes"], shape["n_tables"])
-    assert modeled < 0.95  # the trade the warning names
-    # sanity: uncapped L would exceed the cap (that's WHY it binds)
-    assert lsh_tables_for(shape["planes"], max_tables=1 << 30) > 32
+    assert shape["n_passes"] == 4  # recovery spent its budget first
+    modeled = lsh_modeled_recall(
+        shape["planes"], shape["n_tables"] * shape["n_passes"]
+    )
+    assert modeled < 0.95  # the residual trade the warning names
+    # sanity: uncapped L would exceed even the recovered budget
+    assert lsh_tables_for(shape["planes"], max_tables=1 << 30) > 32 * 4
+
+    # with recovery disabled (max_passes=1) the r10 contract is unchanged
+    with pytest.warns(LshRecallWarning):
+        old = lsh_auto_shape(5_000_000, min_planes=4, max_passes=1)
+    assert old["n_passes"] == 1 and old["n_tables"] == 32
 
     # and the modeled closed form matches 1-(1-p)^L exactly
     import math
 
     p = (1 - math.acos(0.45) / math.pi) ** shape["planes"]
-    assert abs(modeled - (1 - (1 - p) ** 32)) < 1e-12
+    assert abs(
+        modeled - (1 - (1 - p) ** (32 * shape["n_passes"]))
+    ) < 1e-12
 
 
 def test_pq_ann_adc_matches_brute_on_clustered_corpus(spark):
