@@ -1549,10 +1549,13 @@ def int8_ann_topk(
 
 def semantic_dedup(
     emb: DataFrame,
-    n_clusters: int = 8,
+    n_clusters: int | None = None,
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_vectors: int | None = None,
+    cell_budget: int = 512,
+    assign: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
     arXiv 2303.09540): partition the embedding space with k-means cells,
@@ -1575,45 +1578,27 @@ def semantic_dedup(
     components, and the survivor is argmax centroid distance with ties to
     the lower id.
 
-    Scale shape (100 TB): assignment is one corpus pass against the
-    broadcast K×dims centroid matrix (pure codegen expressions here since
-    K is small; the production path for K in the thousands is the same
-    Arrow GEMM as ``kmeans_fit``'s assignment step); pair generation
-    shuffles on the cell id so cost is Σ|cell|², never N² — the identical
-    bound LSH banding gives, but density-adaptive; group resolution is
-    :func:`flockdb_spark.functions.dedup.resolve_duplicates`' iterative
-    min-label propagation.
+    Scale shape (100 TB): K AUTO-SCALES with the corpus (r11, VERDICT r10
+    item 4) — ``n_clusters = max(8, ⌈n / cell_budget⌉)`` bounds the
+    EXPECTED cell population at ``cell_budget``, so within-cell pair work
+    is Σ|cell|² ≈ n·cell_budget, linear in n, never the N²/K a fixed K
+    degrades to (the same cost rule as the LSH bucket budget; density
+    skew concentrates cells exactly where near-dups live, which is the
+    algorithm's point — the pair threshold prunes inside).  Assignment is
+    one corpus pass against the broadcast K×dims centroid matrix: codegen
+    expressions for small K, the same Arrow/numpy GEMM as ``kmeans_fit``'s
+    assignment step once K outgrows an expression chain (``assign="auto"``
+    routes at K > 16; both paths produce bit-identical integers, so the
+    oracle is path-agnostic).  Pair generation shuffles on the cell id;
+    group resolution is :func:`flockdb_spark.functions.dedup.
+    resolve_duplicates`' iterative min-label propagation.
 
     Output: (vec_id, cluster, canonical_id, dist_micro2, kept) — one row
     per member of a duplicate group; ``kept`` = 1 for the group survivor.
     """
-    import pandas as pd
-
-    seed_rows = (
-        emb.orderBy(id_col).limit(n_clusters).select(id_col, vec_col).collect()
-    )
-    seed_rows.sort(key=lambda r: r[id_col])
-    c_mat = _np_quantize(pd.Series([r[vec_col] for r in seed_rows]))
-
-    ev = quantized(vec_col)
-    dists = []
-    for cid in range(c_mat.shape[0]):
-        cvec = F.array(*[F.lit(int(x)).cast("long") for x in c_mat[cid]])
-        d = F.aggregate(
-            F.zip_with(F.col("ev"), cvec, lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        dists.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
-    best = F.array_min(F.array(*dists))
-    assigned = (
-        emb.select(F.col(id_col).alias("vec_id"), ev.alias("ev"))
-        .select(
-            "vec_id",
-            "ev",
-            best["cid"].cast("int").alias("cluster"),
-            best["d"].cast("long").alias("dist_micro2"),
-        )
+    assigned = semantic_assign(
+        emb, n_clusters, id_col=id_col, vec_col=vec_col,
+        n_vectors=n_vectors, cell_budget=cell_budget, assign=assign,
     )
     assigned = assigned.localCheckpoint(eager=False)  # reused by pairs AND survivors
 
@@ -1640,24 +1625,132 @@ def semantic_dedup(
         F.desc("dist_micro2"), F.asc("vec_id")
     )
     return (
-        groups.join(assigned.drop("ev"), "vec_id")
-        .withColumn(
-            "kept", (F.row_number().over(w) == 1).cast("int")
+        groups.join(assigned.select("vec_id", "cluster", "dist_micro2"), "vec_id")
+        .select(
+            "vec_id",
+            "cluster",
+            "canonical_id",
+            "dist_micro2",
+            F.when(F.row_number().over(w) == 1, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("kept"),
         )
-        .select("vec_id", "cluster", "canonical_id", "dist_micro2", "kept")
     )
 
 
+def semantic_assign(
+    emb: DataFrame,
+    n_clusters: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_vectors: int | None = None,
+    cell_budget: int = 512,
+    assign: str = "auto",
+) -> DataFrame:
+    """:func:`semantic_dedup`'s cell-assignment stage as a standalone
+    operator: (vec_id, ev, cluster, dist_micro2) — deterministic seeds
+    (the ``n_clusters`` smallest ids), exact-integer argmin distance with
+    ties to the lower cid.  ``n_clusters=None`` auto-scales K to
+    ``max(8, ⌈n / cell_budget⌉)``; ``assign`` routes between the codegen
+    expression chain (small K) and the broadcast Arrow/numpy GEMM
+    (K > 16) — both bit-identical.  tools/scaleproof.py reports this
+    stage's cell distribution and Σ|cell|² per SF."""
+    import numpy as np
+    import pandas as pd
+
+    if n_clusters is None:
+        n = emb.count() if n_vectors is None else int(n_vectors)
+        n_clusters = max(8, -(-n // cell_budget))
+
+    seed_rows = (
+        emb.orderBy(id_col).limit(n_clusters).select(id_col, vec_col).collect()
+    )
+    seed_rows.sort(key=lambda r: r[id_col])
+    c_mat = _np_quantize(pd.Series([r[vec_col] for r in seed_rows]))
+
+    use_gemm = assign == "gemm" or (assign == "auto" and c_mat.shape[0] > 16)
+    if use_gemm:
+        spark = emb.sparkSession
+        bc = spark.sparkContext.broadcast(c_mat)
+
+        def assign_cells(batches):
+            import pyarrow as pa
+
+            cmat = bc.value
+            cnorm = (cmat * cmat).sum(axis=1)  # |c|^2, int64-exact
+            for batch in batches:
+                n_rows = batch.num_rows
+                if n_rows == 0:
+                    continue
+                ids = _i64_arrow(batch.column(0))
+                v = _quantize_arrow(batch.column(1))
+                # |x-c|^2 = |x|^2 - 2 x·c + |c|^2, all int64-exact;
+                # argmin ties -> first occurrence = lowest cid (cmat rows
+                # are cid-ascending) — same rule as the expression path
+                d = (
+                    (v * v).sum(axis=1)[:, None]
+                    - 2 * _gemm53(v, cmat.T)
+                    + cnorm[None, :]
+                )
+                best = d.argmin(axis=1)
+                yield pa.record_batch(
+                    {
+                        "vec_id": pa.array(ids),
+                        "ev": _list_array(v),
+                        "cluster": pa.array(best.astype(np.int32)),
+                        "dist_micro2": pa.array(
+                            d[np.arange(n_rows), best].astype(np.int64)
+                        ),
+                    }
+                )
+
+        assigned = emb.select(id_col, vec_col).mapInArrow(
+            assign_cells, "vec_id long, ev array<long>, cluster int, dist_micro2 long"
+        )
+    else:
+        ev = quantized(vec_col)
+        dists = []
+        for cid in range(c_mat.shape[0]):
+            cvec = F.array(*[F.lit(int(x)).cast("long") for x in c_mat[cid]])
+            d = F.aggregate(
+                F.zip_with(F.col("ev"), cvec, lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            dists.append(F.struct(d.alias("d"), F.lit(cid).alias("cid")))
+        best = F.array_min(F.array(*dists))
+        assigned = (
+            emb.select(F.col(id_col).alias("vec_id"), ev.alias("ev"))
+            .select(
+                "vec_id",
+                "ev",
+                best["cid"].cast("int").alias("cluster"),
+                best["d"].cast("long").alias("dist_micro2"),
+            )
+        )
+    return assigned
+
+
 def semantic_dedup_sql(
-    n_clusters: int = 8,
+    n_clusters: int | None = 8,
     threshold: float = 0.45,
     dims: int = 64,
     where: str = "",
+    cell_budget: int = 512,
 ) -> str:
     """DuckDB twin of :func:`semantic_dedup` over ``embeddings`` — seeds,
     argmin assignment, within-cell pairs, recursive min-label reach, and
-    the centroid-distance survivor window, all replayed in plain SQL."""
+    the centroid-distance survivor window, all replayed in plain SQL.
+    ``n_clusters=None`` mirrors the auto rule: K computed from count(*)
+    INSIDE the query (x109's pattern), so one SQL string is valid at
+    every scale factor."""
     quant = "list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000000))"
+    k_expr = (
+        str(n_clusters)
+        if n_clusters is not None
+        else f"(SELECT greatest(8, (count(*) + {cell_budget} - 1) // {cell_budget}) FROM v)"
+    )
     dist = (
         f"list_sum(list_transform(range(1, {dims + 1}), "
         "i -> (ev[i] - cv[i]) * (ev[i] - cv[i])))"
@@ -1667,7 +1760,7 @@ def semantic_dedup_sql(
 WITH RECURSIVE v AS (SELECT vec_id, {quant} AS ev FROM embeddings {where}),
 seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, ev AS cv
-  FROM v ORDER BY vec_id LIMIT {n_clusters}
+  FROM v ORDER BY vec_id LIMIT {k_expr}
 ),
 d AS (SELECT v.vec_id, s.cid, v.ev, {dist} AS dist FROM v CROSS JOIN seeds s),
 asg AS (

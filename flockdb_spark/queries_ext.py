@@ -3153,3 +3153,27 @@ def x122(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, threshold=0.45, planes=4, n_tables=8, n_passes=2,
         hash_mode="portable",
     )
+
+
+# ---------------------------------------------------------------------------
+# x123 — SemDeDup at the AUTO-SCALED K (VERDICT r10 item 4): n_clusters
+# derives from the corpus (max(8, ceil(n/512)) — expected cell population
+# bounded at the 512-row budget, so within-cell pair work stays ~n·512
+# instead of the N²/K a fixed K degrades to), and assignment routes
+# through the kmeans_fit Arrow GEMM once K outgrows a codegen expression
+# chain (K > 16 — at sf0.1+ this gate exercises the GEMM path; both paths
+# are bit-identical, so the oracle is path-agnostic).  The oracle computes
+# the SAME K from count(*) inside the query — x109's pattern — so this
+# single SQL string is valid at every sweep SF.  x98 keeps gating the
+# pinned-K=8 paper shape.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x123_semantic_dedup_auto",
+    similarity.semantic_dedup_sql(n_clusters=None, threshold=0.45),
+)
+def x123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.semantic_dedup(
+        _read(spark, sf_dir, "embeddings"), threshold=0.45
+    )
