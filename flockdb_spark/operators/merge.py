@@ -49,8 +49,18 @@ def temporal_merge(existing: DataFrame, writes: DataFrame) -> DataFrame:
     )
 
 
+def _plan_size_bytes(df: DataFrame) -> float | None:
+    """Catalyst's sizeInBytes estimate for ``df`` — zero jobs (file-source
+    relations report parquet footer sizes; derived plans propagate them).
+    None when the JVM stats are unavailable — callers must fall back."""
+    try:
+        return float(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — stats are best-effort by design
+        return None
+
+
 def sequenced_merge(
-    existing: DataFrame, writes: DataFrame, strategy: str = "fold"
+    existing: DataFrame, writes: DataFrame, strategy: str = "auto"
 ) -> DataFrame:
     """W2 with the reference's POSITION-PRESERVATION rule
     (``SqlShard.scala:436-446``): an update keeps the edge's existing
@@ -85,7 +95,18 @@ def sequenced_merge(
     ``strategy`` picks the physical shape (identical results, pinned by
     test):
 
-    - ``"fold"`` (default) — the hash aggregation above.  Right for the
+    - ``"auto"`` (default, r11 — VERDICT r10 item 5) — picks from
+      Catalyst's zero-job size estimates: when the write batch is larger
+      than 4× the existing side (the bulk-replay / fresh-copy-target
+      shape, where per-key histories can be as deep as the op log), the
+      spill-safe ``"sort"`` runs; otherwise ``"fold"``.  The ratio is a
+      DEPTH PROXY, deliberately safety-first: an incremental batch
+      against a populated table is always fold (writes ≪ existing); a
+      replay onto an empty/small target is always sort, even when its
+      keys happen to be unique — sort is ~1.4× slower there, never
+      OOM-deeper.  Stats unavailable → fold (the r10 default).
+
+    - ``"fold"`` — the hash aggregation above.  Right for the
       INCREMENTAL merge path: per-key histories are shallow, ``max_by``
       gets map-side partial combine, nothing is sorted.
     - ``"sort"`` — one sort shuffle (``row_number``/``lag`` window in
@@ -100,6 +121,11 @@ def sequenced_merge(
       fold 0.58 s, sort 0.82 s — the window's full sort costs more than
       the interpreted fold while per-key arrays still fit comfortably).
     """
+    if strategy == "auto":
+        we, ex = _plan_size_bytes(writes), _plan_size_bytes(existing)
+        strategy = (
+            "sort" if we is not None and ex is not None and we > 4 * ex else "fold"
+        )
     unioned = existing.select(*EDGE_COLUMNS).unionByName(writes.select(*EDGE_COLUMNS))
     if strategy == "sort":
         return _sequenced_sort_replay(unioned)
@@ -306,7 +332,7 @@ def apply_oplog(
     has_single: bool = True,
     has_mass: bool = True,
     split_untouched: bool = True,
-    merge_strategy: str = "fold",
+    merge_strategy: str = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """Replay a batch of write operations (W1 single + W3 mass-action).
 
