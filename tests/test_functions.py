@@ -1321,14 +1321,14 @@ def test_heavy_hitters_exact_equivalence(spark):
         }
         assert out == {"hot": 60, "warm": 30}, strategy
     # the auto rule itself, observed via the cache handle each branch leaves
-    # behind: exact caches the (word, cnt) table, sketch caches the bare
-    # token stream.  A tiny PARQUET scan (known stats) -> exact; an
-    # RDD-backed frame (stats unknown = Long.Max) and sketch_min_bytes=0
-    # both -> sketch, the scale-conservative branch.
+    # behind: exact caches the (word, cnt) table, sketch caches the doc-grain
+    # token ARRAYS (r11 — was the exploded stream).  A tiny PARQUET scan
+    # (known stats) -> exact; an RDD-backed frame (stats unknown = Long.Max)
+    # and sketch_min_bytes=0 both -> sketch, the scale-conservative branch.
     pq = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     assert text.heavy_hitters(pq)._flockdb_caches[0].columns == ["word", "cnt"]
-    assert text.heavy_hitters(df, per_mille=200)._flockdb_caches[0].columns == ["word"]
-    assert text.heavy_hitters(pq, sketch_min_bytes=0)._flockdb_caches[0].columns == ["word"]
+    assert text.heavy_hitters(df, per_mille=200)._flockdb_caches[0].columns == ["_w"]
+    assert text.heavy_hitters(pq, sketch_min_bytes=0)._flockdb_caches[0].columns == ["_w"]
 
 
 def test_heavy_hitters_empty_corpus(spark):
