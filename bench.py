@@ -214,6 +214,38 @@ def shuffle_partitions_for(sf_dir: str) -> int:
     return max(8, min(4096, total // (8 << 20) or 8))
 
 
+def _duck_connect():
+    """DuckDB connection with the SF views, or None (baseline is
+    informational only — a missing duckdb must not fail the bench)."""
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        for t in [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ]:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        return con
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _duck_calibrate(con) -> float | None:
+    """Fixed pure-CPU probe (no IO, no SF dependence): the wall of counting
+    a 50M range.  Recorded at bench start and end so round-over-round
+    deltas are attributable to code vs box speed (VERDICT r10 item 8 —
+    the r10 'final' artifacts inflated ~40% from shared-box load and the
+    drift was only provable via ad-hoc re-runs)."""
+    if con is None:
+        return None
+    t0 = time.perf_counter()
+    con.execute("SELECT count(*) FROM range(50000000)").fetchall()
+    return round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
     from flockdb_spark.session import get_spark
     import __spark_entry__ as entrymod
@@ -224,6 +256,24 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+
+    # the interleaved DuckDB baseline (VERDICT r10 item 8): each query's
+    # baseline runs in the SAME pass, right after its Spark twin, so both
+    # engines see the same instantaneous box load and per-query ratios
+    # stay attributable when a shared box drifts mid-bench.  The engines
+    # never run concurrently: Spark is idle while DuckDB executes and
+    # vice versa (the r10 protocol ran all DuckDB after spark.stop(),
+    # which let an hour of box drift separate the two measurements).
+    duck_con = _duck_connect()
+    gc_wall = 0.0  # accumulated System.gc() wall, excluded from timed sections
+
+    def jvm_gc() -> None:
+        nonlocal gc_wall
+        t0 = time.perf_counter()
+        spark._jvm.System.gc()
+        gc_wall += time.perf_counter() - t0
+
+    calib_start = _duck_calibrate(duck_con)
 
     # warm the store/caches once so per-query numbers measure the operator,
     # not the parquet scan + JVM warmup
@@ -255,6 +305,40 @@ def main() -> None:
     times: dict[str, float] = {}
     times_all: dict[str, list] = {}
     warm_index: dict[str, float] = {}
+    duck_times: dict[str, float] = {}
+    duck_timeouts: list[str] = []
+
+    def run_duck(sql: str) -> float | None:
+        """One timed DuckDB execution; None if it exceeded DUCK_TIMEOUT
+        (interrupted from a watchdog thread — the query raises)."""
+        import threading
+
+        import duckdb
+
+        timer = None
+        if DUCK_TIMEOUT > 0:
+            timer = threading.Timer(DUCK_TIMEOUT, duck_con.interrupt)
+            timer.start()
+        t0 = time.perf_counter()
+        try:
+            duck_con.execute(sql).fetchall()
+        except duckdb.InterruptException:
+            return None
+        finally:
+            if timer is not None:
+                timer.cancel()
+        return round(time.perf_counter() - t0, 3)
+
+    def duck_once(name: str) -> None:
+        if duck_con is None or name not in oracles or name in duck_timeouts:
+            return
+        dt = run_duck(oracles[name])
+        if dt is None:
+            duck_timeouts.append(name)
+            duck_times.pop(name, None)
+        elif name not in duck_times or dt < duck_times[name]:
+            duck_times[name] = dt
+
     from flockdb_spark.functions.relevance import (
         release_corpus_memo,
         release_count_memo,
@@ -275,8 +359,11 @@ def main() -> None:
         # DuckDB baseline re-executes each SQL with no such carried state,
         # so carrying it on the Spark side is measurement pollution, not
         # query cost (the 2min periodicGC session conf bounds it for real
-        # deployments; a bench pass is shorter than that)
-        spark._jvm.System.gc()
+        # deployments; a bench pass is shorter than that).  GC wall is
+        # accumulated into gc_excluded_sec (ADVICE r10: the excluded
+        # overhead is real work a continuous session pays — keep it
+        # visible in the artifact instead of silently flattering queries)
+        jvm_gc()
         for name in BENCH_QUERIES:
             if name in INDEX_PERSISTED:
                 # cold by construction: drop the persisted index so this
@@ -288,7 +375,7 @@ def main() -> None:
                 # follows them (r10 measured x25, three slots later, at
                 # 11.6 s in-bench vs 1.0 s isolated at sf1.0)
                 spark.catalog.clearCache()
-                spark._jvm.System.gc()
+                jvm_gc()
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR) if name in CONSTRUCT_IN_PASS else dfs[name]
             df.write.format("noop").mode("overwrite").save()
@@ -303,6 +390,13 @@ def main() -> None:
             times_all.setdefault(name, []).append(dt)
             if name not in times or dt < times[name]:
                 times[name] = dt
+            # the interleaved baseline: same pass, same box moment.  Spark
+            # is idle while DuckDB runs; the GC right before keeps the JVM's
+            # periodic cleanup out of DuckDB's timed window (and its wall is
+            # accounted like every other excluded GC)
+            if i < DUCK_PASSES:
+                jvm_gc()
+                duck_once(name)
     # warm passes for the index-persisted queries: clearCache() above also
     # UNREGISTERS the cached plan fragments, so the plans must be rebuilt
     # for .cache() to re-register; pass 1 then materializes the index and
@@ -348,53 +442,21 @@ def main() -> None:
         "reference_peak_reads_per_s": 100000,
     }
 
-    # single-node DuckDB baseline on the same queries (where an oracle
-    # exists) — AFTER spark.stop() so the idle 32-thread JVM doesn't steal
-    # cores from the baseline, and min-of-3 to mirror the Spark timing
+    # end-of-bench calibration: same fixed CPU probe as the start — a
+    # drifting pair flags shared-box load INSIDE the artifact, so
+    # round-over-round deltas are attributable without ad-hoc re-runs
+    calib_end = _duck_calibrate(duck_con)
     spark.stop()
-    duck_times: dict[str, float] = {}
-    duck_timeouts: list[str] = []
-    try:
-        import duckdb
 
-        con = duckdb.connect()
-        for t in [
-            "region", "nation", "customer", "supplier", "part",
-            "orders", "lineitem", "events", "documents", "embeddings",
-        ]:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-            )
-        def run_duck(sql: str) -> float | None:
-            """One timed DuckDB execution; None if it exceeded DUCK_TIMEOUT
-            (interrupted from a watchdog thread — the query raises)."""
-            import threading
-
-            timer = None
-            if DUCK_TIMEOUT > 0:
-                timer = threading.Timer(DUCK_TIMEOUT, con.interrupt)
-                timer.start()
-            t0 = time.perf_counter()
-            try:
-                con.execute(sql).fetchall()
-            except duckdb.InterruptException:
-                return None
-            finally:
-                if timer is not None:
-                    timer.cancel()
-            return round(time.perf_counter() - t0, 3)
-
-        for _ in range(DUCK_PASSES):
-            for name in BENCH_QUERIES:
-                if name in oracles and name not in duck_timeouts:
-                    dt = run_duck(oracles[name])
-                    if dt is None:
-                        duck_timeouts.append(name)
-                        duck_times.pop(name, None)
-                    elif name not in duck_times or dt < duck_times[name]:
-                        duck_times[name] = dt
-    except Exception:  # noqa: BLE001 — baseline is informational only
-        pass
+    # per-query repeat spread (max-min over passes EXCLUDING pass 0, which
+    # pays one-off physical planning / codegen by design) — the artifact
+    # carries its own noise estimate; identical-code reruns should agree
+    # within it
+    spread = {
+        name: round(max(xs[1:]) - min(xs[1:]), 3)
+        for name, xs in times_all.items()
+        if len(xs) > 2
+    }
     print(
         json.dumps(
             {
@@ -412,6 +474,13 @@ def main() -> None:
                 ),
                 "throughput": throughput,
                 "cpus": int(CPUS),
+                "protocol": "interleaved-per-query",
+                "calibration": {
+                    "duck_range50m_start_sec": calib_start,
+                    "duck_range50m_end_sec": calib_end,
+                },
+                "gc_excluded_sec": round(gc_wall, 3),
+                "pass_spread_sec": spread,
             }
         )
     )

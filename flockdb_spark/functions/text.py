@@ -1318,10 +1318,13 @@ def dsir_importance(
     ``temperature=0`` (the gated shape) is the deterministic limit of the
     paper's Gumbel top-k resample — select the k largest weights outright.
     ``temperature>0`` adds seeded Gumbel noise ``g = -ln(-ln(u))`` with
-    ``u`` drawn from a per-doc universal-hash scramble (pure column
-    expressions, reproducible across runs and engines) and selects by
-    ``weight/τ + g`` — sampling proportional-to-exp(weight/τ) without
-    replacement, the paper's actual draw.
+    ``u`` drawn from a per-doc ``xxhash64(doc_id, seed)`` scramble (pure
+    column expressions, reproducible across runs; the avalanche hash
+    makes the draws pairwise-uncorrelated across doc_ids, unlike an
+    affine map) and selects by ``weight/τ + g`` — sampling
+    proportional-to-exp(weight/τ) without replacement, the paper's
+    actual draw.  This path is NOT oracle-gated beyond its τ→0 limit
+    (xxhash64 is Spark-side); the unit test pins the selection law.
 
     Plan shape at 100 TB: gram generation is a map-side generator (no
     shuffle); the bucket-model aggregation shuffles ≤ buckets·partitions
@@ -1386,11 +1389,17 @@ def dsir_importance(
         .agg(F.sum("lr_micro").cast("long").alias("weight_micro"))
     )
     if temperature > 0:
-        # seeded Gumbel noise from a per-doc universal-hash scramble:
-        # u ∈ (0,1) strictly, so -ln(-ln(u)) is always finite
-        a, b = PH_BASES[seed % len(PH_BASES)], 7_919 * (seed + 1)
+        # seeded Gumbel noise from a per-doc xxhash64 scramble (ADVICE
+        # r10: the previous (a·doc_id+b) mod p map is linear — u for
+        # sequential doc_ids stepped by a/p in lockstep, far from
+        # independent draws; xxhash64 avalanches every input bit).
+        # u ∈ (0,1) strictly, so -ln(-ln(u)) is always finite.  NOTE:
+        # this path has no DuckDB oracle beyond its temperature→0 limit
+        # (x121 gates that limit); the noise law itself is pinned by the
+        # distribution unit test only.
         u = (
-            F.pmod(F.col("doc_id") * a + b, F.lit(FP_MOD)).cast("double")
+            F.pmod(F.xxhash64(F.col("doc_id"), F.lit(seed)), F.lit(FP_MOD))
+            .cast("double")
             + 0.5
         ) / FP_MOD
         key = F.col("weight_micro") / 1e6 / temperature - F.log(-F.log(u))

@@ -13,6 +13,24 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_heap(cap_gb: int = 32, floor_gb: int = 8) -> str:
+    """Default driver max-heap: min(cap, ~75% of MemAvailable), floored.
+
+    The heap is committed lazily, so the cap is what a heavy query may
+    grow into — sizing it from the machine keeps a 16 GB CI container
+    from being OOM-killed by a default tuned on a 128 GB box (ADVICE
+    r10).  /proc/meminfo is Linux-only; elsewhere fall back to the cap."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) // (1 << 20)  # kB -> GiB
+                    return f"{max(floor_gb, min(cap_gb, avail_gb * 3 // 4))}g"
+    except OSError:
+        pass
+    return f"{cap_gb}g"
+
+
 def get_spark(
     app_name: str = "flockdb-spark",
     master: str | None = None,
@@ -72,8 +90,15 @@ def get_spark(
         # 14.9 s in-bench vs 0.7 s with a 32g heap — same plan, pure GC
         # tax; early-pass queries were unaffected, late-pass inflated
         # 1.5-4x).  32g is max-heap (committed lazily), ~1 GB/thread — the
-        # low end of what any production executor gets per core.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "32g"))
+        # low end of what any production executor gets per core.  The
+        # default is clamped to ~75% of MemAvailable (ADVICE r10: on a
+        # smaller host a heavy query could lazily commit past physical
+        # memory and get the JVM OOM-killed; 8g floor keeps the r9
+        # behavior as the worst case).  SPARK_DRIVER_MEMORY overrides.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_DRIVER_MEMORY", _default_heap()),
+        )
         # ...and a big heap starves the ContextCleaner: shuffle-file /
         # broadcast cleanup is driven by WEAK REFERENCES, so it only runs
         # after an old-gen GC — which a 32g heap under a multi-query
