@@ -31,79 +31,75 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver gates only the FIRST 50 registry entries each round, so we order
-# the registry by gate priority.  Rotated for r10 (registry 145, all with
-# driver rows): the window leads with the NOW-STALEST block exactly as
-# VERDICT r9 item 1 prescribes — the 27-entry r7-green set (last driver
-# rows 3 rounds old).  Next the entries whose CODE, ORACLE, or decisive
-# session conf changed in r10 (see _CHANGED_IN_ROUND).  The oldest
-# r8-green rows fill the remaining slots.  The r8 remainder and the
-# r9-gated sets (freshest rows) sort after the window — all 145 are green
-# in this round's local sf0.01 gate.
+# the registry by gate priority.  Rotated for r11 (registry 148; x122/x123
+# are NEW this round — ungated entries sort before this list automatically,
+# taking the first 2 window slots): the window leads with everything whose
+# CODE or ORACLE changed in r11 (_CHANGED_IN_ROUND), then the STALEST
+# blocks exactly as VERDICT r10 item 6 prescribes — the 9-entry r5-green
+# set (driver rows 6 rounds old), the 17-entry r7-green set, and the
+# oldest r8 rows to fill 50.  The r8 remainder, the r9 block, and the
+# r10 block (freshest rows) sort after the window — all 148 are green in
+# this round's local sf0.01 gate (tools/check.py, layout v2).
 _GATED_GREEN = [
-    # r7-green block — stalest rows, promised to lead r10 (VERDICT r9 item 1)
-    "q01_point_lookup", "q02_contains", "q03_metadata", "q04_degree_counts",
-    "q14_select_edges", "q23_select2_batch", "q25_ordered_uuid",
-    "x98_semantic_dedup", "x100_quality_classifier",
-    "x102_phrase_match", "x103_heavy_hitters_sketch", "x104_orc_roundtrip",
-    "x105_vocab_drift", "x106_probe_fit", "x107_multi_phrase",
-    "x108_neighborhood_jaccard",
-    "x33_seq_packing", "x87_jsonl_roundtrip", "x88_csv_roundtrip",
-    "x52_lsh_ann_multitable", "x96_salted_join", "x64_label_centroids",
-    "x94_kn_perplexity",
-    "x84_heavy_hitters", "x18_lsh_neardup", "x06_lsh_ann", "x15_ivf_ann",
-    # changed in r10 (code, oracle, or decisive conf — see _CHANGED_IN_ROUND)
-    "x25_bm25", "x99_bm25_topk", "x101_hybrid_rrf", "x110_hybrid_rrf_ann",
-    "x111_media_decode", "x120_binary_ann", "x91_kneser_ney",
+    # changed in r11 (see _CHANGED_IN_ROUND)
+    "q07_by_destination", "q17_oplog_replay", "q18_mass_action",
+    "q19_metadata_merge", "q20_reconcile", "x91_kneser_ney",
+    "x94_kn_perplexity", "x84_heavy_hitters", "x103_heavy_hitters_sketch",
+    "x109_lsh_auto_neardup", "x18_lsh_neardup", "x06_lsh_ann",
+    "x35_multiprobe_ann", "x52_lsh_ann_multitable", "x53_lsh_neardup_multitable",
+    "x38_embedding_dedup", "x110_hybrid_rrf_ann", "x98_semantic_dedup",
+    "x121_dsir_selection",
+    # r5-green block — stalest driver rows (6 rounds old)
+    "x49_quality_canonical", "x54_temperature_sample", "x70_bpe_pair_counts",
+    "x72_span_dedup_rewrite", "x73_incremental_dedup", "x74_stream_dedup_index",
+    "x75_training_shards", "x76_vocab_spectrum", "x78_lang_confusion",
+    # r7-green block
+    "q24_select_edges_batch", "x07_embedding_neardup", "x08_quality",
+    "x09_token_count", "x10_lang_id", "x11_fingerprint",
+    "x12_multimodal", "x13_degree_dist", "x14_pagerank",
+    "x19_pipeline", "x20_sessionization", "x21_asof_join",
+    "x22_range_join", "x23_rollup", "x24_event_rollup",
+    "x26_topk_per_group", "x27_triangles",
     # oldest r8-green rows fill the window to 50
-    "x28_train_split", "x29_stratified_sample",
-    "x30_length_quantiles", "x32_repetition", "x34_decontaminate",
-    "x50_pii_redaction", "x51_training_order", "x55_select_top_quality",
-    "x57_fuzzy_decontaminate", "x58_tfidf_top_terms",
-    "x59_inverted_index", "x60_normalize_text", "x61_pair_integrity",
-    "x62_oov_rate", "x63_corpus_diff", "x65_leakage_free_splits",
+    "q05_wildcard", "q22_select_all", "x112_pq_ann",
     # ---- below the 50-entry window ----
     # r8-green remainder
-    "x66_stream_sessionization",
-    "x67_duplicated_spans", "x68_stream_event_rates",
-    "x38_embedding_dedup", "x79_k_core", "x97_negative_samples",
-    "x109_lsh_auto_neardup",
-    "q22_select_all",
-    "q05_wildcard", "x31_event_features",
-    "x36_json_rollup", "x37_boilerplate", "x39_funnel", "x40_mixture_upsample",
-    "x41_bigram_vocab", "x42_khop", "x43_mutual_edges", "x44_components",
-    "x45_chunking", "x46_token_ids",
-    "x48_curation_dag", "x49_quality_canonical", "x54_temperature_sample",
-    "x70_bpe_pair_counts", "x72_span_dedup_rewrite",
-    "x73_incremental_dedup", "x74_stream_dedup_index", "x75_training_shards",
-    "x76_vocab_spectrum", "x78_lang_confusion",
-    "x112_pq_ann", "x113_pq_trained", "x114_pq_rerank", "x119_stream_ivf_cells",
-    # r7-green remainder (stub-path multimodal + driver-tiny lookups)
-    "x07_embedding_neardup", "x19_pipeline", "x08_quality", "x09_token_count",
-    "x10_lang_id", "x11_fingerprint", "x12_multimodal", "x20_sessionization",
-    "x21_asof_join", "x22_range_join", "x23_rollup", "x24_event_rollup",
-    "x13_degree_dist", "x14_pagerank", "x26_topk_per_group",
-    "x27_triangles",
-    # r9-gated (freshest driver rows): the r5 remainder, the r6-green core
-    # block, and the r9 changes
-    "x80_count_min_sketch", "x81_stream_sketch",
-    "x82_bloom_decontaminate", "x83_hll_registers", "x85_fixed_size_sample",
-    "x86_stream_interval_join", "x89_zorder_key", "x90_token_budget",
-    "x92_last_touch",
-    "q06_keyset_pages", "q07_by_destination", "q08_backward", "q09_where_in",
-    "q10_intersection", "q11_union", "q12_difference", "q13_nested",
-    "q15_incl_archived", "q16_state_filters",
-    "q17_oplog_replay", "q18_mass_action", "q19_metadata_merge",
-    "q20_reconcile", "q21_count_estimates", "x01_dedup_exact",
-    "x02_ngram_jaccard", "x17_dedup_resolve", "x03_minhash_lsh", "x04_simhash",
-    "x16_simhash_neardup", "x05_ann_topk",
-    "x35_multiprobe_ann",
-    "x53_lsh_neardup_multitable", "x56_int8_ann",
-    "x69_kmeans_fit", "x77_embedding_outliers",
-    "x47_bigram_surprisal", "x93_personalized_pagerank",
-    "x95_collocations",
+    "x113_pq_trained", "x114_pq_rerank", "x119_stream_ivf_cells",
+    "x31_event_features", "x36_json_rollup", "x37_boilerplate",
+    "x39_funnel", "x40_mixture_upsample", "x41_bigram_vocab",
+    "x42_khop", "x43_mutual_edges", "x44_components",
+    "x45_chunking", "x46_token_ids", "x48_curation_dag",
+    "x65_leakage_free_splits", "x66_stream_sessionization", "x67_duplicated_spans",
+    "x68_stream_event_rates", "x79_k_core", "x97_negative_samples",
+    # r9-green block
+    "q06_keyset_pages", "q08_backward", "q09_where_in",
+    "q10_intersection", "q11_union", "q12_difference",
+    "q13_nested", "q15_incl_archived", "q16_state_filters",
+    "q21_count_estimates", "x01_dedup_exact", "x02_ngram_jaccard",
+    "x03_minhash_lsh", "x04_simhash", "x05_ann_topk",
     "x115_ivfpq_ann", "x116_mmr_rerank", "x117_top_pc_projection",
-    "x118_ivfpq_trained", "x71_source_overlap",
-    "q24_select_edges_batch",
+    "x118_ivfpq_trained", "x16_simhash_neardup", "x17_dedup_resolve",
+    "x47_bigram_surprisal", "x56_int8_ann", "x69_kmeans_fit",
+    "x71_source_overlap", "x77_embedding_outliers", "x80_count_min_sketch",
+    "x81_stream_sketch", "x82_bloom_decontaminate", "x83_hll_registers",
+    "x85_fixed_size_sample", "x86_stream_interval_join", "x89_zorder_key",
+    "x90_token_budget", "x92_last_touch", "x93_personalized_pagerank",
+    "x95_collocations",
+    # r10-green block (freshest driver rows)
+    "q01_point_lookup", "q02_contains", "q03_metadata",
+    "q04_degree_counts", "q14_select_edges", "q23_select2_batch",
+    "q25_ordered_uuid", "x100_quality_classifier", "x101_hybrid_rrf",
+    "x102_phrase_match", "x104_orc_roundtrip", "x105_vocab_drift",
+    "x106_probe_fit", "x107_multi_phrase", "x108_neighborhood_jaccard",
+    "x111_media_decode", "x120_binary_ann", "x15_ivf_ann",
+    "x25_bm25", "x28_train_split", "x29_stratified_sample",
+    "x30_length_quantiles", "x32_repetition", "x33_seq_packing",
+    "x34_decontaminate", "x50_pii_redaction", "x51_training_order",
+    "x55_select_top_quality", "x57_fuzzy_decontaminate", "x58_tfidf_top_terms",
+    "x59_inverted_index", "x60_normalize_text", "x61_pair_integrity",
+    "x62_oov_rate", "x63_corpus_diff", "x64_label_centroids",
+    "x87_jsonl_roundtrip", "x88_csv_roundtrip", "x96_salted_join",
+    "x99_bm25_topk",
 ]
 
 #: every query whose CODE or ORACLE was touched this round (kept current per
@@ -112,15 +108,22 @@ _GATED_GREEN = [
 #: silently recur).  Ungated entries sort first automatically and need no
 #: listing here unless also changed.
 _CHANGED_IN_ROUND = [
-    # r10: x25/x99/x101/x110 carry the strengthened memo identity
-    # (relevance._plan_key — semanticHash + canonicalized plan string,
-    # ADVICE r9); x101/x110 additionally the 4-exchange shuffle fold;
-    # x111 the JVM header-audit fast path; x120 the slice-to-dims sign
-    # pack (ADVICE r9) + the array-of-sketches rotation refactor (gated
-    # shape rotations=0 unchanged); x91 is conf-level — its wall rides the
-    # new canChangeCachedPlanOutputPartitioning session default
-    "x25_bm25", "x99_bm25_topk", "x101_hybrid_rrf", "x110_hybrid_rrf_ann",
-    "x111_media_decode", "x120_binary_ann", "x91_kneser_ney",
+    # r11: q07 serves dest-order pages from the new UNIQUE-index twin
+    # (layout v2) with an inline IN; q17-q20 ride sequenced_merge's auto
+    # strategy; x91/x94 the window-fold KN marginals; x84/x103 the
+    # 1x1024 sketch + doc-grain token-array cache; the LSH family
+    # (x06/x18/x35/x38/x52/x53/x109/x110) the multi-pass recovery
+    # restructure of lsh_neardup_pairs/lsh_ann_topk; x98 the
+    # semantic_assign factor-out + auto-K default; x121 the xxhash64
+    # Gumbel scramble (gated tau=0 path unaffected, included anyway).
+    # x122/x123 are NEW gates (ungated -> sort first automatically).
+    "q07_by_destination", "q17_oplog_replay", "q18_mass_action",
+    "q19_metadata_merge", "q20_reconcile", "x91_kneser_ney",
+    "x94_kn_perplexity", "x84_heavy_hitters", "x103_heavy_hitters_sketch",
+    "x109_lsh_auto_neardup", "x18_lsh_neardup", "x06_lsh_ann",
+    "x35_multiprobe_ann", "x52_lsh_ann_multitable", "x53_lsh_neardup_multitable",
+    "x38_embedding_dedup", "x110_hybrid_rrf_ann", "x98_semantic_dedup",
+    "x121_dsir_selection",
 ]
 
 #: the driver's per-round gate depth (first N of the ordered registry)

@@ -29,30 +29,27 @@ def test_changed_queries_sit_inside_gate_window():
         f"changed-in-round queries outside the driver's {entry.GATE_WINDOW}-"
         f"entry gate window: {missing} — reorder _GATED_GREEN"
     )
-    # and the promised rotation leads the window: r10 gates the now-stalest
-    # block first — the 27-entry r7-green set whose driver rows are 3
-    # rounds old (VERDICT r9 item 1), filled with the oldest r8 rows
+    # and the promised rotation leads the window: r11 gates the changed
+    # set plus the now-stalest blocks first — the 9-entry r5-green set
+    # (driver rows 6 rounds old) and the 17-entry r7-green set (VERDICT
+    # r10 item 6), filled with the oldest r8 rows; x122/x123 are new
+    # (ungated → sort first automatically)
     for name in (
-        # r7-green block (driver rows 3 rounds old at r10)
-        "q01_point_lookup", "q02_contains", "q03_metadata",
-        "q04_degree_counts", "q14_select_edges", "q23_select2_batch",
-        "q25_ordered_uuid", "x98_semantic_dedup", "x100_quality_classifier",
-        "x102_phrase_match", "x103_heavy_hitters_sketch",
-        "x104_orc_roundtrip", "x105_vocab_drift", "x106_probe_fit",
-        "x107_multi_phrase", "x108_neighborhood_jaccard", "x33_seq_packing",
-        "x87_jsonl_roundtrip", "x88_csv_roundtrip", "x52_lsh_ann_multitable",
-        "x96_salted_join", "x64_label_centroids", "x94_kn_perplexity",
-        "x84_heavy_hitters", "x18_lsh_neardup", "x06_lsh_ann", "x15_ivf_ann",
-        # oldest r8-green fill
-        "x28_train_split", "x29_stratified_sample", "x30_length_quantiles",
-        "x32_repetition", "x34_decontaminate", "x50_pii_redaction",
-        "x51_training_order", "x55_select_top_quality",
-        "x57_fuzzy_decontaminate", "x58_tfidf_top_terms", "x59_inverted_index",
-        "x60_normalize_text", "x61_pair_integrity", "x62_oov_rate",
-        "x63_corpus_diff",
-        # x65_leakage_free_splits was the 50th slot until the new-in-r10
-        # x121 (ungated → sorts first) displaced it; x65's last driver row
-        # (r8) stays the freshest of the displaced fill block
-        "x121_dsir_selection",
+        # new gates this round
+        "x122_lsh_multipass_neardup", "x123_semantic_dedup_auto",
+        # r5-green block (driver rows 6 rounds old at r11)
+        "x49_quality_canonical", "x54_temperature_sample",
+        "x70_bpe_pair_counts", "x72_span_dedup_rewrite",
+        "x73_incremental_dedup", "x74_stream_dedup_index",
+        "x75_training_shards", "x76_vocab_spectrum", "x78_lang_confusion",
+        # r7-green block
+        "q24_select_edges_batch", "x07_embedding_neardup", "x08_quality",
+        "x09_token_count", "x10_lang_id", "x11_fingerprint",
+        "x12_multimodal", "x13_degree_dist", "x14_pagerank", "x19_pipeline",
+        "x20_sessionization", "x21_asof_join", "x22_range_join",
+        "x23_rollup", "x24_event_rollup", "x26_topk_per_group",
+        "x27_triangles",
+        # oldest r8-green fill (q05/q22 also ride the v2 store layout)
+        "q05_wildcard", "q22_select_all", "x112_pq_ann",
     ):
         assert name in window
