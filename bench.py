@@ -233,17 +233,23 @@ def _duck_connect():
         return None
 
 
-def _duck_calibrate(con) -> float | None:
+def _duck_calibrate() -> float | None:
     """Fixed pure-CPU probe (no IO, no SF dependence): the wall of counting
-    a 50M range.  Recorded at bench start and end so round-over-round
-    deltas are attributable to code vs box speed (VERDICT r10 item 8 —
-    the r10 'final' artifacts inflated ~40% from shared-box load and the
-    drift was only provable via ad-hoc re-runs)."""
-    if con is None:
+    a 50M range on a throwaway connection.  Recorded at bench start and
+    end so round-over-round deltas are attributable to code vs box speed
+    (VERDICT r10 item 8 — the r10 'final' artifacts inflated ~40% from
+    shared-box load and the drift was only provable via ad-hoc re-runs)."""
+    try:
+        import duckdb
+
+        con = duckdb.connect()
+        t0 = time.perf_counter()
+        con.execute("SELECT count(*) FROM range(50000000)").fetchall()
+        dt = round(time.perf_counter() - t0, 3)
+        con.close()
+        return dt
+    except Exception:  # noqa: BLE001
         return None
-    t0 = time.perf_counter()
-    con.execute("SELECT count(*) FROM range(50000000)").fetchall()
-    return round(time.perf_counter() - t0, 3)
 
 
 def main() -> None:
@@ -257,14 +263,19 @@ def main() -> None:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
-    # the interleaved DuckDB baseline (VERDICT r10 item 8): each query's
-    # baseline runs in the SAME pass, right after its Spark twin, so both
-    # engines see the same instantaneous box load and per-query ratios
-    # stay attributable when a shared box drifts mid-bench.  The engines
-    # never run concurrently: Spark is idle while DuckDB executes and
-    # vice versa (the r10 protocol ran all DuckDB after spark.stop(),
-    # which let an hour of box drift separate the two measurements).
-    duck_con = _duck_connect()
+    # the PASS-interLEAVED DuckDB baseline (VERDICT r10 item 8, amended by
+    # measurement): each pass runs [all Spark queries][all DuckDB twins],
+    # so the two engines' measurements for pass i are minutes apart — not
+    # the hour the r10 end-to-end split allowed.  Per-QUERY interleaving
+    # (the verdict's literal ask) was implemented first and REFUTED by
+    # A/B at sf1.0: DuckDB's retained buffer pool and cache churn between
+    # Spark queries degraded memory-heavy Spark slots 6-15x (x25 34.7 s
+    # interleaved vs 2.3 s without; x121 11.8 vs 2.5) while DuckDB itself
+    # moved <25% — the protocol was measuring cross-engine memory
+    # interference, not query cost.  Each pass gets a FRESH DuckDB
+    # connection (buffers released before the next Spark pass); engines
+    # never run concurrently.
+    duck_con = None
     gc_wall = 0.0  # accumulated System.gc() wall, excluded from timed sections
 
     def jvm_gc() -> None:
@@ -273,7 +284,20 @@ def main() -> None:
         spark._jvm.System.gc()
         gc_wall += time.perf_counter() - t0
 
-    calib_start = _duck_calibrate(duck_con)
+    def spark_calibrate() -> float:
+        """Fixed parallel JVM probe: sum over a 200M range across all task
+        threads.  The DuckDB probe is effectively single-thread, so it
+        misses the failure mode where a noisy neighbor shrinks the box's
+        EFFECTIVE core count — which inflates 32-way Spark work while
+        1-thread probes stay flat (r11: unchanged-code queries drifted
+        +25% between rounds with a stable single-thread calibration)."""
+        t0 = time.perf_counter()
+        spark.range(200_000_000).selectExpr("sum(id)").collect()
+        return round(time.perf_counter() - t0, 3)
+
+    spark_calibrate()  # one warmup (codegen for the probe itself)
+    scalib_start = spark_calibrate()
+    calib_start = _duck_calibrate()
 
     # warm the store/caches once so per-query numbers measure the operator,
     # not the parquet scan + JVM warmup
@@ -390,13 +414,17 @@ def main() -> None:
             times_all.setdefault(name, []).append(dt)
             if name not in times or dt < times[name]:
                 times[name] = dt
-            # the interleaved baseline: same pass, same box moment.  Spark
-            # is idle while DuckDB runs; the GC right before keeps the JVM's
-            # periodic cleanup out of DuckDB's timed window (and its wall is
-            # accounted like every other excluded GC)
-            if i < DUCK_PASSES:
-                jvm_gc()
-                duck_once(name)
+        # the pass's DuckDB half: all twins on a FRESH connection (warm
+        # within the pass like the Spark side's memo families; buffers
+        # released before the next Spark pass — see protocol note above)
+        if i < DUCK_PASSES:
+            jvm_gc()
+            duck_con = _duck_connect()
+            if duck_con is not None:
+                for name in BENCH_QUERIES:
+                    duck_once(name)
+                duck_con.close()
+                duck_con = None
     # warm passes for the index-persisted queries: clearCache() above also
     # UNREGISTERS the cached plan fragments, so the plans must be rebuilt
     # for .cache() to re-register; pass 1 then materializes the index and
@@ -445,7 +473,8 @@ def main() -> None:
     # end-of-bench calibration: same fixed CPU probe as the start — a
     # drifting pair flags shared-box load INSIDE the artifact, so
     # round-over-round deltas are attributable without ad-hoc re-runs
-    calib_end = _duck_calibrate(duck_con)
+    calib_end = _duck_calibrate()
+    scalib_end = spark_calibrate()
     spark.stop()
 
     # per-query repeat spread (max-min over passes EXCLUDING pass 0, which
@@ -474,10 +503,12 @@ def main() -> None:
                 ),
                 "throughput": throughput,
                 "cpus": int(CPUS),
-                "protocol": "interleaved-per-query",
+                "protocol": "pass-interleaved",
                 "calibration": {
                     "duck_range50m_start_sec": calib_start,
                     "duck_range50m_end_sec": calib_end,
+                    "spark_range200m_start_sec": scalib_start,
+                    "spark_range200m_end_sec": scalib_end,
                 },
                 "gc_excluded_sec": round(gc_wall, 3),
                 "pass_spread_sec": spread,
