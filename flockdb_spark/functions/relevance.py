@@ -36,6 +36,59 @@ def doc_terms(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def doc_term_arrays(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, _toks, _memo_fence): the doc-grain tokenized projection — the
+    CACHEABLE shape of the corpus token table (one row per document, ~an
+    order of magnitude fewer rows than the exploded stream; the same r11
+    trade that fixed heavy_hitters' cross-pass cache).
+
+    ``_memo_fence`` (a constant, RLE-trivial in the columnar cache) exists so
+    the plan is NOT ``sameResult``-equal to the bare (doc_id, tokens)
+    projection several unrelated queries contain: without it, once the
+    session memo caches this table, Spark's CacheManager silently substitutes
+    it into x32/x45/x102-class plans, serving their bench lines from the BM25
+    family's cache — exactly the cross-query cost mis-attribution bench.py's
+    pass protocol exists to prevent (it unpersists leaked per-query caches
+    for the same reason).  Only the memo's explicit consumers reference this
+    plan object directly."""
+    return docs.select(
+        "doc_id",
+        tokens(text_col).alias("_toks"),
+        F.lit(1).alias("_memo_fence"),
+    )
+
+
+#: map-side per-document term frequencies from the token array: for each
+#: DISTINCT token t of the doc, tf = how many array slots equal t.  Pure
+#: codegen (higher-order functions), no shuffle — replaces the corpus-sized
+#: groupBy(doc_id, dl, term) exchange for UNIQUE-doc_id corpora (every doc's
+#: tokens live in one row, so within-doc counting needs no data movement;
+#: doc_id uniqueness is the module's standing assumption — scores are per
+#: doc_id).  _toks is referenced twice on purpose: CollapseProject keeps the
+#: producing projection separate (split() is non-cheap and multiply
+#: referenced), so the tokenize still runs once per row.
+_TF_PAIRS = (
+    "transform(array_distinct(_toks), "
+    "t -> struct(t AS term, size(filter(_toks, x -> x = t)) AS tf))"
+)
+
+
+def _terms_from_arrays(arrs: DataFrame) -> DataFrame:
+    """The (doc_id, dl, term, tf) view re-derived map-side from the doc-grain
+    array table — row-identical to :func:`doc_terms` when doc_id is unique."""
+    return (
+        arrs.select(
+            "doc_id",
+            F.size("_toks").cast("long").alias("dl"),
+            F.explode(F.expr(_TF_PAIRS)).alias("p"),
+        )
+        .select(
+            "doc_id", "dl", F.col("p.term").alias("term"),
+            F.col("p.tf").cast("long").alias("tf"),
+        )
+    )
+
+
 def top_df_terms(term_table: DataFrame, n: int = 5, min_len: int = 4) -> DataFrame:
     """The n highest-document-frequency terms of at least ``min_len`` chars
     (tie-break: term ascending) — a deterministic stand-in for user query
@@ -86,7 +139,9 @@ def _corpus_stats(terms: DataFrame) -> tuple[int, int]:
 #: statistics across endpoints.  The memo OWNS the cached terms table
 #: (callers must NOT unpersist it); release via :func:`release_corpus_memo`.
 #: Bounded: oldest entry is unpersisted + evicted past _CORPUS_MEMO_MAX.
-_CORPUS_MEMO: dict[tuple[int, str, str], tuple[DataFrame, int, int]] = {}
+_CORPUS_MEMO: dict[
+    tuple[int, str, str], tuple[DataFrame, int, int, DataFrame]
+] = {}
 _CORPUS_MEMO_MAX = 8
 
 
@@ -112,13 +167,35 @@ def corpus_terms_stats(
     key = (*_plan_key(docs), text_col)
     hit = _CORPUS_MEMO.get(key)
     if hit is not None:
-        return hit
-    terms = doc_terms(docs, text_col).cache()
-    n_docs, avgdl_milli = _corpus_stats(terms)
+        return hit[:3]
+    # What caches is the DOC-GRAIN token-array table, not the exploded
+    # grouped stream (r11): the (doc_id, dl, term, tf) view is re-derived
+    # map-side from the cached arrays per consumer (_TF_PAIRS — pure
+    # codegen, no shuffle), so the corpus-sized groupBy(doc_id, dl, term)
+    # exchange of the build disappears AND the cache materializes ~10×
+    # fewer rows.  Measured (this box): cold build + one scoring pass
+    # 2.6 s → 1.95 s at sf0.1, 14.1–15.8 s → 11.0–13.1 s at sf1.0,
+    # bit-identical scores (probe in OPTIMIZATION_r11.md).  The blocking
+    # stats action doubles as the cache materializer, exactly as before
+    # (see _corpus_stats' rationale) — it is now a plain count+sum over
+    # doc-grain rows (no groupBy(doc_id) needed: doc_id is unique, the
+    # module's standing assumption).
+    arrs = doc_term_arrays(docs, text_col).cache()
+    row = arrs.agg(
+        F.count(F.lit(1)).cast("long"), F.sum(F.size("_toks")).cast("long")
+    ).first()
+    n_docs = int(row[0])
+    if n_docs == 0:
+        raise ValueError(
+            "bm25 corpus stats: the corpus has no documents (n_docs = 0) — "
+            "avgdl is undefined; score a non-empty documents table"
+        )
+    avgdl_milli = int(row[1]) * 1000 // n_docs
+    terms = _terms_from_arrays(arrs)
     while len(_CORPUS_MEMO) >= _CORPUS_MEMO_MAX:
         oldest = next(iter(_CORPUS_MEMO))  # dicts iterate in insertion order
-        _CORPUS_MEMO.pop(oldest)[0].unpersist()
-    _CORPUS_MEMO[key] = (terms, n_docs, avgdl_milli)
+        _CORPUS_MEMO.pop(oldest)[3].unpersist()
+    _CORPUS_MEMO[key] = (terms, n_docs, avgdl_milli, arrs)
     return terms, n_docs, avgdl_milli
 
 
@@ -126,8 +203,8 @@ def release_corpus_memo() -> None:
     """Unpersist and drop every memoized corpus-stats entry (bench calls this
     at pass boundaries so the first BM25-family query of a pass still pays
     the warm-up cold; tests call it to keep the fixture JVM lean)."""
-    for terms, _, _ in _CORPUS_MEMO.values():
-        terms.unpersist()
+    for entry in _CORPUS_MEMO.values():
+        entry[3].unpersist()
     _CORPUS_MEMO.clear()
 
 

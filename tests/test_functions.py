@@ -162,6 +162,35 @@ def test_bm25_derived_query_terms(spark):
     assert "rare" not in top
 
 
+def test_doc_grain_terms_equal_grouped_terms(spark):
+    """r11: corpus_terms_stats caches doc-grain token arrays and re-derives
+    the (doc_id, dl, term, tf) view map-side (_terms_from_arrays) instead of
+    caching the groupBy(doc_id, dl, term) result — this pins that the two
+    paths are row-identical (incl. repeated tokens → tf > 1) and that the
+    doc-grain stats equal the exploded-table stats (_corpus_stats)."""
+    from flockdb_spark.functions import relevance
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "apple banana apple apple"),
+        (1, "apple banana"),
+        (2, "banana cherry banana"),
+        (3, "durian"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    grouped = sorted(tuple(r) for r in relevance.doc_terms(docs).collect())
+    arrs = relevance.doc_term_arrays(docs)
+    mapside = sorted(
+        tuple(r) for r in relevance._terms_from_arrays(arrs).collect()
+    )
+    assert mapside == grouped
+    # map-side plan has no exchange before the explode (the point of r11)
+    assert "Exchange" not in relevance._terms_from_arrays(arrs)._jdf.queryExecution().executedPlan().toString()
+    n_old, avg_old = relevance._corpus_stats(relevance.doc_terms(docs))
+    row = arrs.agg(F.count(F.lit(1)), F.sum(F.size("_toks"))).first()
+    assert (int(row[0]), int(row[1]) * 1000 // int(row[0])) == (n_old, avg_old)
+
+
 def test_assign_splits_deterministic_partition(spark):
     from flockdb_spark.functions import splits
 
