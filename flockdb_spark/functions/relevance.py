@@ -139,6 +139,19 @@ def _corpus_stats(terms: DataFrame) -> tuple[int, int]:
 #: statistics across endpoints.  The memo OWNS the cached terms table
 #: (callers must NOT unpersist it); release via :func:`release_corpus_memo`.
 #: Bounded: oldest entry is unpersisted + evicted past _CORPUS_MEMO_MAX.
+#: hybrid_rrf_topk inlines the query-term set as literal expressions (an
+#: array_intersect filter + a term→query_ids map) instead of broadcast
+#: joins when the distinct query-term count is at most this — past it the
+#: literal expression tree itself becomes the cost (codegen size) and the
+#: broadcast-join plan takes over.  Both paths are row-identical (pytest).
+_LEX_LITERAL_MAX_TERMS = 4096
+
+
+def _sql_str(s: str) -> str:
+    """A Spark-SQL single-quoted string literal for ``s`` (terms are
+    whitespace-split tokens, but quotes/backslashes still need escaping)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
 _CORPUS_MEMO: dict[
     tuple[int, str, str], tuple[DataFrame, int, int, DataFrame]
 ] = {}
@@ -642,33 +655,69 @@ def hybrid_rrf_topk(
     qterm_rows = (
         docs.where(F.col("doc_id").isin(qids))
         .select(F.col("doc_id").alias("query_id"), F.explode(toks).alias("term"))
-        .distinct()
         .collect()
     )
+    # dedup driver-side (r11): the collect is bounded by the |Q| query
+    # documents' token count either way, and dropping the .distinct() drops
+    # that job's shuffle stage — the construction pays one map-only stage
+    qterm_pairs = sorted({(int(r["query_id"]), r["term"]) for r in qterm_rows})
     if n_docs is None:
         n_docs = cached_count(docs)
-    qterms = docs.sparkSession.createDataFrame(
-        [(int(r["query_id"]), r["term"]) for r in qterm_rows],
-        "query_id long, term string",
-    )
-    # corpus side: scan+explode, broadcast-filter to query terms BEFORE the
-    # distinct shuffle — df(t) and candidate scoring both derive from this
-    # matched subset (df must count the query docs too, so the self-
-    # exclusion happens only at scoring time)
+    # corpus side: scan+explode, filter to query terms BEFORE the distinct
+    # shuffle — df(t) and candidate scoring both derive from this matched
+    # subset (df must count the query docs too, so the self-exclusion
+    # happens only at scoring time)
     # SHUFFLE FOLD (r10): each stage pair below shares ONE exchange.  An
     # explicit repartition on the COARSER key satisfies the downstream
     # operators' ClusteredDistribution requirements (hash(term) co-locates
     # every (doc, term) pair; hash(query_id) every (query, doc) pair), so
-    # the distinct + df-window ride one term exchange, and the score
-    # aggregate + top-k window ride one query_id exchange — 13 exchanges
-    # fell to 9 on the identical result (plan test pins the counts).
-    matched = (
-        docs.select("doc_id", F.explode(toks).alias("term"))
-        .join(F.broadcast(qterms.select("term").distinct()), "term")
-        .select("doc_id", "term")
-        .repartition("term")
-        .distinct()
-    )
+    # the df-window rides one term exchange, and the score aggregate +
+    # top-k window ride one query_id exchange.
+    # LITERAL FOLD (r11, guide §2.4/§3): the query-term set is ALREADY a
+    # driver literal, so the two broadcast-join uses below were paying a
+    # broadcast-exchange build + join stage each for a table the plan could
+    # inline.  Under ``_LEX_LITERAL_MAX_TERMS`` the term filter becomes a
+    # map-side ``array_intersect`` against a literal array (which also
+    # dedups per doc — the separate ``.distinct()`` aggregate disappears)
+    # and the scoring join becomes a literal term→query_ids map lookup —
+    # zero broadcast builds, same two exchanges, row-identical (pytest pins
+    # literal ≡ broadcast-join; the sf0.1 A/B measured 1.75 s → 0.83 s).
+    # Above the bound (adversarially huge query docs) the broadcast-join
+    # path below is the same plan as r10.
+    terms = sorted({t for _, t in qterm_pairs})
+    use_literal = 0 < len(terms) <= _LEX_LITERAL_MAX_TERMS
+    if use_literal:
+        term_to_qids: dict[str, list[int]] = {}
+        for q, tm in qterm_pairs:
+            term_to_qids.setdefault(tm, []).append(q)
+        # ONE F.expr per literal structure (not one F.lit per element): with
+        # hundreds of terms, per-element Column construction is hundreds of
+        # py4j round trips of pure driver latency (~0.4 s at |terms|=111);
+        # a single SQL string parses JVM-side in one call
+        terms_sql = "array(" + ",".join(_sql_str(t) for t in terms) + ")"
+        map_sql = "map(" + ",".join(
+            _sql_str(tm)
+            + ",array("
+            + ",".join(f"{q}L" for q in sorted(term_to_qids[tm]))
+            + ")"
+            for tm in terms
+        ) + ")"
+        qid_map = F.expr(map_sql)
+        matched = docs.select(
+            "doc_id",
+            F.explode(F.array_intersect(toks, F.expr(terms_sql))).alias("term"),
+        ).repartition("term")
+    else:
+        qterms = docs.sparkSession.createDataFrame(
+            qterm_pairs, "query_id long, term string"
+        )
+        matched = (
+            docs.select("doc_id", F.explode(toks).alias("term"))
+            .join(F.broadcast(qterms.select("term").distinct()), "term")
+            .select("doc_id", "term")
+            .repartition("term")
+            .distinct()
+        )
     # ONE corpus pass (r8): df(t) is a count window keyed by term over the
     # matched subset (matched is distinct (doc, term), so the window count
     # IS the document frequency) — this replaces the separate idf broadcast
@@ -677,9 +726,17 @@ def hybrid_rrf_topk(
     # instead measured slower than the window at sf1.0 — the cache write of
     # a corpus-sized intermediate costs more than one term-keyed shuffle).
     wt = Window.partitionBy("term")
+    with_query = matched.withColumn(
+        "df", F.count(F.lit(1)).over(wt).cast("long")
+    )
+    if use_literal:
+        with_query = with_query.withColumn(
+            "query_id", F.explode(qid_map[F.col("term")])
+        )
+    else:
+        with_query = with_query.join(F.broadcast(qterms), "term")
     lex_scored = (
-        matched.withColumn("df", F.count(F.lit(1)).over(wt).cast("long"))
-        .join(F.broadcast(qterms), "term")
+        with_query
         .where(F.col("doc_id") != F.col("query_id"))
         .repartition("query_id")
         .groupBy("query_id", "doc_id")

@@ -1920,6 +1920,47 @@ def test_hybrid_rrf_fuses_both_legs(spark):
     assert 0 not in rows
 
 
+def test_hybrid_rrf_literal_equals_broadcast_path(spark, monkeypatch):
+    """r11: the lexical leg inlines the query-term set as literal
+    expressions (array_intersect filter + term→qids map) under
+    _LEX_LITERAL_MAX_TERMS and falls back to the r10 broadcast-join plan
+    above it — both paths must be row-identical, including quoted terms."""
+    from flockdb_spark.functions import relevance
+
+    docs = spark.createDataFrame(
+        [
+            (0, "zebra qu'ark flux flux"),
+            (1, "zebra qu'ark flux"),
+            (2, "apple banana cherry"),
+            (3, "dog zebra dog"),
+            (4, "qu'ark cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [0.999, 0.04]),
+            (3, [0.6, 0.8]),
+            (4, [0.3, 0.95]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+
+    def run():
+        out = relevance.hybrid_rrf_topk(docs, emb, [0, 4], k=4, k_dense=3, k_lex=3)
+        rows = sorted(tuple(r) for r in out.collect())
+        for c in getattr(out, "_flockdb_caches", []):
+            c.unpersist()
+        return rows
+
+    lit_rows = run()
+    monkeypatch.setattr(relevance, "_LEX_LITERAL_MAX_TERMS", 0)
+    bc_rows = run()
+    assert lit_rows == bc_rows and len(lit_rows) > 0
+
+
 def test_vocab_drift_planted_shift(spark):
     from flockdb_spark.functions import stats
 

@@ -308,23 +308,34 @@ def test_hybrid_rrf_lexical_leg_is_single_corpus_pass(spark):
     emb = _read(spark, "/root/testdata/sf0.001", "embeddings")
     df = hybrid_rrf_topk(docs, emb, [0, 1, 2], k=5, k_dense=10, k_lex=10)
     plan = plan_str(df, "formatted")
-    # count the detail-section Arguments lines (one per Generate node).
-    # Budget = 1 (r9): the ONE corpus-stream explode.  The |Q|-document
-    # query-term subtree is COLLECTED at construction (bounded by the query
-    # docs' vocabulary) and re-enters as driver literals, so its two
-    # broadcast uses are local-table builds — a 2nd explode in the plan
-    # means a corpus-sized generator crept back into the leg.
+    # the single-corpus-pass property, pinned at the SCAN (r11): exactly
+    # one parquet scan of documents may appear — the lexical leg's one
+    # stream (the |Q|-document query-term subtree is COLLECTED at
+    # construction and re-enters as driver literals).  A second documents
+    # scan means the idf side regrew its own corpus pass.
+    import re as _re
+
+    n_scans = len(_re.findall(r"^\(\d+\) Scan ", plan, _re.M))
+    assert n_scans == 2, f"expected 2 scans (docs, emb), plan has {n_scans}\n{plan}"
+    # r11 literal fold: TWO explode generators, both over that single
+    # stream — explode(array_intersect(tokens, <literal term array>)) (the
+    # map-side distinct matched-term set) and explode(<literal term→qids
+    # map>[term]) (the scoring assignment).  Neither is a broadcast join:
+    # the whole default-path plan carries NO BroadcastExchange at all.
     n_explode = plan.count("Arguments: explode(")
-    assert n_explode == 1, f"expected 1 explode generator, plan has {n_explode}"
-    # r10 shuffle fold: the whole brute-dense hybrid rides FOUR hash
+    assert n_explode == 2, f"expected 2 explode generators, plan has {n_explode}"
+    assert "array_intersect" in plan, "matched-term filter left the scan side"
+    # r11 shuffle fold: the whole brute-dense hybrid rides THREE hash
     # exchanges — dense top-k window (query_id), lexical term exchange
-    # (shared by the distinct AND the df window), lexical query_id exchange
-    # (shared by the score aggregate AND the top-k window), and the fusion
-    # union's query_id exchange (shared by the rrf sum AND the final
-    # window).  A fifth exchange means a stage pair stopped sharing.
+    # (the df window), and the lexical query_id exchange (shared by the
+    # score aggregate AND the top-k window).  The fusion union's own
+    # exchange is GONE: both union children arrive hash-partitioned on
+    # query_id, so the rrf sum + final window reuse that partitioning.
+    # A fourth exchange means a stage pair stopped sharing.
     import re
 
     raw = df._jdf.queryExecution().executedPlan().toString()
     n_ex = len(re.findall(r"Exchange hashpartitioning", raw))
-    assert n_ex == 4, f"expected 4 hash exchanges, plan has {n_ex}\n{raw}"
+    assert n_ex == 3, f"expected 3 hash exchanges, plan has {n_ex}\n{raw}"
     assert "Exchange SinglePartition" not in raw
+    assert "BroadcastExchange" not in raw, "literal fold regressed to a broadcast join"
