@@ -108,6 +108,27 @@ def dot_q(a, b) -> F.Column:
     )
 
 
+def _collect_legs(legs: list[DataFrame]) -> list[list]:
+    """ONE construction job for several driver-bounded row sets (r11, guide
+    §1.3/§2.4): each leg is tagged with its index and unioned, so a builder
+    that needs N tiny slices of the corpus (codebook seeds, training rows,
+    query vectors, …) pays a single job-launch floor instead of N sequential
+    ones — and at corpus scale the N scans run CONCURRENTLY inside one job
+    instead of back-to-back.  Row order within a leg is NOT guaranteed (a
+    union leg's sort may not survive collection); every caller must be
+    order-insensitive (this module's builders argsort by id on the driver).
+
+    Returns one list of Rows per leg, in leg order."""
+    tagged = None
+    for i, leg in enumerate(legs):
+        t = leg.select(F.lit(i).alias("_leg"), "*")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    out: list[list] = [[] for _ in legs]
+    for r in tagged.collect():
+        out[r["_leg"]].append(r)
+    return out
+
+
 def _gemm53(a, b) -> "np.ndarray":  # noqa: F821
     """Exact int64 GEMM through float64 BLAS.
 
@@ -858,8 +879,8 @@ def ivf_ann_topk(
     instead of the full table; the assignment pass is one Arrow/numpy GEMM
     per batch against the broadcast centroid matrix (a per-row expression
     chain over n_centroids × dims interpreted lambdas measured 4× slower at
-    sf1.0), emitting each row's nearest cell plus the query rows' n_probe
-    cells.
+    sf1.0), emitting each row's nearest cell; the query rows' n_probe probe
+    cells are computed driver-side from the same centroid matrix.
 
     Output: (query_id, neighbor_id, dot_micro2, rank) — same contract as
     ``brute_force_topk`` / ``lsh_ann_topk``."""
@@ -867,11 +888,24 @@ def ivf_ann_topk(
     from pyspark.sql import Window
 
     qids = [int(i) for i in query_ids]
-    cent_rows = (
-        emb.orderBy(id_col).limit(n_centroids).select(id_col, vec_col).collect()
-    )
     import pandas as pd
 
+    # ONE construction job (r11, guide §2.4/§5): centroids (the n_centroids
+    # smallest ids) and the query vectors ride a single union collect, and
+    # the probe cells are computed DRIVER-SIDE with the same quantize →
+    # GEMM → stable-argsort math the executor assignment uses (the
+    # ivfpq_ann_topk pattern, x115-proven).  The old shape broadcast a
+    # FILTERED VIEW of the assignment mapInArrow output; filters cannot
+    # push through an opaque Python node, so the broadcast build paid a
+    # SECOND full-corpus assignment pass (or, with persist_index, the full
+    # cache materialization) before the corpus side even started.  One
+    # corpus pass remains — the algorithm's minimum.
+    cent_rows, q_rows = _collect_legs(
+        [
+            emb.orderBy(id_col).limit(n_centroids).select(id_col, vec_col),
+            emb.where(F.col(id_col).isin(qids)).select(id_col, vec_col),
+        ]
+    )
     # centroid columns ordered by ascending cid: a STABLE argsort of -dot
     # then breaks exact-dot ties toward the lower cid, reproducing the
     # (cdot DESC, cid ASC) assignment order of the SQL oracle
@@ -879,13 +913,12 @@ def ivf_ann_topk(
     order = np.argsort(c_ids, kind="stable")
     c_ids = c_ids[order]
     c_mat = _np_quantize(pd.Series([r[vec_col] for r in cent_rows]))[order]
-    bc = emb.sparkSession.sparkContext.broadcast((c_ids, c_mat, set(qids)))
+    bc = emb.sparkSession.sparkContext.broadcast((c_ids, c_mat))
 
     def assign(batches):
         import pyarrow as pa
 
-        cids, cmat, qset = bc.value
-        qarr = np.fromiter(qset, dtype=np.int64) if qset else np.array([], np.int64)
+        cids, cmat = bc.value
         for batch in batches:
             n = batch.num_rows
             if n == 0:
@@ -895,43 +928,38 @@ def ivf_ann_topk(
             s = _gemm53(v, cmat.T)  # (n, n_centroids) int64 — exact
             ranked = np.argsort(-s, axis=1, kind="stable")  # ties → lower cid
             yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(ids),
-                    _list_array(v),
-                    pa.array(cids[ranked[:, 0]]),
-                    pa.array(np.ones(n, dtype=np.int32)),
-                ],
-                names=["vid", "ev", "cell", "crn"],
+                [pa.array(ids), _list_array(v), pa.array(cids[ranked[:, 0]])],
+                names=["vid", "ev", "cell"],
             )
-            # query rows additionally probe their 2nd..n_probe-th cells —
-            # a tiny row-count (|queries| · (n_probe-1)), emitted as its own
-            # batch so the corpus batch above stays a verbatim buffer reuse
-            idx = np.nonzero(np.isin(ids, qarr))[0]
-            reps = min(n_probe, ranked.shape[1]) - 1
-            if idx.size and reps > 0:
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(np.repeat(ids[idx], reps)),
-                        _list_array(np.repeat(v[idx], reps, axis=0)),
-                        pa.array(cids[ranked[idx, 1 : 1 + reps]].reshape(-1)),
-                        pa.array(np.tile(np.arange(2, 2 + reps, dtype=np.int32), idx.size)),
-                    ],
-                    names=["vid", "ev", "cell", "crn"],
-                )
 
-    ranked = emb.select(id_col, vec_col).mapInArrow(
-        assign, "vid long, ev array<long>, cell long, crn int"
+    assigned = emb.select(id_col, vec_col).mapInArrow(
+        assign, "vid long, ev array<long>, cell long"
     )
     if persist_index:
         # the assigned-cells table IS the IVF index — persist like any index
         # (see lsh_ann_topk.persist_index)
-        ranked = ranked.cache()
-    corpus = ranked.where(F.col("crn") == 1).select(
-        F.col("vid").alias("neighbor_id"), "ev", "cell"
-    )
+        assigned = assigned.cache()
+    corpus = assigned.select(F.col("vid").alias("neighbor_id"), "ev", "cell")
+    # driver-side probe cells: _np_quantize lands on the same micro grid as
+    # the executors' _quantize_arrow (brute_force_topk's scoring already
+    # relies on that equality), and the stable argsort reproduces the
+    # (cdot DESC, cid ASC) tie order — so each query's probe-cell set is
+    # bit-identical to the one the old second corpus pass produced
+    if q_rows:
+        q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+        q_mat = _np_quantize(pd.Series([r[vec_col] for r in q_rows]))
+        ranked_q = np.argsort(-_gemm53(q_mat, c_mat.T), axis=1, kind="stable")
+        n_p = min(n_probe, len(c_ids))
+        probe_rows = [
+            (int(q_ids[i]), [int(x) for x in q_mat[i]], int(c_ids[ranked_q[i, p]]))
+            for i in range(len(q_ids))
+            for p in range(n_p)
+        ]
+    else:
+        probe_rows = []
     probes = F.broadcast(
-        ranked.where(F.col("vid").isin(qids)).select(
-            F.col("vid").alias("query_id"), F.col("ev").alias("qv"), "cell"
+        emb.sparkSession.createDataFrame(
+            probe_rows, "query_id long, qv array<long>, cell long"
         )
     )
     rerank = (
@@ -987,7 +1015,17 @@ def pq_ann_topk(
     sub = dims // n_subspaces
     qids = [int(i) for i in query_ids]
 
-    cw_rows = emb.orderBy(id_col).limit(n_codes).select(id_col, vec_col).collect()
+    # ONE construction job (r11): codebook seeds, training rows (when
+    # training) and the query vectors fold into a single union collect —
+    # was 2-3 sequential jobs (and, at corpus scale, 2-3 back-to-back
+    # TakeOrdered/filter passes).  All three consumers argsort by id, so
+    # the helper's order-insensitivity contract holds.
+    legs = [emb.orderBy(id_col).limit(n_codes).select(id_col, vec_col)]
+    if train_rounds > 0:
+        legs.append(emb.orderBy(id_col).limit(n_train).select(id_col, vec_col))
+    legs.append(emb.where(F.col(id_col).isin(qids)).select(id_col, vec_col))
+    collected = _collect_legs(legs)
+    cw_rows, q_rows = collected[0], collected[-1]
     order = np.argsort(np.array([r[id_col] for r in cw_rows]), kind="stable")
     cw = _np_quantize(pd.Series([r[vec_col] for r in cw_rows]))[order]  # (C, dims)
 
@@ -999,7 +1037,7 @@ def pq_ann_topk(
         # mean (matches the oracle's floor(sum/count)); an empty cluster
         # keeps its previous codeword.  x113 gates this loop bit-for-bit.
         cw = cw.copy()
-        t_rows = emb.orderBy(id_col).limit(n_train).select(id_col, vec_col).collect()
+        t_rows = collected[1]
         t_order = np.argsort(np.array([r[id_col] for r in t_rows]), kind="stable")
         tmat = _np_quantize(pd.Series([r[vec_col] for r in t_rows]))[t_order]
         sub_w = dims // n_subspaces
@@ -1019,7 +1057,6 @@ def pq_ann_topk(
                         cs[c] = np.floor_divide(members.sum(0), len(members))
             cw[:, m * sub_w : (m + 1) * sub_w] = cs
 
-    q_rows = emb.where(F.col(id_col).isin(qids)).select(id_col, vec_col).collect()
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     q_mat = _np_quantize(pd.Series([r[vec_col] for r in q_rows]))  # (Q, dims)
 
@@ -2069,11 +2106,13 @@ def ivfpq_ann_topk(
     sub = dims // n_subspaces
     qids = [int(i) for i in query_ids]
 
-    head = (
-        emb.orderBy(id_col)
-        .limit(n_centroids + n_codes)
-        .select(id_col, vec_col)
-        .collect()
+    # ONE construction job (r11): the seed head and the query vectors ride
+    # a single union collect (both consumers argsort by id — order-safe)
+    head, q_rows = _collect_legs(
+        [
+            emb.orderBy(id_col).limit(n_centroids + n_codes).select(id_col, vec_col),
+            emb.where(F.col(id_col).isin(qids)).select(id_col, vec_col),
+        ]
     )
     if len(head) < n_centroids + n_codes:
         raise ValueError(
@@ -2091,7 +2130,6 @@ def ivfpq_ann_topk(
     s_cell = np.argsort(-_gemm53(seed_mat, c_mat.T), axis=1, kind="stable")[:, 0]
     cw = seed_mat - c_mat[s_cell]  # (n_codes, dims), code id == row index
 
-    q_rows = emb.where(F.col(id_col).isin(qids)).select(id_col, vec_col).collect()
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
     q_mat = _np_quantize(pd.Series([r[vec_col] for r in q_rows]))
     # each query's n_probe nearest cells, then its per-(cell, m) ADC table:
