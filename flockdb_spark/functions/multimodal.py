@@ -242,6 +242,47 @@ def decode_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, DECODED_SCHEMA)
 
 
+def synth_decode_features(docs: DataFrame) -> DataFrame:
+    """:func:`synth_media` + :func:`decode_features` fused into ONE Python
+    pass: each blob is encoded and immediately parsed back (the same
+    ``encode_ppm``/``encode_wav``/``decode_blob`` byte paths, so results are
+    bit-identical to the two-step pipeline — tests assert it) without the
+    payload ever crossing the Arrow boundary.  The two-step shape ships
+    every blob JVM→Python→JVM→Python→JVM (four payload crossings per row:
+    out of the synth worker, into the header-audit plan, back out to the
+    payload-sum worker, features back) — pure serialization overhead when
+    the blob is BORN in Python (guide §4/§8: move heavy bytes as few times
+    as possible; here: zero).  For blobs already stored in parquet the
+    JVM header audit (:func:`decode_features_fast`) remains the production
+    decode shape — this fusion is specifically for synthesize-then-decode
+    pipelines."""
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        for pdf in batches:
+            even = pdf["doc_id"] % 2 == 0
+            blobs = [
+                encode_ppm(s.encode("utf-8")) if e else encode_wav(s.encode("utf-8"))
+                for e, s in zip(even, pdf["text"])
+            ]
+            decoded = [decode_blob(b) for b in blobs]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": even.map({True: "image", False: "audio"}),
+                    "n_bytes": pd.Series([len(b) for b in blobs], dtype="int64"),
+                    "width": pd.Series([d[0] for d in decoded], dtype="int64"),
+                    "height": pd.Series([d[1] for d in decoded], dtype="int64"),
+                    "n_samples": pd.Series([d[2] for d in decoded], dtype="int64"),
+                    "sample_rate": pd.Series([d[3] for d in decoded], dtype="int64"),
+                    "payload_sum": pd.Series([d[4] for d in decoded], dtype="int64"),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, DECODED_SCHEMA)
+
+
 def _le_uint(pos: int, n_bytes: int) -> str:
     """JVM expression: little-endian unsigned int read from ``blob`` at
     1-based byte position ``pos`` — hex() each byte, concat most-significant

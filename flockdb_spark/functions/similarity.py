@@ -150,7 +150,8 @@ def _gemm53(a, b) -> "np.ndarray":  # noqa: F821
 
 
 def brute_force_topk(
-    emb: DataFrame, query_ids: list[int], k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame, query_ids: list[int], k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
+    emit_vectors: bool = False,
 ) -> DataFrame:
     """Top-k cosine neighbors for each query id (embeddings are unit-norm, so
     dot == cosine).
@@ -160,7 +161,13 @@ def brute_force_topk(
     the final exact global ranking shuffles ≤ k rows per (query, partition)
     instead of the whole score matrix.
 
-    Output: (query_id, neighbor_id, dot_micro2, rank)."""
+    ``emit_vectors=True`` additionally carries each surviving candidate's
+    quantized vector (``nv``) out of the GEMM pass — consumers that need
+    candidate vectors (mmr_rerank_topk) then skip a SECOND corpus pass +
+    broadcast join to re-gather them; the extra shuffle payload is bounded
+    at ≤ k rows × dims int64 per (query, partition).
+
+    Output: (query_id, neighbor_id, dot_micro2[, nv], rank)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
@@ -182,24 +189,32 @@ def brute_force_topk(
             scores = _gemm53(e_mat, qmat.T)  # (n, n_q) int64 — exact
             qcol = np.repeat(qids, len(e_ids))
             ncol = np.tile(e_ids, len(qids))
+            icol = np.tile(np.arange(len(e_ids), dtype=np.int64), len(qids))
             dcol = scores.T.reshape(-1)
             mask = qcol != ncol
-            qcol, ncol, dcol = qcol[mask], ncol[mask], dcol[mask]
+            qcol, ncol, dcol, icol = qcol[mask], ncol[mask], dcol[mask], icol[mask]
             # local top-k per query: exact global result after the final
             # window — lexsort on (query, -dot, neighbor), take first k of
             # each query run
             order = np.lexsort((ncol, -dcol, qcol))
-            qcol, ncol, dcol = qcol[order], ncol[order], dcol[order]
+            qcol, ncol, dcol, icol = qcol[order], ncol[order], dcol[order], icol[order]
             starts = np.flatnonzero(np.r_[True, qcol[1:] != qcol[:-1]])
             rank = np.arange(len(qcol)) - np.repeat(starts, np.diff(np.r_[starts, len(qcol)]))
             topk = rank < k
-            yield pa.record_batch(
-                {"query_id": qcol[topk], "neighbor_id": ncol[topk], "dot_micro2": dcol[topk]}
-            )
+            cols = {"query_id": qcol[topk], "neighbor_id": ncol[topk], "dot_micro2": dcol[topk]}
+            if emit_vectors:
+                sel = e_mat[icol[topk]]  # (n_out, dims) int64, micro grid
+                n_out, dims_ = sel.shape
+                cols["nv"] = pa.ListArray.from_arrays(
+                    pa.array(np.arange(0, (n_out + 1) * dims_, dims_, dtype=np.int32)),
+                    pa.array(sel.reshape(-1)),
+                )
+            yield pa.record_batch(cols)
 
-    scored = emb.select(id_col, vec_col).mapInArrow(
-        score, "query_id long, neighbor_id long, dot_micro2 long"
+    out_schema = "query_id long, neighbor_id long, dot_micro2 long" + (
+        ", nv array<bigint>" if emit_vectors else ""
     )
+    scored = emb.select(id_col, vec_col).mapInArrow(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("dot_micro2"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("int")).where(F.col("rank") <= k)
 
@@ -1228,9 +1243,13 @@ def pq_rerank_topk(
         F.col(id_col).alias("query_id"), quantized(vec_col).alias("qv")
     )
     ev = emb.select(F.col(id_col).alias("neighbor_id"), quantized(vec_col).alias("ev"))
+    # the candidate side (≤ |Q|·candidates rows) is the BROADCAST side of
+    # the rerank gather — the corpus streams through the join un-shuffled
+    # and un-broadcast (without the hint, small-SF estimates broadcast the
+    # CORPUS; at 100 TB the same plan degrades to a corpus shuffle) —
+    # guide §3.1: pick the build side deliberately
     rer = (
-        cand.join(F.broadcast(qv), "query_id")
-        .join(ev, "neighbor_id")
+        ev.join(F.broadcast(cand.join(F.broadcast(qv), "query_id")), "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -1488,7 +1507,15 @@ def lsh_ann_topk(
             (F.col("bucket") == F.col("qbucket")) & (F.col("tbl") == F.col("qtbl")),
         )
         .where(F.col("neighbor_id") != F.col("query_id"))
-        # a neighbor found via two probes/tables must rank once
+        # a neighbor found via two probes/tables must rank once.  The dedup
+        # aggregate and the ranking window share ONE exchange: hash
+        # partitioning on query_id satisfies both the (query_id, neighbor_id)
+        # dedup's clustering requirement (subset rule) and the window's —
+        # without the explicit repartition Catalyst plans exchange(q, n) for
+        # the aggregate PLUS exchange(q) for the window (guide §2.4).
+        # Candidate volume per query is bucket-bounded (n_probe·L·budget), so
+        # one partition per query never sees corpus-sized input.
+        .repartition("query_id")
         .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id", dot_q(F.col("qv"), F.col("ev")).alias("dot_micro2"))
     )
@@ -2355,10 +2382,12 @@ def mmr_rerank_topk(
 
     Scale shape: the candidate stage is ``brute_force_topk`` (one GEMM pass,
     local top-k — swap in ``lsh_ann_topk``/``ivfpq_ann_topk`` past its
-    crossover); candidate vectors come from ONE broadcast-semi-join of the
-    driver-tiny candidate list against the vector table; the greedy loop
-    runs per query group over ≤ k_cand rows (Arrow-batched, k_cand²
-    integer GEMM per query — bounded, never corpus-sized).
+    crossover) with ``emit_vectors=True``, so candidate vectors ride out of
+    the GEMM pass itself — ONE corpus pass total, no second scan and no
+    broadcast re-gather join; the greedy loop runs per query group over
+    ≤ k_cand rows (Arrow-batched, k_cand² integer GEMM per query — bounded,
+    never corpus-sized) and reuses the ranking window's query_id
+    partitioning, so the whole query costs a single exchange (guide §2.4).
 
     Output: (query_id, neighbor_id, rel_micro2, mmr_score, rank ≤ k)."""
     import numpy as np
@@ -2367,10 +2396,9 @@ def mmr_rerank_topk(
     if not 0 < lam_num <= lam_den:
         raise ValueError(f"need 0 < lam_num <= lam_den, got {lam_num}/{lam_den}")
     pen = lam_den - lam_num
-    cand = brute_force_topk(emb, qids, k=k_cand, id_col=id_col, vec_col=vec_col)
-    withv = emb.select(
-        F.col(id_col).alias("neighbor_id"), quantized(vec_col).alias("nv")
-    ).join(F.broadcast(cand.select("query_id", "neighbor_id", "dot_micro2")), "neighbor_id")
+    withv = brute_force_topk(
+        emb, qids, k=k_cand, id_col=id_col, vec_col=vec_col, emit_vectors=True
+    ).select("query_id", "neighbor_id", "dot_micro2", "nv")
 
     def select_mmr(pdf):
         import pandas as pd
@@ -2541,7 +2569,7 @@ def top_pc_projection(
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            arr = batch.column(1)
+            arr = batch.column(0)
             if isinstance(arr, pa.ChunkedArray):
                 arr = arr.combine_chunks()
             flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
@@ -2562,7 +2590,10 @@ def top_pc_projection(
             )
 
     stats = (
-        emb.select(id_col, vec_col)
+        # vec_col ONLY: the id column would otherwise ship through Arrow
+        # into an opaque function that never reads it (guide §4.1 — Spark
+        # cannot prune columns past mapInArrow; select first)
+        emb.select(vec_col)
         .mapInArrow(partials, "i long, j long, p long")
         .groupBy("i", "j")
         .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("s"))
@@ -3088,7 +3119,15 @@ def binary_ann_topk(
         F.col(id_col).alias("vid"), quantized(vec_col).alias("_ev")
     ).select("vid", F.expr(f"array({', '.join(packs)})").alias("sks"))
 
-    q_rows = skd.where(F.col("vid").isin(qids)).collect()
+    # ONE query-side job: collect sketches AND quantized vectors together —
+    # the rerank's query vectors then come from a local relation instead of
+    # a second scan + broadcast-build job over the corpus (guide §2.4)
+    q_rows = (
+        emb.where(F.col(id_col).isin(qids))
+        .select(F.col(id_col).alias("vid"), quantized(vec_col).alias("_ev"))
+        .select("vid", "_ev", F.expr(f"array({', '.join(packs)})").alias("sks"))
+        .collect()
+    )
     if len(q_rows) != len(qids):
         raise ValueError(
             f"binary_ann_topk: {len(qids) - len(q_rows)} query ids missing "
@@ -3146,13 +3185,20 @@ def binary_ann_topk(
         .where(F.col("crn") <= k_cand)
         .select("query_id", "neighbor_id")
     )
-    qv = emb.where(F.col(id_col).isin(qids)).select(
-        F.col(id_col).alias("query_id"), quantized(vec_col).alias("qv")
+    # query vectors from the rows already collected above (zero extra scan
+    # jobs); the candidate side (≤ |Q|·k_cand rows) is the BROADCAST side of
+    # the rerank gather — the corpus streams through the join un-shuffled
+    # and un-broadcast.  Without the hint the planner sizes the sides from
+    # estimates and at small SF broadcasts the CORPUS (a full scan+quantize
+    # broadcast build; at 100 TB the same plan degrades to a corpus
+    # shuffle) — guide §3.1: pick the build side deliberately.
+    qv = emb.sparkSession.createDataFrame(
+        [(int(r["vid"]), [int(x) for x in r["_ev"]]) for r in q_rows],
+        "query_id long, qv array<bigint>",
     )
     ev = emb.select(F.col(id_col).alias("neighbor_id"), quantized(vec_col).alias("ev"))
     rer = (
-        cand.join(F.broadcast(qv), "query_id")
-        .join(ev, "neighbor_id")
+        ev.join(F.broadcast(cand.join(F.broadcast(qv), "query_id")), "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",

@@ -709,11 +709,13 @@ def x12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("x111_media_decode", multimodal.media_decode_sql())
 def x111(spark: SparkSession, sf_dir: str) -> DataFrame:
-    media = multimodal.synth_media(_read(spark, sf_dir, "documents"))
-    # the JVM header-audit fast path (r10): every fixed-layout header field
-    # parses codegen-side; Arrow touches bytes only for the payload sum.
-    # tests/test_functions.py asserts equality with the generic decoder.
-    return multimodal.decode_features_fast(media)
+    # r11: synth + decode FUSED into one Python pass — the blob is born and
+    # parsed in the same worker, so the payload never crosses the Arrow
+    # boundary (the r10 two-step shape shipped it 4×; guide §4).  Same
+    # encode/decode byte paths, bit-identical output (tests assert equality
+    # with decode_features_fast(synth_media(...)), which remains the
+    # production shape for blobs already stored in parquet).
+    return multimodal.synth_decode_features(_read(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------

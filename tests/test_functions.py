@@ -2126,6 +2126,89 @@ def test_media_decode_fast_path_matches_generic(spark):
     assert generic["n_samples"] == 4 and generic["payload_sum"] == sum(payload)
 
 
+def test_synth_decode_fused_matches_two_step(spark):
+    """r11: the fused synth+decode single Python pass (x111's shape — the
+    blob never crosses the Arrow boundary) must be row-identical to the
+    two-step pipeline (synth_media → decode_features_fast / decode_features)
+    on every codec branch, including non-ASCII and empty payloads."""
+    docs = spark.createDataFrame(
+        [
+            (0, "plain ascii payload " * 9),
+            (1, "héllo wörld 日本語 🚀" * 11),
+            (2, ""),
+            (3, "é" * 31),
+            (4, "x"),
+            (5, "even doc -> ppm " * 4),
+        ],
+        "doc_id long, text string",
+    )
+    media = multimodal.synth_media(docs)
+    two_step = {r["doc_id"]: r.asDict() for r in multimodal.decode_features(media).collect()}
+    fast = {r["doc_id"]: r.asDict() for r in multimodal.decode_features_fast(media).collect()}
+    fused = {r["doc_id"]: r.asDict() for r in multimodal.synth_decode_features(docs).collect()}
+    assert fused == two_step == fast
+
+
+def test_brute_force_emit_vectors_parity(spark):
+    """r11: emit_vectors=True (mmr's single-corpus-pass feed) must rank
+    identically to the default output and carry exactly each neighbor's
+    micro-quantized vector."""
+    from flockdb_spark.sources.edges import _read
+
+    emb = _read(spark, "/root/testdata/sf0.001", "embeddings")
+    qids = [0, 1, 2]
+    base = similarity.brute_force_topk(emb, qids, k=5).collect()
+    withv = similarity.brute_force_topk(emb, qids, k=5, emit_vectors=True).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert {key(r): (r["neighbor_id"], r["dot_micro2"]) for r in withv} == {
+        key(r): (r["neighbor_id"], r["dot_micro2"]) for r in base
+    }
+    truth = {
+        r["vec_id"]: r["q"]
+        for r in emb.select("vec_id", similarity.quantized("embedding").alias("q")).collect()
+    }
+    for r in withv:
+        assert list(r["nv"]) == list(truth[r["neighbor_id"]])
+
+
+def test_rerank_gather_streams_corpus_unshuffled(spark):
+    """r11 (guide §3.1): the exact-rerank gather in binary_ann_topk /
+    pq_rerank_topk must BROADCAST the candidate side — the corpus scan may
+    be neither broadcast (8 GB cap at scale) nor exchanged (corpus shuffle).
+    Pinned on the physical plan: every BroadcastExchange subtree must be
+    query-bounded (contain the candidate pipeline's window/local-relation,
+    not a bare corpus scan)."""
+    from flockdb_spark.sources.edges import _read
+
+    emb = _read(spark, "/root/testdata/sf0.001", "embeddings")
+    for df in (
+        similarity.binary_ann_topk(emb, [0, 1], k=3, k_cand=10),
+        similarity.pq_rerank_topk(emb, [0, 1], k=3, candidates=10),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for c in getattr(df, "_flockdb_caches", []):
+            c.unpersist()
+        # each broadcast build must be query-bounded: the candidate ranking
+        # (Window / WindowGroupLimit), a LocalTableScan (collected query
+        # vectors), or an IN(query_ids)-filtered scan — a BroadcastExchange
+        # whose subtree is an UNfiltered scan+project would be the corpus
+        # being broadcast
+        import re
+
+        builds = plan.split("BroadcastExchange")[1:]
+        assert builds, plan
+        for b in builds:
+            head = b[:4000]
+            assert re.search(
+                # candidate ranking, collected-literal relation (LocalTableScan
+                # or the |Q|-row createDataFrame RDD, recognizably NOT the
+                # corpus by its derived column names), or an IN-filtered scan
+                r"Window|LocalTableScan|WindowGroupLimit|IN \(0,1\)"
+                r"|Scan ExistingRDD\[query_id",
+                head,
+            ), plan
+
+
 def test_hybrid_rrf_dense_leg_auto_switch(spark):
     """hybrid_rrf_topk's dense leg auto-selects: brute GEMM under the dot
     budget, LSH-bucketed ANN above it — the plan must actually change at
