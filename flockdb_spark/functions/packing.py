@@ -36,16 +36,18 @@ def pack_sequences(
     Documents straddle sequence boundaries exactly as in concat-then-chunk
     pretraining; downstream writers slice on ``seq_id``/``seq_offset``.
     """
-    # the tokenized projection feeds BOTH the shard-totals aggregate and the
-    # per-shard window — cache it so the corpus is read and tokenized ONCE.
-    # The cached frame is 3 int64s per document (no text), so at 100 TB it is
-    # ~24 bytes/doc — memory-trivial next to the corpus it replaces; the
-    # handle rides on the result as _flockdb_caches (dedup.py convention).
+    # No cache (r11): the old shape cached the tokenized projection to share
+    # it between the shard-totals aggregate and the per-shard window, paying
+    # a cache materialization pass + storage-memory pressure.  Tokenizing
+    # (one split()) is cheaper than materializing: the totals branch
+    # re-derives it map-side and its partial aggregation shuffles only
+    # ~n_shards rows per mapper (the corpus-sized bytes cross exactly one
+    # exchange — the window's); guide §2.3 "aggregate before you shuffle".
     d = df.select(
         F.col(id_col).alias("doc_id"),
         token_count(text_col).cast("long").alias("n_tokens"),
         F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
-    ).cache()
+    )
     totals = d.groupBy("shard").agg(F.sum("n_tokens").alias("shard_tokens"))
     # n_shards rows: the single-partition window here is over a tiny dim table
     w_base = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
@@ -58,7 +60,7 @@ def pack_sequences(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col("base")
-    out = (
+    return (
         d.join(F.broadcast(base), "shard")
         .withColumn("cum_before", cum)
         .select(
@@ -69,8 +71,6 @@ def pack_sequences(
             (F.col("cum_before") % budget).alias("seq_offset"),
         )
     )
-    out._flockdb_caches = [d]  # released by the caller post-materialization
-    return out
 
 
 def ordered_prefix_sum(
