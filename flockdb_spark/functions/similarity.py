@@ -997,6 +997,7 @@ def pq_ann_topk(
     vec_col: str = "embedding",
     train_rounds: int = 0,
     n_train: int = 256,
+    emit_dot: bool = False,
 ) -> DataFrame:
     """Product-quantization ANN (Jégou et al. 2011): split each vector into
     ``n_subspaces`` sub-vectors, quantize each against a per-subspace
@@ -1021,8 +1022,15 @@ def pq_ann_topk(
     arithmetic is exact int64 on the micro-quantized grid, so the DuckDB
     twin (x112) reproduces every distance bit-for-bit.
 
-    Output: (query_id, neighbor_id, adist, rank) — adist ASC (smaller is
-    closer), ties broken by neighbor_id; rank ≤ k, self excluded."""
+    ``emit_dot=True`` additionally computes the EXACT integer dot for the
+    local top-k rows only (≤ k·|Q| per batch — einsum over the selected
+    rows, never the n×|Q| brute GEMM), so the two-stage rerank recipe
+    (pq_rerank_topk) rides this one corpus pass instead of paying a second
+    gather pass + joins.
+
+    Output: (query_id, neighbor_id, adist[, dot_micro2], rank) — adist ASC
+    (smaller is closer), ties broken by neighbor_id; rank ≤ k, self
+    excluded."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
@@ -1088,12 +1096,13 @@ def pq_ann_topk(
             + (cs * cs).sum(1)[None, :]
             - 2 * _gemm53(qs, cs.T)
         )
-    bc = emb.sparkSession.sparkContext.broadcast((cw, q_ids, tables))
+    bc = emb.sparkSession.sparkContext.broadcast((cw, q_ids, tables, q_mat))
 
     def score(batches):
         import pyarrow as pa
 
-        cwm, qids_np, tabs = bc.value
+        cwm, qids_np, tabs, qm = bc.value
+        qpos_of = {int(q): i for i, q in enumerate(qids_np)}
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -1116,22 +1125,32 @@ def pq_ann_topk(
                 adist += tabs[:, m, codes]  # (Q, n) lookup-sum — the ADC
             qcol = np.repeat(qids_np, n)
             ncol = np.tile(ids, len(qids_np))
+            icol = np.tile(np.arange(n, dtype=np.int64), len(qids_np))
             dcol = adist.reshape(-1)
             mask = qcol != ncol
-            qcol, ncol, dcol = qcol[mask], ncol[mask], dcol[mask]
+            qcol, ncol, dcol, icol = qcol[mask], ncol[mask], dcol[mask], icol[mask]
             # local top-k per query (adist ASC, neighbor ASC)
             order = np.lexsort((ncol, dcol, qcol))
-            qcol, ncol, dcol = qcol[order], ncol[order], dcol[order]
+            qcol, ncol, dcol, icol = qcol[order], ncol[order], dcol[order], icol[order]
             starts = np.flatnonzero(np.r_[True, qcol[1:] != qcol[:-1]])
             pos = np.arange(len(qcol)) - np.repeat(starts, np.diff(np.r_[starts, len(qcol)]))
             topk = pos < k
-            yield pa.record_batch(
-                {"query_id": qcol[topk], "neighbor_id": ncol[topk], "adist": dcol[topk]}
-            )
+            cols = {"query_id": qcol[topk], "neighbor_id": ncol[topk], "adist": dcol[topk]}
+            if emit_dot:
+                # exact dot for the selected rows only: row-wise einsum over
+                # ≤ k·|Q| (vector, query) pairs — exact in float64 on the
+                # micro grid (same 2^53 bound as _gemm53)
+                qsel = np.array([qpos_of[int(q)] for q in qcol[topk]], dtype=np.int64)
+                vsel = v[icol[topk]].astype(np.float64)
+                cols["dot_micro2"] = np.einsum(
+                    "ij,ij->i", vsel, qm[qsel].astype(np.float64)
+                ).astype(np.int64)
+            yield pa.record_batch(cols)
 
-    scored = emb.select(id_col, vec_col).mapInArrow(
-        score, "query_id long, neighbor_id long, adist long"
+    out_schema = "query_id long, neighbor_id long, adist long" + (
+        ", dot_micro2 long" if emit_dot else ""
     )
+    scored = emb.select(id_col, vec_col).mapInArrow(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("int")).where(F.col("rank") <= k)
 
@@ -1227,37 +1246,27 @@ def pq_rerank_topk(
     prefilter's capture rate (measured in RECALL.md: trained C=256 top-100
     holds 0.74 of the true top-10 at sf1.0 vs 0.24 for raw ADC top-10)
     while the exact-scoring cost drops from corpus-sized to
-    |Q|·candidates.  At 100 TB the rerank join is a broadcast semi-join of
-    a driver-tiny candidate list against the vector table — the only
-    full-width vector reads are the ≤|Q|·candidates winners.
+    |Q|·candidates.  At 100 TB the exact rerank rides the ADC pass itself
+    (``emit_dot`` — the scorer already holds each batch's vectors, so the
+    exact dot of the ≤ k·|Q| local winners is a row-wise einsum, not a
+    second corpus gather): one corpus pass, no joins, one exchange.
 
     Output: (query_id, neighbor_id, dot_micro2, rank) — the exact-dot
     contract shared by brute_force_topk / lsh_ann_topk / ivf_ann_topk."""
     from pyspark.sql import Window
 
     qids = [int(i) for i in query_ids]
+    # the exact dot rides the ADC pass itself (emit_dot — computed for the
+    # local top-candidates only, r11): no second corpus pass, no gather
+    # joins, no broadcast builds; the candidate cut (adist window inside
+    # pq_ann_topk) and the exact-dot ranking below share ONE query_id
+    # exchange (guide §2.4/§8)
     cand = pq_ann_topk(
-        emb, qids, k=candidates, id_col=id_col, vec_col=vec_col, **pq_kwargs
-    ).select("query_id", "neighbor_id")
-    qv = emb.where(F.col(id_col).isin(qids)).select(
-        F.col(id_col).alias("query_id"), quantized(vec_col).alias("qv")
-    )
-    ev = emb.select(F.col(id_col).alias("neighbor_id"), quantized(vec_col).alias("ev"))
-    # the candidate side (≤ |Q|·candidates rows) is the BROADCAST side of
-    # the rerank gather — the corpus streams through the join un-shuffled
-    # and un-broadcast (without the hint, small-SF estimates broadcast the
-    # CORPUS; at 100 TB the same plan degrades to a corpus shuffle) —
-    # guide §3.1: pick the build side deliberately
-    rer = (
-        ev.join(F.broadcast(cand.join(F.broadcast(qv), "query_id")), "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            dot_q(F.col("qv"), F.col("ev")).alias("dot_micro2"),
-        )
-    )
+        emb, qids, k=candidates, id_col=id_col, vec_col=vec_col, emit_dot=True,
+        **pq_kwargs,
+    ).select("query_id", "neighbor_id", "dot_micro2")
     w = Window.partitionBy("query_id").orderBy(F.desc("dot_micro2"), F.asc("neighbor_id"))
-    return rer.withColumn("rank", F.row_number().over(w).cast("int")).where(F.col("rank") <= k)
+    return cand.withColumn("rank", F.row_number().over(w).cast("int")).where(F.col("rank") <= k)
 
 
 def pq_rerank_sql(
@@ -3117,11 +3126,12 @@ def binary_ann_topk(
     packs = [_rot_pack("_ev", dims, r) for r in range(n_sk)]
     skd = emb.select(
         F.col(id_col).alias("vid"), quantized(vec_col).alias("_ev")
-    ).select("vid", F.expr(f"array({', '.join(packs)})").alias("sks"))
+    ).select("vid", "_ev", F.expr(f"array({', '.join(packs)})").alias("sks"))
 
     # ONE query-side job: collect sketches AND quantized vectors together —
-    # the rerank's query vectors then come from a local relation instead of
-    # a second scan + broadcast-build job over the corpus (guide §2.4)
+    # the exact rerank then happens INSIDE the sketch pass (below) against
+    # these broadcast query vectors, so there is no second corpus pass, no
+    # gather join and no broadcast build at all (r11; guide §2.4/§8)
     q_rows = (
         emb.where(F.col(id_col).isin(qids))
         .select(F.col(id_col).alias("vid"), quantized(vec_col).alias("_ev"))
@@ -3135,19 +3145,26 @@ def binary_ann_topk(
         )
     q_ids = np.array([r["vid"] for r in q_rows], dtype=np.int64)
     q_sk = np.array([r["sks"] for r in q_rows], dtype=np.int64)  # (|Q|, n_sk)
-    bc = emb.sparkSession.sparkContext.broadcast((q_ids, q_sk))
+    q_ev = np.array([r["_ev"] for r in q_rows], dtype=np.int64)  # (|Q|, dims)
+    bc = emb.sparkSession.sparkContext.broadcast((q_ids, q_sk, q_ev))
 
     def ham(batches):
         import pyarrow as pa
 
-        qi, qs = bc.value
+        qi, qs, qe = bc.value
         for batch in batches:
             if batch.num_rows == 0:
                 continue
             ids = _i64_arrow(batch.column(0))
+            ev = (
+                batch.column(1)
+                .values.to_numpy(zero_copy_only=False)
+                .reshape(len(ids), -1)
+                .astype(np.int64)
+            )
             # fixed-length list<int64> → (n, n_sk) without a Python loop
             sk = (
-                batch.column(1)
+                batch.column(2)
                 .values.to_numpy(zero_copy_only=False)
                 .reshape(len(ids), n_sk)
             )
@@ -3163,51 +3180,40 @@ def binary_ann_topk(
                 .min(axis=2)
                 .astype(np.int64)
             )
-            qout, nout, hout = [], [], []
+            qout, nout, hout, dout = [], [], [], []
             for j in range(len(qi)):
                 sel = np.nonzero(ids != qi[j])[0]
                 top = sel[np.lexsort((ids[sel], h[sel, j]))[:k_cand]]
                 qout.append(np.full(len(top), qi[j], dtype=np.int64))
                 nout.append(ids[top])
                 hout.append(h[top, j])
+                # exact integer dot for the LOCAL candidates only (≤ k_cand
+                # rows per query per batch) — the rerank rides the sketch
+                # pass instead of a second corpus gather
+                dout.append(_gemm53(ev[top], qe[j][:, None]).reshape(-1))
             yield pa.record_batch(
                 {
                     "query_id": np.concatenate(qout),
                     "neighbor_id": np.concatenate(nout),
                     "hamming": np.concatenate(hout),
+                    "dot_micro2": np.concatenate(dout),
                 }
             )
 
-    scored = skd.mapInArrow(ham, "query_id long, neighbor_id long, hamming long")
+    scored = skd.mapInArrow(
+        ham, "query_id long, neighbor_id long, hamming long, dot_micro2 long"
+    )
+    # global candidate cut by (hamming, neighbor_id), then the exact-dot
+    # ranking among the survivors — two windows over the SAME query_id
+    # partitioning: one exchange for the whole query (guide §2.4)
     wc = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("neighbor_id"))
-    cand = (
+    w = Window.partitionBy("query_id").orderBy(F.desc("dot_micro2"), F.asc("neighbor_id"))
+    out = (
         scored.withColumn("crn", F.row_number().over(wc))
         .where(F.col("crn") <= k_cand)
-        .select("query_id", "neighbor_id")
-    )
-    # query vectors from the rows already collected above (zero extra scan
-    # jobs); the candidate side (≤ |Q|·k_cand rows) is the BROADCAST side of
-    # the rerank gather — the corpus streams through the join un-shuffled
-    # and un-broadcast.  Without the hint the planner sizes the sides from
-    # estimates and at small SF broadcasts the CORPUS (a full scan+quantize
-    # broadcast build; at 100 TB the same plan degrades to a corpus
-    # shuffle) — guide §3.1: pick the build side deliberately.
-    qv = emb.sparkSession.createDataFrame(
-        [(int(r["vid"]), [int(x) for x in r["_ev"]]) for r in q_rows],
-        "query_id long, qv array<bigint>",
-    )
-    ev = emb.select(F.col(id_col).alias("neighbor_id"), quantized(vec_col).alias("ev"))
-    rer = (
-        ev.join(F.broadcast(cand.join(F.broadcast(qv), "query_id")), "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            dot_q(F.col("qv"), F.col("ev")).alias("dot_micro2"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("dot_micro2"), F.asc("neighbor_id"))
-    out = rer.withColumn("rank", F.row_number().over(w).cast("int")).where(
-        F.col("rank") <= k
+        .select("query_id", "neighbor_id", "dot_micro2")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
     )
     out._flockdb_caches = [bc]  # the release convention (see ivfpq_ann_topk)
     return out

@@ -2171,13 +2171,13 @@ def test_brute_force_emit_vectors_parity(spark):
         assert list(r["nv"]) == list(truth[r["neighbor_id"]])
 
 
-def test_rerank_gather_streams_corpus_unshuffled(spark):
-    """r11 (guide §3.1): the exact-rerank gather in binary_ann_topk /
-    pq_rerank_topk must BROADCAST the candidate side — the corpus scan may
-    be neither broadcast (8 GB cap at scale) nor exchanged (corpus shuffle).
-    Pinned on the physical plan: every BroadcastExchange subtree must be
-    query-bounded (contain the candidate pipeline's window/local-relation,
-    not a bare corpus scan)."""
+def test_rerank_is_single_pass_no_joins(spark):
+    """r11 (guide §2.4/§8): the two-stage rerank recipes (binary_ann_topk,
+    pq_rerank_topk) compute the exact dot INSIDE the prefilter's Arrow pass
+    for the local candidates — pinned on the physical plan: ONE corpus pass
+    (one MapInArrow), no joins of any kind, and the only exchange is the
+    query_id candidate/ranking cut.  The corpus is never broadcast (8 GB
+    cap at scale) and never shuffled."""
     from flockdb_spark.sources.edges import _read
 
     emb = _read(spark, "/root/testdata/sf0.001", "embeddings")
@@ -2188,25 +2188,10 @@ def test_rerank_gather_streams_corpus_unshuffled(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         for c in getattr(df, "_flockdb_caches", []):
             c.unpersist()
-        # each broadcast build must be query-bounded: the candidate ranking
-        # (Window / WindowGroupLimit), a LocalTableScan (collected query
-        # vectors), or an IN(query_ids)-filtered scan — a BroadcastExchange
-        # whose subtree is an UNfiltered scan+project would be the corpus
-        # being broadcast
-        import re
-
-        builds = plan.split("BroadcastExchange")[1:]
-        assert builds, plan
-        for b in builds:
-            head = b[:4000]
-            assert re.search(
-                # candidate ranking, collected-literal relation (LocalTableScan
-                # or the |Q|-row createDataFrame RDD, recognizably NOT the
-                # corpus by its derived column names), or an IN-filtered scan
-                r"Window|LocalTableScan|WindowGroupLimit|IN \(0,1\)"
-                r"|Scan ExistingRDD\[query_id",
-                head,
-            ), plan
+        assert plan.count("MapInArrow") == 1, plan
+        assert "Join" not in plan, plan  # no SMJ/BHJ/SHJ — nothing to join
+        assert "BroadcastExchange" not in plan, plan
+        assert plan.count("Exchange hashpartitioning(query_id") == 1, plan
 
 
 def test_hybrid_rrf_dense_leg_auto_switch(spark):
