@@ -621,6 +621,17 @@ def hybrid_rrf_topk(
     from .similarity import brute_force_topk, lsh_ann_topk
 
     qids = [int(i) for i in query_ids]
+    toks = tokens(text_col)
+    # query-side terms: explode ONLY the |Q| query documents and COLLECT
+    # them (r9 job audit) — the (query_id, term) set is bounded by the |Q|
+    # query documents' vocabulary at ANY corpus size, and as a plan subtree
+    # it was re-executed by EVERY broadcast build that referenced it (the
+    # term filter AND the scoring join each re-ran the |Q|-doc scan as
+    # their own job: 18 jobs/pass at sf0.1, ~4 of them corpus-path scans).
+    # As driver literals both broadcasts become local-table builds — zero
+    # extra jobs.  n_docs folds into the scoring expression the same way
+    # (the 1-row crossJoin broadcast was a third re-run).
+    qterm_rows = None
     if dense_fn is None:
         # one metadata-cheap count decides the leg (same rule family as
         # lsh_auto_shape / heavy_hitters 'auto').  Callers that read from
@@ -631,7 +642,29 @@ def hybrid_rrf_topk(
         if n_vectors is None:
             n_vectors = cached_count(emb)
         if n_vectors * max(len(qids), 1) <= dense_brute_max_dots:
-            dense_fn = lambda e, q, kk: brute_force_topk(e, q, k=kk)  # noqa: E731
+            # ONE construction job for BOTH driver-bounded query-side sets
+            # (r11, guide §1.3/§2.4): the dense leg's query vectors and the
+            # lexical leg's query terms collect through a single tagged
+            # union (similarity._collect_legs) instead of two back-to-back
+            # job launches.  float→double widening is exact, so the GEMM
+            # quantization sees the same values the standalone collect did.
+            from .similarity import _collect_legs
+
+            term_leg = docs.where(F.col("doc_id").isin(qids)).select(
+                F.col("doc_id").cast("long").alias("qid"),
+                F.explode(toks).alias("term"),
+                F.lit(None).cast("array<double>").alias("vec"),
+            )
+            vec_leg = emb.where(F.col("vec_id").isin(qids)).select(
+                F.col("vec_id").cast("long").alias("qid"),
+                F.lit(None).cast("string").alias("term"),
+                F.col("embedding").cast("array<double>").alias("vec"),
+            )
+            qterm_rows, qvec_rows = _collect_legs([term_leg, vec_leg])
+            qvecs = [(int(r["qid"]), r["vec"]) for r in qvec_rows]
+            dense_fn = (  # noqa: E731
+                lambda e, q, kk: brute_force_topk(e, q, k=kk, query_rows=qvecs)
+            )
         else:
             dense_fn = (  # noqa: E731
                 lambda e, q, kk: lsh_ann_topk(e, q, k=kk, n_vectors=n_vectors)
@@ -642,25 +675,16 @@ def hybrid_rrf_topk(
         F.col("rank").cast("long").alias("dense_rank"),
     )
 
-    # query-side terms: explode ONLY the |Q| query documents and COLLECT
-    # them (r9 job audit) — the (query_id, term) set is bounded by the |Q|
-    # query documents' vocabulary at ANY corpus size, and as a plan subtree
-    # it was re-executed by EVERY broadcast build that referenced it (the
-    # term filter AND the scoring join each re-ran the |Q|-doc scan as
-    # their own job: 18 jobs/pass at sf0.1, ~4 of them corpus-path scans).
-    # As driver literals both broadcasts become local-table builds — zero
-    # extra jobs.  n_docs folds into the scoring expression the same way
-    # (the 1-row crossJoin broadcast was a third re-run).
-    toks = tokens(text_col)
-    qterm_rows = (
-        docs.where(F.col("doc_id").isin(qids))
-        .select(F.col("doc_id").alias("query_id"), F.explode(toks).alias("term"))
-        .collect()
-    )
+    if qterm_rows is None:
+        qterm_rows = (
+            docs.where(F.col("doc_id").isin(qids))
+            .select(F.col("doc_id").alias("qid"), F.explode(toks).alias("term"))
+            .collect()
+        )
     # dedup driver-side (r11): the collect is bounded by the |Q| query
     # documents' token count either way, and dropping the .distinct() drops
     # that job's shuffle stage — the construction pays one map-only stage
-    qterm_pairs = sorted({(int(r["query_id"]), r["term"]) for r in qterm_rows})
+    qterm_pairs = sorted({(int(r["qid"]), r["term"]) for r in qterm_rows})
     if n_docs is None:
         n_docs = cached_count(docs)
     # corpus side: scan+explode, filter to query terms BEFORE the distinct

@@ -152,6 +152,7 @@ def _gemm53(a, b) -> "np.ndarray":  # noqa: F821
 def brute_force_topk(
     emb: DataFrame, query_ids: list[int], k: int = 10, id_col: str = "vec_id", vec_col: str = "embedding",
     emit_vectors: bool = False,
+    query_rows: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Top-k cosine neighbors for each query id (embeddings are unit-norm, so
     dot == cosine).
@@ -167,14 +168,21 @@ def brute_force_topk(
     broadcast join to re-gather them; the extra shuffle payload is bounded
     at ≤ k rows × dims int64 per (query, partition).
 
+    ``query_rows`` lets a caller that has ALREADY collected the (id, vector)
+    pairs (e.g. hybrid_rrf_topk's one-job construction union — guide §1.3)
+    skip this function's own collect job; the pairs must be exactly the
+    ``query_ids`` rows of ``emb``.
+
     Output: (query_id, neighbor_id, dot_micro2[, nv], rank)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import Window
 
-    q_rows = emb.where(F.col(id_col).isin([int(i) for i in query_ids])).select(id_col, vec_col).collect()
-    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
-    q_mat = _np_quantize(pd.Series([r[vec_col] for r in q_rows]))
+    if query_rows is None:
+        q_rows = emb.where(F.col(id_col).isin([int(i) for i in query_ids])).select(id_col, vec_col).collect()
+        query_rows = [(r[id_col], r[vec_col]) for r in q_rows]
+    q_ids = np.array([i for i, _ in query_rows], dtype=np.int64)
+    q_mat = _np_quantize(pd.Series([v for _, v in query_rows]))
     bc = emb.sparkSession.sparkContext.broadcast((q_ids, q_mat))
 
     def score(batches):

@@ -2171,6 +2171,33 @@ def test_brute_force_emit_vectors_parity(spark):
         assert list(r["nv"]) == list(truth[r["neighbor_id"]])
 
 
+def test_brute_force_query_rows_parity(spark):
+    """r11 (guide §1.3): pre-collected query_rows (hybrid_rrf_topk's one-job
+    construction union) must produce exactly the standalone-collect ranking —
+    including vectors that crossed the union as array<double> (float→double
+    widening is exact, so quantization cannot move)."""
+    from flockdb_spark.sources.edges import _read
+    from pyspark.sql import functions as F
+
+    emb = _read(spark, "/root/testdata/sf0.001", "embeddings")
+    qids = [0, 1, 2]
+    base = similarity.brute_force_topk(emb, qids, k=5).collect()
+    pre = [
+        (r["vec_id"], r["v"])
+        for r in emb.where(F.col("vec_id").isin(qids))
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    ]
+    # reversed order: the result must not depend on collection order
+    withrows = similarity.brute_force_topk(
+        emb, qids, k=5, query_rows=list(reversed(pre))
+    ).collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert {key(r): (r["neighbor_id"], r["dot_micro2"]) for r in withrows} == {
+        key(r): (r["neighbor_id"], r["dot_micro2"]) for r in base
+    }
+
+
 def test_rerank_is_single_pass_no_joins(spark):
     """r11 (guide §2.4/§8): the two-stage rerank recipes (binary_ann_topk,
     pq_rerank_topk) compute the exact dot INSIDE the prefilter's Arrow pass
