@@ -108,15 +108,24 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     naive wedge count explodes at the hubs.  Three hash joins, no windows,
     no global sort.  Output: (node_id, n_triangles) for vertices in ≥1
     triangle."""
-    deg = (
-        pairs.select(F.col("u").alias("n"))
-        .unionAll(pairs.select(F.col("v").alias("n")))
-        .groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
+    # ONE reference to the (possibly expensive) pairs subtree (r11, guide
+    # §2.4): the exploded endpoint stream feeds BOTH the degree count and
+    # the degree attach, so pairs' own plan (a self-join + distinct for the
+    # x27 fixture) is computed once per branch instead of four times — and
+    # the single n-keyed join replaces the former join-on-u + join-on-v
+    # pair (two edge-sized exchanges).  The (u, v) re-group rides the
+    # distinct's partitioning when deg broadcasts (small-side estimate);
+    # at corpus scale it degrades to one exchange on n + one on (u, v) —
+    # still strictly fewer edge-sized exchanges than the two-join shape.
+    ex = pairs.select("u", "v", F.explode(F.array("u", "v")).alias("n"))
+    deg = ex.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
     ed = (
-        pairs.join(deg.select(F.col("n").alias("u"), F.col("d").alias("du")), "u")
-        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("dv")), "v")
+        ex.join(deg, "n")
+        .groupBy("u", "v")
+        .agg(
+            F.max(F.when(F.col("n") == F.col("u"), F.col("d"))).alias("du"),
+            F.max(F.when(F.col("n") == F.col("v"), F.col("d"))).alias("dv"),
+        )
     )
     # u < v always, so the (deg, id) tie-break keeps u→v on equal degrees
     u_first = (F.col("du") < F.col("dv")) | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
@@ -142,11 +151,13 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     tri = wedge.join(
         orient.select(F.col("a").alias("y"), F.col("b").alias("z")), ["y", "z"], "left_semi"
     )
-    return (
+    out = (
         tri.select(F.explode(F.array("x", "y", "z")).alias("node_id"))
         .groupBy("node_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
     )
+    out._flockdb_caches = [orient]  # dedup.release_caches convention
+    return out
 
 
 def link_prediction(

@@ -1793,7 +1793,11 @@ def semantic_assign(
         ev = quantized(vec_col)
         dists = []
         for cid in range(c_mat.shape[0]):
-            cvec = F.array(*[F.lit(int(x)).cast("long") for x in c_mat[cid]])
+            # one JVM-parsed literal array per centroid, not dims F.lit
+            # round trips (r11 literal-construction rule)
+            cvec = F.expr(
+                "array(" + ",".join(f"{int(x)}L" for x in c_mat[cid]) + ")"
+            )
             d = F.aggregate(
                 F.zip_with(F.col("ev"), cvec, lambda x, y: (x - y) * (x - y)),
                 F.lit(0).cast("long"),
@@ -2652,8 +2656,13 @@ def top_pc_projection(
     q_milli = F.transform(
         F.col(vec_col), lambda c: F.round(c.cast("double") * 1000).cast("long")
     )
-    v_lit = F.array(*[F.lit(int(x)).cast("long") for x in v])
-    mu_lit = F.array(*[F.lit(int(x)).cast("long") for x in mu])
+    # ONE F.expr per literal array (not one F.lit per element): 2×64
+    # per-element Column constructions are 128 py4j round trips of pure
+    # driver latency per build — the same literal-construction rule as
+    # hybrid_rrf_topk's term map (r11, guide §1.2 "per-task work" on the
+    # driver side); a single SQL string parses JVM-side in one call
+    v_lit = F.expr("array(" + ",".join(f"{int(x)}L" for x in v) + ")")
+    mu_lit = F.expr("array(" + ",".join(f"{int(x)}L" for x in mu) + ")")
     centered = F.zip_with(q_milli, mu_lit, lambda a, b: a - b)
     proj = F.aggregate(
         F.zip_with(centered, v_lit, lambda a, b: a * b),

@@ -1253,8 +1253,16 @@ def heavy_hitters(
 
     # pass 2: probe the inlined sketch per token; exact-count survivors only
     probed = toks.select("word", *arms)
+    # ONE F.expr per sketch row (not one F.lit per cell): a 1024-wide row
+    # as per-element Columns is 1024 py4j round trips of pure driver
+    # latency per construction — and x84/x103 construct per bench pass.
+    # A single SQL string parses JVM-side in one call (the same literal-
+    # construction rule as hybrid_rrf_topk's term map, r11).
     ests = [
-        F.element_at(F.array(*[F.lit(c) for c in grid[r]]), F.col(f"b{r}") + 1)
+        F.element_at(
+            F.expr("array(" + ",".join(f"{int(c)}L" for c in grid[r]) + ")"),
+            F.col(f"b{r}") + 1,
+        )
         for r in range(depth)
     ]
     est = ests[0] if len(ests) == 1 else F.least(*ests)
