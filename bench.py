@@ -404,13 +404,19 @@ def main() -> None:
             df = qs[name](spark, SF_DIR) if name in CONSTRUCT_IN_PASS else dfs[name]
             df.write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
-            if name in CONSTRUCT_IN_PASS:
-                # release this query's intra-query caches OUTSIDE the timed
-                # section: Spark's CacheManager matches by plan equality, so
-                # a leaked term-table cache from x25 would serve x99/x101's
-                # identical subplan warm and mis-attribute their cost
-                for c in getattr(df, "_flockdb_caches", []):
-                    c.unpersist()
+            # release this query's intra-query caches OUTSIDE the timed
+            # section — for EVERY query, not just CONSTRUCT_IN_PASS (r11):
+            # Spark's CacheManager matches by plan equality, so a leaked
+            # term-table cache from x25 would serve x99/x101's identical
+            # subplan warm and mis-attribute their cost; and a prebuilt
+            # query's materialized cache (x27's oriented edges, x14's
+            # degree table, x47/x91's bigram types) otherwise occupies
+            # storage memory across every query between it and the next
+            # INDEX_PERSISTED clearCache.  Nothing is served across passes
+            # either way (the per-pass clearCache/GC already guaranteed
+            # that); this only frees the memory ~20 queries earlier.
+            for c in getattr(df, "_flockdb_caches", []):
+                c.unpersist()
             times_all.setdefault(name, []).append(dt)
             if name not in times or dt < times[name]:
                 times[name] = dt
