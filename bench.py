@@ -415,8 +415,12 @@ def main() -> None:
             # INDEX_PERSISTED clearCache.  Nothing is served across passes
             # either way (the per-pass clearCache/GC already guaranteed
             # that); this only frees the memory ~20 queries earlier.
+            # BLOCKING: the default async unpersist defers block removal
+            # onto whatever runs next — measured as multi-second spread on
+            # the queries FOLLOWING cache-holders (x39 after x37, q24
+            # after x91) when this loop used the async form.
             for c in getattr(df, "_flockdb_caches", []):
-                c.unpersist()
+                c.unpersist(True)
             times_all.setdefault(name, []).append(dt)
             if name not in times or dt < times[name]:
                 times[name] = dt
