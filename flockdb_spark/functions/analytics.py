@@ -72,9 +72,11 @@ def pagerank(edges: DataFrame, graph_id: int, iterations: int = 3) -> DataFrame:
         .union(e_deg.select(F.col("dst").alias("node")))
         .distinct()
     )
-    return nodes.join(contrib, "node", "left").select(
+    out = nodes.join(contrib, "node", "left").select(
         F.col("node").alias("node_id"), F.expr(pr_of).cast("long").alias("pr")
     )
+    out._flockdb_caches = [e_deg]  # dedup.release_caches convention
+    return out
 
 
 def interaction_pairs(events: DataFrame) -> DataFrame:

@@ -153,7 +153,7 @@ def _sql_str(s: str) -> str:
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
 
 _CORPUS_MEMO: dict[
-    tuple[int, str, str], tuple[DataFrame, int, int, DataFrame]
+    tuple[int, str, str], tuple[DataFrame, int, int, DataFrame, DataFrame]
 ] = {}
 _CORPUS_MEMO_MAX = 8
 
@@ -170,17 +170,27 @@ def _plan_key(df: DataFrame) -> tuple[int, str]:
 
 def corpus_terms_stats(
     docs: DataFrame, text_col: str = "text"
-) -> tuple[DataFrame, int, int]:
-    """The shared (cached_terms, n_docs, avgdl_milli) for ``docs`` — memoized
-    per (corpus plan, text_col) so repeated scorers in one session reuse one
-    tokenize and one stats action.  The identity is the ANALYZED plan's
-    (semanticHash, canonicalized tree string): two reads of the same parquet
-    path key equal, a different source or projection does not, and a 32-bit
-    hash collision between different corpora cannot alias (see _plan_key)."""
+) -> tuple[DataFrame, int, int, DataFrame]:
+    """The shared (cached_terms, n_docs, avgdl_milli, cached_df_table) for
+    ``docs`` — memoized per (corpus plan, text_col) so repeated scorers in one
+    session reuse one tokenize and one stats action.  The identity is the
+    ANALYZED plan's (semanticHash, canonicalized tree string): two reads of
+    the same parquet path key equal, a different source or projection does
+    not, and a 32-bit hash collision between different corpora cannot alias
+    (see _plan_key).
+
+    The document-frequency table (term, df) is corpus statistics exactly like
+    n_docs/avgdl — every family member (x25's idf + query derivation, x99's
+    query table) re-aggregated it from the full exploded token stream on each
+    use (one vocabulary-sized shuffle per consumer).  It is memoized CACHED
+    but LAZY (r11): the first consumer materializes it warm over the cached
+    arrays, later consumers reuse the vocab-grain table.  Its plan derives
+    from the fenced ``arrs`` projection, so the CacheManager cannot
+    substitute it into non-memo queries (see doc_term_arrays)."""
     key = (*_plan_key(docs), text_col)
     hit = _CORPUS_MEMO.get(key)
     if hit is not None:
-        return hit[:3]
+        return (*hit[:3], hit[4])
     # What caches is the DOC-GRAIN token-array table, not the exploded
     # grouped stream (r11): the (doc_id, dl, term, tf) view is re-derived
     # map-side from the cached arrays per consumer (_TF_PAIRS — pure
@@ -205,11 +215,18 @@ def corpus_terms_stats(
         )
     avgdl_milli = int(row[1]) * 1000 // n_docs
     terms = _terms_from_arrays(arrs)
+    dftab = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .cache()
+    )
     while len(_CORPUS_MEMO) >= _CORPUS_MEMO_MAX:
         oldest = next(iter(_CORPUS_MEMO))  # dicts iterate in insertion order
-        _CORPUS_MEMO.pop(oldest)[3].unpersist()
-    _CORPUS_MEMO[key] = (terms, n_docs, avgdl_milli, arrs)
-    return terms, n_docs, avgdl_milli
+        _, _, _, old_arrs, old_dftab = _CORPUS_MEMO.pop(oldest)
+        old_arrs.unpersist()
+        old_dftab.unpersist()
+    _CORPUS_MEMO[key] = (terms, n_docs, avgdl_milli, arrs, dftab)
+    return terms, n_docs, avgdl_milli, dftab
 
 
 def release_corpus_memo() -> None:
@@ -218,6 +235,7 @@ def release_corpus_memo() -> None:
     the warm-up cold; tests call it to keep the fixture JVM lean)."""
     for entry in _CORPUS_MEMO.values():
         entry[3].unpersist()
+        entry[4].unpersist()
     _CORPUS_MEMO.clear()
 
 
@@ -273,11 +291,17 @@ def bm25_scores(
     # (see _corpus_stats — the warm-up serializes the cache materialization
     # before the consumers fan out; measured faster than plan-riding stats
     # at sf1.0).  The memo owns the cache — nothing to release per-query.
-    terms, n_docs, avgdl_milli = corpus_terms_stats(docs, text_col)
+    terms, n_docs, avgdl_milli, df_table = corpus_terms_stats(docs, text_col)
     if query_terms is None:
-        query_terms = top_df_terms(terms)
-
-    df_table = terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+        # the default query derivation is a slice of the memoized df table
+        # (filtering term length before or after the df aggregation is
+        # equivalent: df counts (doc, term) rows per term) — row-identical
+        # to top_df_terms(terms) but re-aggregates nothing (r11)
+        query_terms = (
+            df_table.where(F.length("term") >= 4)
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(5)
+        )
     q = F.broadcast(query_terms.select("term").join(df_table, "term"))
 
     scored = terms.join(q, "term")
@@ -350,8 +374,7 @@ def bm25_topk(
 
     # shared per-(corpus, text_col) memo: one tokenize + one blocking stats
     # warm-up serves the whole BM25 family in a session (see corpus_terms_stats)
-    terms, n_docs, avgdl_milli = corpus_terms_stats(docs, text_col)
-    df_table = terms.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    terms, n_docs, avgdl_milli, df_table = corpus_terms_stats(docs, text_col)
 
     # fixture query derivation: global row_number over the (df DESC, term)
     # ranking.  The single-partition window sorts only the ≥min_len slice of

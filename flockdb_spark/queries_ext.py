@@ -207,7 +207,9 @@ def x03(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, num_hashes=_NH, bands=_BANDS, sig=sig, hash_mode="portable"
     )
     est = dedup.minhash_estimate_jaccard(corpus, pairs, num_hashes=_NH, sig=sig)
-    return est.select("a", "b", "n_matches", "est_jaccard_micro")
+    out = est.select("a", "b", "n_matches", "est_jaccard_micro")
+    out._flockdb_caches = [sig]  # dedup.release_caches convention
+    return out
 
 
 _PH_FEATURE = (

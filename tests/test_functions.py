@@ -191,6 +191,67 @@ def test_doc_grain_terms_equal_grouped_terms(spark):
     assert (int(row[0]), int(row[1]) * 1000 // int(row[0])) == (n_old, avg_old)
 
 
+def test_corpus_memo_df_table(spark):
+    """r11: the document-frequency table is memoized corpus statistics
+    (cached, lazy) — pins that the memo's df table is row-identical to the
+    per-consumer re-aggregation it replaces, that the default bm25 query
+    derivation (a slice of the df table) equals top_df_terms, and that
+    release_corpus_memo unpersists it."""
+    from flockdb_spark.functions import relevance
+    from pyspark.sql import functions as F
+
+    relevance.release_corpus_memo()
+    rows = [
+        (0, "apple banana apple cherry"),
+        (1, "apple banana"),
+        (2, "banana cherry banana durian"),
+        (3, "durian elderberry"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    terms, n_docs, avgdl, dftab = relevance.corpus_terms_stats(docs)
+    old_df = sorted(
+        tuple(r)
+        for r in terms.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .collect()
+    )
+    assert sorted(tuple(r) for r in dftab.collect()) == old_df
+    assert dftab.storageLevel.useMemory  # cached (memo-owned)
+    # default query derivation (df-table slice) ≡ top_df_terms(terms)
+    derived = (
+        dftab.where(F.length("term") >= 4)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(5)
+    )
+    assert [tuple(r) for r in derived.collect()] == [
+        tuple(r) for r in relevance.top_df_terms(terms).collect()
+    ]
+    # memo hit returns the same cached object; release unpersists it
+    again = relevance.corpus_terms_stats(docs)[3]
+    assert again is dftab
+    relevance.release_corpus_memo()
+    assert not dftab.storageLevel.useMemory
+
+
+def test_pagerank_and_x03_release_convention(spark):
+    """r11: pagerank's loop-invariant e_deg cache and x03's signature cache
+    follow the _flockdb_caches release convention (the bench releases them
+    post-query instead of leaking them across ~20 bench lines)."""
+    from flockdb_spark.functions import analytics
+
+    edges = spark.createDataFrame(
+        [(3, 1, 2, 0), (3, 2, 3, 0), (3, 3, 1, 0)],
+        "graph_id long, source_id long, destination_id long, state int",
+    )
+    out = analytics.pagerank(edges, graph_id=3)
+    handles = getattr(out, "_flockdb_caches", [])
+    assert len(handles) == 1
+    out.write.format("noop").mode("overwrite").save()
+    assert handles[0].storageLevel.useMemory
+    handles[0].unpersist(True)
+    assert not handles[0].storageLevel.useMemory
+
+
 def test_assign_splits_deterministic_partition(spark):
     from flockdb_spark.functions import splits
 
