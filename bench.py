@@ -194,10 +194,11 @@ CONSTRUCT_IN_PASS = {
     # x120's construction collects the query sign-sketches (a corpus-
     # touching scan) — timed in-pass like the other index builders
     "x120_binary_ann",
-    # x121's construction is lazy, but its plan .cache()es the gram
-    # projection across the model-fit and scoring passes — rebuilding (and
-    # unpersisting via _flockdb_caches) each pass keeps passes 2+ from
-    # serving the gram stream cache-warm while DuckDB re-tokenizes
+    # x121's construction runs the model-fit corpus pass eagerly (the
+    # ≤buckets-row btab collect that feeds the literal lr array — r11's
+    # literal-inline rework replaced the former gram-stream cache), so
+    # rebuilding each pass times the whole two-pass algorithm like the
+    # DuckDB baseline
     "x121_dsir_selection",
     # (x118_ivfpq_trained is NOT listed: it is excluded from BENCH_QUERIES
     # — see the note there — so a CONSTRUCT_IN_PASS entry would be dead)

@@ -1337,18 +1337,21 @@ def dsir_importance(
     Plan shape at 100 TB: gram generation is a map-side generator (no
     shuffle); the bucket-model aggregation shuffles ≤ buckets·partitions
     rows after partial agg (CONSTANT-size, never vocabulary-sized — the
-    same reduced-keyspace trick as the CMS pass in :func:`heavy_hitters`);
-    the totals are a broadcast 1-row cross join; the per-bucket log-ratio
-    table is ``buckets`` rows, broadcast into the scoring join so the gram
-    stream never shuffles; the per-doc sum partial-aggregates to doc grain
-    before its one corpus shuffle; the final top-k is
-    TakeOrderedAndProject.  The gram projection is cached across the two
-    passes (model fit + scoring) and the handle rides on the result as
-    ``_flockdb_caches`` — at 100 TB use a disk-backed level or accept the
-    second scan.
+    same reduced-keyspace trick as the CMS pass in :func:`heavy_hitters`)
+    and is collected to the driver (≤ ``buckets`` rows, bounded); the
+    per-bucket log-ratio table is then inlined as a LITERAL array
+    (the heavy_hitters probe-literal pattern, r11), so the scoring pass is
+    pure map-side — each doc's weight is an ``aggregate`` over its own
+    gram array, no explode, no join, no doc-grain shuffle — and the final
+    top-k is TakeOrderedAndProject.  Exactly two corpus passes (model fit,
+    scoring), nothing corpus-sized is cached or shuffled; the former
+    token-stream ``.cache()`` (a 100 TB memory landmine this docstring
+    used to apologize for) is gone.
 
     Output: (doc_id, weight_micro), weight DESC, doc_id ASC, ``k`` rows.
     """
+    import math
+
     w = tokens(text_col)
     pairs = F.when(
         F.size(w) >= 2,
@@ -1358,44 +1361,55 @@ def dsir_importance(
             lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    feats = (
+    grams = F.concat(w, pairs)
+    bucket_of = lambda g: F.pmod(portable_hash(g), F.lit(buckets)).cast("int")  # noqa: E731
+    # pass 1 — model fit: one corpus pass, partial-aggregated to ≤ buckets
+    # rows per mapper, collected (bounded by `buckets`, never by the corpus)
+    btab = (
         docs.select(
-            "doc_id",
             (F.col(source_col) == target_source).alias("_tgt"),
-            F.explode(F.concat(w, pairs)).alias("gram"),
+            F.explode(grams).alias("gram"),
         )
-        .select(
-            "doc_id",
-            "_tgt",
-            F.pmod(portable_hash("gram"), F.lit(buckets)).cast("int").alias("bucket"),
+        .groupBy(bucket_of(F.col("gram")).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("qc"),
+            F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("tc"),
         )
-        .cache()
+        .collect()
     )
-    btab = feats.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("qc"),
-        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("tc"),
-    )
-    tot = btab.agg(F.sum("tc").alias("tt"), F.sum("qc").alias("qt"))
-    # identical arithmetic text on both engines: one ln over one quotient,
-    # so the only cross-engine divergence is a last-ulp libm difference
-    # swallowed by the micro rounding
-    lr = btab.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        F.round(
-            F.log(
-                ((F.col("tc") + 1.0) * (F.col("qt") + buckets))
-                / ((F.col("tt") + buckets) * (F.col("qc") + 1.0))
+    # integer totals are exact; the per-bucket double arithmetic replicates
+    # the engines' expression text op-for-op (one product each side, one
+    # IEEE divide, one libm ln, half-away-from-zero micro rounding), so the
+    # only cross-engine divergence is a last-ulp libm difference swallowed
+    # by the micro rounding — the same tolerance the join-shape plan relied
+    # on (test_dsir_literal_lr_matches_spark_arithmetic pins parity)
+    tt = sum(int(r["tc"]) for r in btab)
+    qt = sum(int(r["qc"]) for r in btab)
+    lr_arr = [0] * buckets  # buckets absent from the corpus are never probed
+    for r in btab:
+        x = (
+            math.log(
+                ((int(r["tc"]) + 1.0) * float(qt + buckets))
+                / (float(tt + buckets) * (int(r["qc"]) + 1.0))
             )
             * 1_000_000
         )
-        .cast("long")
-        .alias("lr_micro"),
+        m = math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+        lr_arr[int(r["bucket"])] = int(m)
+    # ONE F.expr per literal (not per-element F.lit — the r11 wide-literal
+    # rule: hundreds of py4j round trips otherwise)
+    lr_lit = F.expr("array(" + ",".join(f"{v}L" for v in lr_arr) + ")")
+    # pass 2 — scoring, pure map-side: Σ lr[bucket(gram)] within each row's
+    # own gram array; docs with no grams never reached the old join and
+    # stay excluded
+    weight = F.aggregate(
+        F.transform(grams, lambda g: F.element_at(lr_lit, bucket_of(g) + 1)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
-    weights = (
-        feats.join(F.broadcast(lr), "bucket")
-        .groupBy("doc_id")
-        .agg(F.sum("lr_micro").cast("long").alias("weight_micro"))
-    )
+    weights = docs.select(
+        "doc_id", weight.alias("weight_micro")
+    ).where(F.size(grams) >= 1)
     if temperature > 0:
         # seeded Gumbel noise from a per-doc xxhash64 scramble (ADVICE
         # r10: the previous (a·doc_id+b) mod p map is linear — u for
@@ -1414,7 +1428,6 @@ def dsir_importance(
         out = weights.orderBy(F.desc(key), F.asc("doc_id")).limit(k)
     else:
         out = weights.orderBy(F.desc("weight_micro"), F.asc("doc_id")).limit(k)
-    out._flockdb_caches = [feats]
     return out
 
 

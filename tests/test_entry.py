@@ -29,10 +29,11 @@ def test_changed_queries_sit_inside_gate_window():
         f"changed-in-round queries outside the driver's {entry.GATE_WINDOW}-"
         f"entry gate window: {missing} — reorder _GATED_GREEN"
     )
-    # and the promised rotation leads the window: r11 gates the changed
-    # set plus the now-stalest blocks first — the 9-entry r5-green set
-    # (driver rows 6 rounds old) and the 17-entry r7-green set (VERDICT
-    # r10 item 6), filled with the oldest r8 rows; x122/x123 are new
+    # and the rotation leads the window: the full r11 changed-in-round
+    # union takes priority (the deferral guard — the continuation sessions
+    # touched the ANN/BM25/RRF families after the original rotation), then
+    # the 9-entry r5-green stale set (driver rows 6 rounds old) fills to
+    # 50; the r7-green block is deferred to lead r12.  x122/x123 are new
     # (ungated → sort first automatically)
     for name in (
         # new gates this round
@@ -42,14 +43,5 @@ def test_changed_queries_sit_inside_gate_window():
         "x70_bpe_pair_counts", "x72_span_dedup_rewrite",
         "x73_incremental_dedup", "x74_stream_dedup_index",
         "x75_training_shards", "x76_vocab_spectrum", "x78_lang_confusion",
-        # r7-green block
-        "q24_select_edges_batch", "x07_embedding_neardup", "x08_quality",
-        "x09_token_count", "x10_lang_id", "x11_fingerprint",
-        "x12_multimodal", "x13_degree_dist", "x14_pagerank", "x19_pipeline",
-        "x20_sessionization", "x21_asof_join", "x22_range_join",
-        "x23_rollup", "x24_event_rollup", "x26_topk_per_group",
-        "x27_triangles",
-        # oldest r8-green fill (q05/q22 also ride the v2 store layout)
-        "q05_wildcard", "q22_select_all", "x112_pq_ann",
     ):
         assert name in window

@@ -1479,8 +1479,71 @@ def test_dsir_selects_target_like_docs(spark):
     assert min(got.values()) > max(all_w[d] for d in all_w if d not in got)
     # off-domain grams are rarer in target than raw -> negative log ratios
     assert all(all_w[d] < 0 for d in (10, 11, 12, 13, 14))
-    # cache-handle convention: the gram projection rides on the result
-    assert out._flockdb_caches[0].columns == ["doc_id", "_tgt", "bucket"]
+    # r11: the scoring pass is map-side over a literal lr array — nothing
+    # corpus-sized is cached, so no cache handle rides on the result
+    assert not getattr(out, "_flockdb_caches", None)
+
+
+def test_dsir_literal_lr_matches_spark_arithmetic(spark):
+    """The driver-side lr computation (python log + half-away-from-zero
+    micro rounding) must replicate the engines' expression text bit-for-bit
+    on real counts — this pins the arithmetic the r11 literal-inline rework
+    moved out of Spark (F.round(F.log(...)*1e6) over the btab join)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = _dsir_corpus(spark)
+    buckets = 64
+    w = text.tokens("text")
+    pairs = F.when(
+        F.size(w) >= 2,
+        F.zip_with(
+            F.slice(w, 1, F.size(w) - 1),
+            F.slice(w, 2, F.size(w) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = df.select(
+        (F.col("source") == "tgt").alias("_tgt"),
+        F.explode(F.concat(w, pairs)).alias("gram"),
+    ).select(
+        "_tgt",
+        F.pmod(text.portable_hash("gram"), F.lit(buckets)).cast("int").alias("bucket"),
+    )
+    btab = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("qc"),
+        F.sum(F.when(F.col("_tgt"), 1).otherwise(0)).alias("tc"),
+    )
+    rows = btab.collect()
+    tt = sum(int(r["tc"]) for r in rows)
+    qt = sum(int(r["qc"]) for r in rows)
+    # the old Spark-side expression, evaluated by Spark itself
+    spark_lr = {
+        int(r["bucket"]): int(r["lr_micro"])
+        for r in btab.select(
+            "bucket",
+            F.round(
+                F.log(
+                    ((F.col("tc") + 1.0) * F.lit(qt + buckets))
+                    / (F.lit(float(tt + buckets)) * (F.col("qc") + 1.0))
+                )
+                * 1_000_000
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        ).collect()
+    }
+    for r in rows:
+        x = (
+            math.log(
+                ((int(r["tc"]) + 1.0) * float(qt + buckets))
+                / (float(tt + buckets) * (int(r["qc"]) + 1.0))
+            )
+            * 1_000_000
+        )
+        m = math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+        assert int(m) == spark_lr[int(r["bucket"])], r
 
 
 def test_dsir_gumbel_resample_reproducible(spark):
