@@ -234,6 +234,27 @@ def _duck_connect():
         return None
 
 
+def _disk_calibrate() -> float:
+    """Fixed disk probe: write+fsync 64 MB to the bench's filesystem.  The
+    CPU probes (below) miss the failure mode this round actually hit:
+    episodic VM-disk throttling (load-average ~10 with an idle CPU and
+    io-wait, identical 32-task stages bimodally 0.9 s vs 32 s across
+    identical runs) — a stalled-writeback window inflates every
+    shuffle-writing Spark stage AND DuckDB spills while the CPU probes
+    stay flat.  A start/end pair that differs by 10× marks the artifact
+    as produced in (or around) a throttled window."""
+    import tempfile
+
+    t0 = time.perf_counter()
+    with tempfile.NamedTemporaryFile(dir=str(Path(SF_DIR).parent), suffix=".probe") as f:
+        buf = b"\0" * (1 << 20)
+        for _ in range(64):
+            f.write(buf)
+        f.flush()
+        os.fsync(f.fileno())
+    return round(time.perf_counter() - t0, 3)
+
+
 def _duck_calibrate() -> float | None:
     """Fixed pure-CPU probe (no IO, no SF dependence): the wall of counting
     a 50M range on a throwaway connection.  Recorded at bench start and
@@ -299,6 +320,7 @@ def main() -> None:
     spark_calibrate()  # one warmup (codegen for the probe itself)
     scalib_start = spark_calibrate()
     calib_start = _duck_calibrate()
+    dcalib_start = _disk_calibrate()
 
     # warm the store/caches once so per-query numbers measure the operator,
     # not the parquet scan + JVM warmup
@@ -486,6 +508,7 @@ def main() -> None:
     # round-over-round deltas are attributable without ad-hoc re-runs
     calib_end = _duck_calibrate()
     scalib_end = spark_calibrate()
+    dcalib_end = _disk_calibrate()
     spark.stop()
 
     # per-query repeat spread (max-min over passes EXCLUDING pass 0, which
@@ -520,6 +543,8 @@ def main() -> None:
                     "duck_range50m_end_sec": calib_end,
                     "spark_range200m_start_sec": scalib_start,
                     "spark_range200m_end_sec": scalib_end,
+                    "disk_64m_fsync_start_sec": dcalib_start,
+                    "disk_64m_fsync_end_sec": dcalib_end,
                 },
                 "gc_excluded_sec": round(gc_wall, 3),
                 "pass_spread_sec": spread,
