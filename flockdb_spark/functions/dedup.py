@@ -658,27 +658,42 @@ def decontaminate(
 
     Scale shape: the eval set is small by construction (benchmarks are
     thousands of documents, the corpus is billions), so its distinct-shingle
-    table is broadcast; the corpus-side shingle table is joined map-side with
-    no shuffle, and the only shuffle is the per-document hit count on
-    ``doc_id``.  Output: (doc_id, n_eval_shingles, is_contaminated) for ALL
-    training docs, zero-filled so the gate is a plain filter downstream.
+    table is broadcast; the corpus-side shingle stream LEFT-joins it
+    map-side with no shuffle, and the only shuffle is the per-document hit
+    count on ``doc_id`` (map-side partial agg → doc-grain rows).  The
+    scoring pass is its own zero-fill spine: grams explode with
+    ``explode_outer``, so a short/empty document carries one null-gram row
+    straight into the aggregation — the old corpus-side spine join (a
+    second corpus scan plus a doc-grain join whose small-SF plan broadcast
+    the DOC-GRAIN hits table, an estimate that degrades to a corpus SMJ at
+    scale) is gone (r12).  Output: (doc_id, n_eval_shingles,
+    is_contaminated) for ALL training docs, zero-filled so the gate is a
+    plain filter downstream.
     """
-    train_sh = word_shingles(docs, n, text_col, id_col)
-    eval_sh = word_shingles(eval_docs, n, text_col, id_col).select("shingle").distinct()
-    hits = (
-        train_sh.join(F.broadcast(eval_sh), "shingle")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_eval_shingles"))
+    from pyspark.ml.feature import NGram
+
+    # same gram stream as word_shingles, but explode_OUTER so every
+    # training document reaches the aggregation (null gram never matches
+    # the eval join, so it scores 0 — exactly the old spine's zero-fill)
+    tok = docs.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("_w"))
+    grams = NGram(n=n, inputCol="_w", outputCol="_g").transform(tok)
+    train_sh = grams.select(
+        "doc_id", F.explode_outer(F.array_distinct("_g")).alias("shingle")
+    )
+    eval_sh = (
+        word_shingles(eval_docs, n, text_col, id_col)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
     )
     return (
-        docs.select(F.col(id_col).alias("doc_id"))
-        .join(hits, "doc_id", "left")
+        train_sh.join(F.broadcast(eval_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(F.count("_hit").cast("long").alias("n_eval_shingles"))
         .select(
             "doc_id",
-            F.coalesce("n_eval_shingles", F.lit(0)).alias("n_eval_shingles"),
-            (F.coalesce("n_eval_shingles", F.lit(0)) >= min_hits)
-            .cast("long")
-            .alias("is_contaminated"),
+            "n_eval_shingles",
+            (F.col("n_eval_shingles") >= min_hits).cast("long").alias("is_contaminated"),
         )
     )
 
@@ -858,33 +873,41 @@ def source_overlap(
     audit a multi-source training mix runs to find corpora that are secretly
     copies of each other (or of a benchmark) before fixing mixture weights.
 
-    Scale shape (100 TB): shingles collapse to the distinct
-    (source, shingle) table first (hash agg with map-side combine — the
-    corpus body never reaches the join), then one self-join keyed on the
-    shingle; quadratic only within a shingle's source-list, which is
-    bounded by the number of sources, not by corpus size.  Same bucketed
-    shape as :func:`ngram_jaccard_pairs`, with sources in place of docs.
+    Scale shape (100 TB): ONE exploded pass collapses straight to the
+    per-shingle source SET (``collect_set`` — partial-aggregated map-side,
+    and bounded per row by the number of sources, not by corpus size), so
+    the corpus crosses exactly one exchange; the source pairs a shingle
+    witnesses are generated map-side from its own sorted set, and the final
+    pair count is a trivially small second exchange.  No self-join, and —
+    unlike the r9 shape — no broadcast/shuffle of a SECOND
+    corpus-vocabulary-sized distinct (source, shingle) table, which was
+    this operator's real 100 TB landmine (the join's build side).
 
     Output: (source_a, source_b, n_shared).
     """
     # shingle the corpus keyed DIRECTLY on the source column (r9): the
-    # previous shape shingled by doc_id and joined the corpus-sized shingle
-    # table back to the doc→source map — a whole extra shuffle join whose
-    # only purpose was fetching the source label the scan already had.
-    # word_shingles distinct-ifies per ROW; the cross-document distinct
-    # below collapses the rest, so the (source, shingle) set is identical.
-    src_sh = (
+    # doc→source join died then; word_shingles distinct-ifies per ROW and
+    # collect_set collapses the rest, so each shingle's witness set — and
+    # with it every pair count — is identical to the old
+    # distinct-then-self-join formulation (r12 plan rewrite).
+    src_sets = (
         word_shingles(docs, n, text_col, id_col=source_col)
         .select(F.col("doc_id").alias("_src"), "shingle")
-        .distinct()
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("_src")).alias("_srcs"))
+        .where(F.size("_srcs") >= 2)
     )
-    a = src_sh.select(F.col("_src").alias("source_a"), "shingle")
-    b = src_sh.select(F.col("_src").alias("source_b"), "shingle")
-    return (
-        a.join(b, "shingle")
-        .where(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    # all (a < b) pairs of the sorted set, map-side: element i pairs with
+    # every later element (slice is 1-based; i is 0-based)
+    pairs = src_sets.select(
+        F.expr(
+            "inline(flatten(transform(_srcs, (x, i) -> "
+            "transform(slice(_srcs, i + 2, size(_srcs)), y -> "
+            "named_struct('source_a', x, 'source_b', y)))))"
+        )
+    )
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shared")
     )
 
 

@@ -2587,6 +2587,15 @@ def top_pc_projection(
     def partials(batches):
         import pyarrow as pa
 
+        # accumulate across the task's batches, emit ONE partial per task
+        # (r12): a 128 MB scan partition is dozens of Arrow batches, so the
+        # per-batch emit multiplied the aggregation input ~50× for nothing.
+        # Exactness: per-row |Σ_b x_i·x_j| ≤ 4e6, so the int64 task
+        # accumulator is exact up to ~2.3e12 rows per task — far past any
+        # real task size; the cross-task sum still rides decimal(38,0).
+        g_acc = np.zeros((dims, dims), dtype=np.int64)
+        sx_acc = np.zeros(dims, dtype=np.int64)
+        n_acc = 0
         for batch in batches:
             if batch.num_rows == 0:
                 continue
@@ -2598,17 +2607,20 @@ def top_pc_projection(
             x = ((np.trunc(np.abs(m) + 0.5) * np.sign(m)).astype(np.int64)).reshape(
                 batch.num_rows, -1
             )
-            g = _gemm53(x.T, x)  # (dims, dims) — exact: |x|≤~2e3, n_b≤~1e4
-            sx = x.sum(0)
-            ii = np.repeat(np.arange(dims, dtype=np.int64), dims)
-            jj = np.tile(np.arange(dims, dtype=np.int64), dims)
-            yield pa.record_batch(
-                {
-                    "i": np.r_[ii, np.arange(dims, dtype=np.int64), [-1]],
-                    "j": np.r_[jj, np.full(dims, -1, dtype=np.int64), [-1]],
-                    "p": np.r_[g.reshape(-1), sx, [np.int64(batch.num_rows)]],
-                }
-            )
+            g_acc += _gemm53(x.T, x)  # (dims, dims) — exact: |x|≤~2e3, n_b≤~1e4
+            sx_acc += x.sum(0)
+            n_acc += batch.num_rows
+        if n_acc == 0:
+            return
+        ii = np.repeat(np.arange(dims, dtype=np.int64), dims)
+        jj = np.tile(np.arange(dims, dtype=np.int64), dims)
+        yield pa.record_batch(
+            {
+                "i": np.r_[ii, np.arange(dims, dtype=np.int64), [-1]],
+                "j": np.r_[jj, np.full(dims, -1, dtype=np.int64), [-1]],
+                "p": np.r_[g_acc.reshape(-1), sx_acc, [np.int64(n_acc)]],
+            }
+        )
 
     stats = (
         # vec_col ONLY: the id column would otherwise ship through Arrow
@@ -2656,18 +2668,25 @@ def top_pc_projection(
     q_milli = F.transform(
         F.col(vec_col), lambda c: F.round(c.cast("double") * 1000).cast("long")
     )
-    # ONE F.expr per literal array (not one F.lit per element): 2×64
-    # per-element Column constructions are 128 py4j round trips of pure
+    # ONE F.expr per literal array (not one F.lit per element): 64
+    # per-element Column constructions are py4j round trips of pure
     # driver latency per build — the same literal-construction rule as
     # hybrid_rrf_topk's term map (r11, guide §1.2 "per-task work" on the
-    # driver side); a single SQL string parses JVM-side in one call
+    # driver side); a single SQL string parses JVM-side in one call.
+    # Centering folds into a driver-side CONSTANT (r12):
+    # (x − μ)·v = x·v − μ·v exactly in ℤ (distributivity; same int64
+    # headroom class: per-term |x·v| ≤ 2e9, 64 dims → ≤ 1.3e11), so the
+    # projection pass runs ONE zip_with/aggregate per row instead of two
+    # full array transforms plus a μ literal.
     v_lit = F.expr("array(" + ",".join(f"{int(x)}L" for x in v) + ")")
-    mu_lit = F.expr("array(" + ",".join(f"{int(x)}L" for x in mu) + ")")
-    centered = F.zip_with(q_milli, mu_lit, lambda a, b: a - b)
-    proj = F.aggregate(
-        F.zip_with(centered, v_lit, lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    mu_dot_v = sum(mu[d] * v[d] for d in range(dims))
+    proj = (
+        F.aggregate(
+            F.zip_with(q_milli, v_lit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        - F.lit(int(mu_dot_v)).cast("long")
     )
     return emb.select(F.col(id_col).alias("vec_id"), proj.alias("proj"))
 

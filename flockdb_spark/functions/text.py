@@ -336,42 +336,58 @@ def boilerplate_coverage(
     ``min_docs`` DISTINCT documents; each document reports how many of its
     distinct n-grams are boilerplate.
 
-    100 TB shape: one explode to the (doc, gram) table — built once and
-    CACHED, because three consumers read it (document frequency, per-doc
-    totals, per-doc boilerplate hits) and the gram generation is the
-    expensive per-row work; then one hash-agg on the gram key (map-side
-    partial combine — grams are distinct per doc already), one join back on
-    the same key, one hash-agg to doc grain.  No driver materialization; no
-    pair blow-up, so no skew cap needed.  Cache lifetime follows the
-    ``dedup`` convention: the cached frame rides on the result as
-    ``_flockdb_caches`` — release with :func:`flockdb_spark.functions.dedup.
-    release_caches` once materialized, or leave it to the ContextCleaner.
+    100 TB shape (r12): the cache holds DOC-GRAIN gram ARRAYS (one row per
+    document — the r11 heavy-hitters/BM25 trade: ~10× fewer rows than the
+    old exploded (doc, gram) cache), because two consumers need the grams
+    and gram generation is the expensive per-row work; each consumer
+    re-derives the exploded stream map-side (a free ``explode`` of the
+    cached array).  Consumer 1 builds the document-frequency table (one
+    gram-keyed hash agg, map-side partial combine — grams are distinct per
+    doc already) and keeps grams with df ≥ ``min_docs``; consumer 2 LEFT
+    joins the stream against that boilerplate set and rolls up to doc grain
+    in ONE aggregation — ``count(*)`` is n_grams and ``count(_b)`` is
+    n_boiler, so the old separate per-doc totals aggregation AND the final
+    doc-keyed join (whose small-SF plan broadcast a DOC-GRAIN table — an
+    estimate that degrades to a corpus SMJ at scale) are gone.  No driver
+    materialization; no pair blow-up, so no skew cap needed.  Cache
+    lifetime follows the ``dedup`` convention: the cached frame rides on
+    the result as ``_flockdb_caches`` — release with
+    :func:`flockdb_spark.functions.dedup.release_caches` once materialized,
+    or leave it to the ContextCleaner.
 
     Output: (doc_id, n_grams, n_boiler, boiler_micro) — integers only.
     """
-    from .dedup import word_shingles
+    from pyspark.ml.feature import NGram
 
-    sh = word_shingles(docs, n, text_col).cache()
-    df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    boiler = df_counts.where(F.col("df") >= min_docs).select("shingle")
-    per_doc = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    hits = (
-        sh.join(boiler, "shingle")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    tok = docs.select(F.col("doc_id"), tokens(text_col).alias("_w"))
+    arrs = (
+        NGram(n=n, inputCol="_w", outputCol="_g")
+        .transform(tok)
+        .select("doc_id", F.array_distinct("_g").alias("_grams"))
+        .cache()
+    )
+    sh = arrs.select("doc_id", F.explode("_grams").alias("shingle"))
+    boiler = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_docs)
+        .select("shingle", F.lit(1).alias("_b"))
     )
     out = (
-        per_doc.join(hits, "doc_id", "left")
+        sh.join(boiler, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("_b").alias("n_boiler"),
+        )
         .select(
             "doc_id",
             "n_grams",
-            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
-            F.expr("coalesce(n_boiler, 0) * 1000000 div n_grams").alias(
-                "boiler_micro"
-            ),
+            "n_boiler",
+            F.expr("n_boiler * 1000000 div n_grams").alias("boiler_micro"),
         )
     )
-    out._flockdb_caches = [sh]  # release after materializing (see docstring)
+    out._flockdb_caches = [arrs]  # release after materializing (see docstring)
     return out
 
 

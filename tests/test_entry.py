@@ -29,19 +29,19 @@ def test_changed_queries_sit_inside_gate_window():
         f"changed-in-round queries outside the driver's {entry.GATE_WINDOW}-"
         f"entry gate window: {missing} — reorder _GATED_GREEN"
     )
-    # and the rotation leads the window: the full r11 changed-in-round
-    # union takes priority (the deferral guard — the continuation sessions
-    # touched the ANN/BM25/RRF families after the original rotation), then
-    # the 9-entry r5-green stale set (driver rows 6 rounds old) fills to
-    # 50; the r7-green block is deferred to lead r12.  x122/x123 are new
-    # (ungated → sort first automatically)
+    # and the rotation pays the r11 rotation debt (VERDICT r11 item 1):
+    # the changed set leads, then the r7-green block (stalest driver rows)
+    # and the 30 remaining r10-green entries r11's rotation pushed out
+    # fill the window to exactly 50
     for name in (
-        # new gates this round
-        "x122_lsh_multipass_neardup", "x123_semantic_dedup_auto",
-        # r5-green block (driver rows 6 rounds old at r11)
-        "x49_quality_canonical", "x54_temperature_sample",
-        "x70_bpe_pair_counts", "x72_span_dedup_rewrite",
-        "x73_incremental_dedup", "x74_stream_dedup_index",
-        "x75_training_shards", "x76_vocab_spectrum", "x78_lang_confusion",
+        # r7-green block (driver rows 5 rounds old at r12)
+        "q24_select_edges_batch", "x07_embedding_neardup", "x08_quality",
+        "x09_token_count", "x10_lang_id", "x11_fingerprint",
+        "x12_multimodal", "x13_degree_dist",
+        "x19_pipeline", "x20_sessionization", "x21_asof_join",
+        "x22_range_join", "x23_rollup", "x24_event_rollup",
+        "x26_topk_per_group",
+        # spot-checks of the r10-green re-gate block
+        "q01_point_lookup", "x96_salted_join", "x34_decontaminate",
     ):
         assert name in window

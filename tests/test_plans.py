@@ -134,8 +134,53 @@ def test_decontaminate_broadcasts_eval_shingles(spark):
         "doc_id long, text string",
     )
     ev = spark.createDataFrame([(999, "some words repeated")], "doc_id long, text string")
-    plan = plan_str(dedup.decontaminate(train, ev))
+    plan = plan_str(dedup.decontaminate(train, ev), "simple")
     assert "BroadcastHashJoin" in plan
+    # r12 shape: the scoring pass IS the zero-fill spine (explode_outer +
+    # LEFT broadcast join + ONE doc-grain agg) — exactly one join in the
+    # whole plan, and no doc-keyed spine join whose small-SF broadcast of
+    # the DOC-GRAIN hits table would degrade to a corpus SMJ at 100 TB
+    assert len(re.findall(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan)) == 1
+    assert "LeftOuter" in plan
+
+
+def test_source_overlap_no_self_join_one_corpus_exchange(spark):
+    """r12 shape: pairs derive map-side from each shingle's collect_set —
+    no shingle self-join, no broadcast of a corpus-vocabulary-sized table,
+    and the corpus crosses exactly ONE exchange (the per-shingle set agg;
+    the pair count exchange is source-pair-grain, trivially small)."""
+    from flockdb_spark.functions import dedup
+
+    docs = spark.createDataFrame(
+        [(i, "w1 w2 w3 w4", "en", f"s{i % 3}", 11) for i in range(30)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    plan = plan_str(dedup.source_overlap(docs), "simple")
+    assert not re.search(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan)
+    assert "BroadcastExchange" not in plan
+    assert "collect_set" in plan
+    # two hash exchanges total: shingle-keyed set agg + pair-grain count
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+
+
+def test_boilerplate_one_doc_grain_agg_no_final_join(spark):
+    """r12 shape: n_grams and n_boiler come out of ONE doc-grain
+    aggregation over the left-joined gram stream — the old per-doc totals
+    aggregation and the final doc-keyed join are gone, and the cache holds
+    doc-grain gram ARRAYS, not the exploded stream."""
+    from flockdb_spark.functions import text as textmod
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(30)], "doc_id long, text string"
+    )
+    out = textmod.boilerplate_coverage(docs, n=5, min_docs=3)
+    plan = plan_str(out, "simple")
+    # exactly one join (gram stream vs boiler set); none keyed on doc_id
+    assert len(re.findall(r"BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin", plan)) == 1
+    assert not re.search(r"hashpartitioning\(doc_id[^)]*\).*\n.*Sort", plan)
+    # the attached cache is doc-grain arrays
+    assert len(out._flockdb_caches) == 1
+    assert dict(out._flockdb_caches[0].dtypes)["_grams"].startswith("array")
 
 
 def test_ordered_prefix_sum_sharded_no_global_window(spark):
