@@ -234,6 +234,11 @@ def _duck_connect():
         return None
 
 
+# one urandom draw at import, reused by every probe: the probe times the
+# write path, not the RNG
+_DISK_PROBE_BUF = os.urandom(1 << 20)
+
+
 def _disk_calibrate() -> float:
     """Fixed disk probe: write+fsync 64 MB to the bench's filesystem.  The
     CPU probes (below) miss the failure mode this round actually hit:
@@ -242,12 +247,17 @@ def _disk_calibrate() -> float:
     identical runs) — a stalled-writeback window inflates every
     shuffle-writing Spark stage AND DuckDB spills while the CPU probes
     stay flat.  A start/end pair that differs by 10× marks the artifact
-    as produced in (or around) a throttled window."""
+    as produced in (or around) a throttled window.
+
+    The buffer is incompressible pseudo-random bytes (ADVICE r11): on a
+    filesystem with transparent compression or zero-block elision a zeroed
+    buffer never reaches the disk, so the probe would stay flat during
+    exactly the writeback windows it exists to expose."""
     import tempfile
 
     t0 = time.perf_counter()
     with tempfile.NamedTemporaryFile(dir=str(Path(SF_DIR).parent), suffix=".probe") as f:
-        buf = b"\0" * (1 << 20)
+        buf = _DISK_PROBE_BUF
         for _ in range(64):
             f.write(buf)
         f.flush()

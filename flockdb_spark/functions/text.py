@@ -1364,6 +1364,20 @@ def dsir_importance(
     token-stream ``.cache()`` (a 100 TB memory landmine this docstring
     used to apologize for) is gone.
 
+    Determinism requirement (ADVICE r11): the model-fit pass ``collect``\\s
+    eagerly and FREEZES the log-ratio table, and the scoring action re-reads
+    ``docs`` later — so ``docs`` must be stable between the two passes
+    (a deterministic source, e.g. parquet, or a checkpoint).  A gram whose
+    bucket was absent from the frozen table scores 0 rather than failing;
+    under a stable input that row is unreachable (every bucket probed in
+    pass 2 was counted in pass 1 from the same grams), so the hazard is
+    exactly — and only — input instability.  Parity note (ADVICE r11): the
+    driver-side half-away-from-zero replica of the engines' micro rounding
+    is pinned empirically by ``test_dsir_literal_lr_matches_spark_arithmetic``
+    and by the oracle at sf0.01/sf0.1 — a count landing within one double
+    ulp of a .5 boundary could still diverge by 1 micro between libms; the
+    guarantee is empirical, not bit-for-bit universal.
+
     Output: (doc_id, weight_micro), weight DESC, doc_id ASC, ``k`` rows.
     """
     import math

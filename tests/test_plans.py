@@ -384,3 +384,57 @@ def test_hybrid_rrf_lexical_leg_is_single_corpus_pass(spark):
     assert n_ex == 3, f"expected 3 hash exchanges, plan has {n_ex}\n{raw}"
     assert "Exchange SinglePartition" not in raw
     assert "BroadcastExchange" not in raw, "literal fold regressed to a broadcast join"
+
+
+def test_unique_twin_fallback_and_rebuild_over_mutated_store(spark, tmp_path):
+    """Twin maintenance contract (graph.py `by_src_dst`, VERDICT r11 item 7):
+    the UNIQUE (source_id, destination_id) twin is written per layout
+    publish, not per write.  A store mutated via apply_oplog carries no
+    twin, so the dest-order page (q07's shape) falls back to the primary
+    layout — correct, one exchange slower; re-publishing the layout
+    rebuilds the twin and the twin-served page is row-identical."""
+    from pyspark.sql import Window
+
+    from flockdb_spark.operators.merge import apply_oplog
+    from flockdb_spark.queries import register_unique_twin
+
+    rows = [(1, s, d, d, 10, 0) for s in (1, 2) for d in (101, 102, 103)]
+    st = EdgeStore.from_edges(spark, edge_rows_df(spark, rows))
+    ops = spark.createDataFrame(
+        [(0, 1, 1, 999, 999, 20), (1, 1, 2, 102, 102, 20)],
+        "op_state int, graph_id int, source_id long, destination_id long,"
+        " position long, updated_at long",
+    )
+    e2, m2 = apply_oplog(st.edges, st.metadata, ops)
+    mutated = EdgeStore.from_edges(spark, e2, m2)
+    # apply_oplog does NOT maintain the twin — the documented contract
+    assert mutated.by_src_dst is None
+
+    def dest_page(base):
+        w = Window.partitionBy("source_id").orderBy(F.desc("destination_id"))
+        return sorted(
+            (r["source_id"], r["destination_id"], r["rn"])
+            for r in base.where((F.col("graph_id") == 1) & (F.col("state") == 0))
+            .select("source_id", "destination_id", F.row_number().over(w).alias("rn"))
+            .collect()
+        )
+
+    fallback = dest_page(mutated.edges)  # q07's fallback: the primary layout
+    # the oplog really landed: the add is ranked, the removal is invisible
+    assert (1, 999, 1) in fallback
+    assert all(not (s == 2 and d == 102) for (s, d, _) in fallback)
+    # re-publish the layout (the documented rebuild step) and serve from it
+    tpath = str(tmp_path / "twin_rebuilt")
+    spark.sql("DROP TABLE IF EXISTS twin_rebuild_scratch")
+    spark.sql("DROP TABLE IF EXISTS twin_rebuilt_t")
+    mutated.write_unique_twin(tpath, table="twin_rebuild_scratch")
+    twin = register_unique_twin(spark, tpath, "twin_rebuilt_t")
+    assert dest_page(twin) == fallback
+    # and the rebuilt twin serves the window with ZERO exchanges (the plan
+    # property the twin exists for)
+    w = Window.partitionBy("source_id").orderBy(F.desc("destination_id"))
+    ranked = twin.where((F.col("graph_id") == 1) & (F.col("state") == 0)).select(
+        "source_id", "destination_id", F.row_number().over(w).alias("rn")
+    )
+    assert plan_str(ranked, "simple").count("Exchange hashpartitioning") == 0
+    spark.sql("DROP TABLE IF EXISTS twin_rebuilt_t")
